@@ -1,0 +1,131 @@
+"""Bit-packed symbol arrays (the TPU equivalent of the reference's PackedStream).
+
+Capability parity with ``nvbio/basic/packedstream.h:44-83`` / ``packed_vector.h``:
+B-bits-per-symbol strings stored in 32-bit words. Unlike the CUDA reference —
+which exposes per-symbol iterators — the TPU design keeps everything **dense
+and vectorized**: pack/unpack/gather are whole-array bit operations that XLA
+maps straight onto the 8x128 VPU, and the same word layout is shared by the
+host (numpy) and device (jnp) so index artifacts round-trip with no
+translation.
+
+Layout: symbol ``i`` lives in word ``i // spw`` at bit offset
+``(i % spw) * bits`` (LSB-first), where ``spw = 32 // bits``. LSB-first makes
+the word value of a prefix independent of what follows it, which keeps
+FM-index occurrence counting (see ``nvbio_tpu/fmi/rank.py``) a pure
+mask-and-popcount.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+WORD_BITS = 32
+
+
+def symbols_per_word(bits: int) -> int:
+    if bits not in (1, 2, 4, 8, 16):
+        raise ValueError(f"unsupported symbol size: {bits}")
+    return WORD_BITS // bits
+
+
+def words_for(length: int, bits: int) -> int:
+    spw = symbols_per_word(bits)
+    return (length + spw - 1) // spw
+
+
+def pack(symbols: np.ndarray, bits: int) -> np.ndarray:
+    """Pack uint8/uint32 symbol codes into a uint32 word array (host-side).
+
+    Vectorized: reshapes to (n_words, spw) and reduces with shifts — no Python
+    loop over symbols.
+    """
+    symbols = np.asarray(symbols)
+    spw = symbols_per_word(bits)
+    n = symbols.shape[-1]
+    n_words = words_for(n, bits)
+    padded = np.zeros(symbols.shape[:-1] + (n_words * spw,), dtype=np.uint32)
+    padded[..., :n] = symbols.astype(np.uint32) & ((1 << bits) - 1)
+    grouped = padded.reshape(symbols.shape[:-1] + (n_words, spw))
+    shifts = (np.arange(spw, dtype=np.uint32) * bits).astype(np.uint32)
+    return np.bitwise_or.reduce(grouped << shifts, axis=-1).astype(np.uint32)
+
+
+def unpack(words: np.ndarray, length: int, bits: int) -> np.ndarray:
+    """Unpack a uint32 word array back to uint8 symbol codes (host-side)."""
+    words = np.asarray(words, dtype=np.uint32)
+    spw = symbols_per_word(bits)
+    shifts = (np.arange(spw, dtype=np.uint32) * bits).astype(np.uint32)
+    mask = np.uint32((1 << bits) - 1)
+    syms = (words[..., :, None] >> shifts) & mask
+    flat = syms.reshape(words.shape[:-1] + (-1,))
+    return flat[..., :length].astype(np.uint8)
+
+
+@dataclasses.dataclass
+class PackedArray:
+    """A length-tagged packed symbol array.
+
+    ``words`` may be a numpy array (host) or a jax.Array (device); all methods
+    dispatch on whichever namespace the data lives in.
+    """
+
+    words: Any          # uint32[n_words] (or batched [..., n_words])
+    length: int         # number of valid symbols
+    bits: int           # bits per symbol
+
+    @classmethod
+    def from_codes(cls, symbols: np.ndarray, bits: int) -> "PackedArray":
+        return cls(pack(symbols, bits), int(np.asarray(symbols).shape[-1]), bits)
+
+    def to_codes(self) -> np.ndarray:
+        return unpack(np.asarray(self.words), self.length, self.bits)
+
+    @property
+    def spw(self) -> int:
+        return symbols_per_word(self.bits)
+
+    def device(self):
+        import jax.numpy as jnp
+
+        return PackedArray(jnp.asarray(self.words), self.length, self.bits)
+
+
+def gather_symbols(words, idx, bits: int):
+    """Gather symbols at positions ``idx`` from packed ``words`` (jnp or numpy).
+
+    Works on either namespace; ``idx`` may be any integer array shape. This is
+    the device-side random-access primitive used by FM-index locate and text
+    gathers in the extension stage.
+    """
+    xp = _ns(words)
+    spw = WORD_BITS // bits
+    idx = xp.asarray(idx)
+    word = xp.take(words, idx // spw, axis=-1 if getattr(words, "ndim", 1) > 1 else 0)
+    shift = ((idx % spw) * bits).astype(word.dtype)
+    return ((word >> shift) & ((1 << bits) - 1)).astype(xp.int32)
+
+
+def extract_window(words, start, win_len: int, bits: int, xp=None):
+    """Extract ``win_len`` consecutive symbols starting at ``start`` (traced).
+
+    ``start`` may be a traced scalar or a batch of starts (shape [...]), in
+    which case the result has shape [..., win_len]. Used to pull candidate
+    text windows out of the packed reference for banded extension.
+    """
+    if xp is None:
+        xp = _ns(words)
+    start = xp.asarray(start)
+    offs = xp.arange(win_len, dtype=start.dtype)
+    idx = start[..., None] + offs
+    return gather_symbols(words, idx, bits)
+
+
+def _ns(arr):
+    if isinstance(arr, np.ndarray):
+        return np
+    import jax.numpy as jnp
+
+    return jnp
