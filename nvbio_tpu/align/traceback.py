@@ -1,0 +1,297 @@
+"""Banded alignment traceback -> CIGAR ops (fixed-shape, batched).
+
+The reference implements checkpointed traceback with packed direction-vector
+submatrices (``nvbio/alignment/alignment.h:353-671``). The TPU design records
+one packed direction byte per band cell during a second scoring pass (band
+width is small, so the full direction tensor is tiny: B x M x W bytes), then
+replays it with a bounded ``lax.scan`` walk emitting a fixed-width op array —
+data-dependent walk lengths become masked no-ops.
+
+Direction byte layout (per DP cell):
+  bits 0-1: H provenance — 0 = diagonal (M), 1 = E/pattern-gap (I),
+            2 = F/text-gap (D), 3 = local zero (stop)
+  bit 2:    E extended from E (vs opened from H)
+  bit 3:    F extended from F (vs opened from H)
+
+Op codes in the emitted array: 0 = none/padding, 1 = M, 2 = I, 3 = D.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nvbio_tpu.align.batch import _exclusive_running_max, _gap_params, _subst_scores
+from nvbio_tpu.align.types import (
+    NEG_INF,
+    AlignmentType,
+    GotohAligner,
+    HammingAligner,
+)
+
+OP_NONE, OP_M, OP_I, OP_D = 0, 1, 2, 3
+_OP_CHARS = np.array([b"?", b"M", b"I", b"D"], dtype="S1")
+
+
+class TracebackResult(NamedTuple):
+    score: jnp.ndarray          # (B,) int32
+    ops: jnp.ndarray            # (B, MAXS) int32 op codes, in forward order
+    n_ops: jnp.ndarray          # (B,) int32 number of valid ops
+    pattern_start: jnp.ndarray  # (B,) int32 first pattern index consumed
+    pattern_end: jnp.ndarray    # (B,) int32 one-past-last pattern index
+    text_start: jnp.ndarray     # (B,) int32 first text index consumed (window coords)
+    text_end: jnp.ndarray       # (B,) int32 one-past-last text index
+
+
+def _banded_forward_dirs(patterns, pattern_lens, texts, text_lens, aligner, band,
+                         mismatch_scores=None):
+    """Banded DP forward pass recording direction bytes; returns
+    (dirs (B, M, W) uint8, final_row (B, W), best (B,), sink (B,2) [local])."""
+    B, M = patterns.shape
+    W = band
+    atype = AlignmentType(aligner.type)
+    po, pe, to, te = (jnp.int32(v) for v in _gap_params(aligner))
+    match = jnp.int32(aligner.scoring.match)
+    mm_scalar = jnp.int32(aligner.scoring.mismatch)
+    neg = jnp.int32(NEG_INF)
+    local = atype == AlignmentType.LOCAL
+    hamming = isinstance(aligner, HammingAligner)
+
+    patterns = patterns.astype(jnp.int32)
+    texts = texts.astype(jnp.int32)
+    pattern_lens = pattern_lens.astype(jnp.int32)
+    text_lens = text_lens.astype(jnp.int32)
+    karange = jnp.arange(W, dtype=jnp.int32)
+
+    if atype == AlignmentType.GLOBAL:
+        H0 = jnp.broadcast_to(
+            jnp.where(karange == 0, 0, to + te * (karange - 1)).astype(jnp.int32),
+            (B, W),
+        )
+    else:
+        H0 = jnp.zeros((B, W), jnp.int32)
+    E0 = jnp.full((B, W), neg, jnp.int32)
+
+    best0 = jnp.full((B,), neg, jnp.int32)
+    sink0 = jnp.zeros((B, 2), jnp.int32)
+    finit = jnp.full((B, W), neg, jnp.int32)
+
+    def step(carry, i):
+        H_prev, E_prev, best, sink, final_row = carry
+        p = jax.lax.dynamic_index_in_dim(patterns, i - 1, axis=1, keepdims=False)
+        tidx = (i - 1) + karange[None, :]
+        trow = jnp.take_along_axis(texts, jnp.clip(tidx, 0, texts.shape[1] - 1), axis=1)
+        if mismatch_scores is None:
+            mm = mm_scalar
+        else:
+            mm = jax.lax.dynamic_index_in_dim(
+                mismatch_scores, i - 1, axis=1, keepdims=False
+            )[:, None]
+        sub = _subst_scores(p[:, None], trow, match, mm)
+        sub = jnp.where(tidx < text_lens[:, None], sub, neg)
+        diag = H_prev + sub
+
+        if hamming:
+            Erow = jnp.full((B, W), neg, jnp.int32)
+            Frow = Erow
+            H0r = diag
+            Hrow = jnp.maximum(H0r, 0) if local else H0r
+            e_ext = jnp.zeros((B, W), bool)
+            f_ext = jnp.zeros((B, W), bool)
+        else:
+            Hp_shift = jnp.concatenate([H_prev[:, 1:], jnp.full((B, 1), neg)], axis=1)
+            Ep_shift = jnp.concatenate([E_prev[:, 1:], jnp.full((B, 1), neg)], axis=1)
+            Erow = jnp.maximum(Ep_shift + pe, Hp_shift + po)
+            e_ext = Ep_shift + pe >= Hp_shift + po
+            H0r = jnp.maximum(diag, Erow)
+            if local:
+                H0r = jnp.maximum(H0r, 0)
+            G = H0r + (to - te * karange)[None, :]
+            Frow = _exclusive_running_max(G) + (te * (karange - 1))[None, :]
+            Fshift = jnp.concatenate([jnp.full((B, 1), neg), Frow[:, :-1]], axis=1)
+            f_ext = Frow == Fshift + te
+            Hrow = jnp.maximum(H0r, Frow)
+
+        hdir = jnp.where(
+            Hrow == diag,
+            OP_M - 1,  # 0
+            jnp.where(Hrow == Erow, 1, 2),
+        ).astype(jnp.int32)
+        if local:
+            hdir = jnp.where(Hrow == 0, 3, hdir)
+        byte = (
+            hdir | (e_ext.astype(jnp.int32) << 2) | (f_ext.astype(jnp.int32) << 3)
+        ).astype(jnp.uint8)
+
+        at_final = i == pattern_lens
+        final_row = jnp.where(at_final[:, None], Hrow, final_row)
+
+        if local:
+            row_valid = (i <= pattern_lens)[:, None] & (tidx < text_lens[:, None])
+            masked = jnp.where(row_valid, Hrow, neg)
+            row_best = jnp.max(masked, axis=1)
+            row_arg = jnp.argmax(masked, axis=1).astype(jnp.int32)
+            upd = row_best > best
+            best = jnp.where(upd, row_best, best)
+            sink = jnp.where(
+                upd[:, None],
+                jnp.stack([jnp.full((B,), i, jnp.int32), row_arg], axis=1),
+                sink,
+            )
+
+        return (Hrow, Erow, best, sink, final_row), byte
+
+    (Hl, El, best, sink, final_row), dirs = jax.lax.scan(
+        step, (H0, E0, best0, sink0, finit), jnp.arange(1, M + 1, dtype=jnp.int32)
+    )
+    dirs = jnp.transpose(dirs, (1, 0, 2))  # (B, M, W)
+    return dirs, final_row, best, sink
+
+
+@functools.partial(jax.jit, static_argnames=("aligner", "band"))
+def batch_traceback_banded(
+    patterns: jnp.ndarray,
+    pattern_lens: jnp.ndarray,
+    texts: jnp.ndarray,
+    text_lens: jnp.ndarray,
+    aligner,
+    band: int,
+    mismatch_scores: jnp.ndarray | None = None,
+) -> TracebackResult:
+    """Score + full traceback for banded alignment (semantics of
+    ``batch_score_banded``); returns forward-ordered op arrays."""
+    B, M = patterns.shape
+    W = band
+    atype = AlignmentType(aligner.type)
+    local = atype == AlignmentType.LOCAL
+    glob = atype == AlignmentType.GLOBAL
+    pattern_lens = pattern_lens.astype(jnp.int32)
+
+    dirs, final_row, best_local, sink_local = _banded_forward_dirs(
+        patterns, pattern_lens, texts, text_lens, aligner, band, mismatch_scores
+    )
+    dirs_flat = dirs.reshape(B, M * W)
+
+    if local:
+        score = best_local
+        i0 = sink_local[:, 0]
+        k0 = sink_local[:, 1]
+    elif glob:
+        score = final_row[:, W - 1]
+        i0 = pattern_lens
+        k0 = jnp.full((B,), W - 1, jnp.int32)
+    else:
+        score = jnp.max(final_row, axis=1)
+        i0 = pattern_lens
+        k0 = jnp.argmax(final_row, axis=1).astype(jnp.int32)
+
+    MAXS = M + W
+    ST_H, ST_E, ST_F = 0, 1, 2
+
+    def walk(carry, _):
+        i, k, st, done = carry
+        cell = jnp.take_along_axis(
+            dirs_flat, (jnp.clip(i - 1, 0, M - 1) * W + k)[:, None], axis=1
+        )[:, 0].astype(jnp.int32)
+        hdir = cell & 3
+        e_ext = (cell >> 2) & 1
+        f_ext = (cell >> 3) & 1
+
+        at_global_edge = glob & (i == 0) & (k > 0)
+        stop_now = jnp.where(
+            done,
+            True,
+            jnp.where(
+                at_global_edge,
+                False,
+                # the local zero-stop only applies in the H state: a gap
+                # chain (st==E/F) may pass through a cell whose own H was
+                # clamped to zero
+                (i == 0) | (local & (hdir == 3) & (st == ST_H)),
+            ),
+        )
+
+        # effective move selector
+        sel = jnp.where(
+            at_global_edge,
+            2,  # leading text gap => D
+            jnp.where(
+                st == ST_E, 1, jnp.where(st == ST_F, 2, hdir)
+            ),
+        )
+        op = jnp.where(
+            stop_now,
+            OP_NONE,
+            jnp.where(sel == 0, OP_M, jnp.where(sel == 1, OP_I, OP_D)),
+        )
+
+        di = jnp.where(sel == 0, -1, jnp.where(sel == 1, -1, 0))
+        dk = jnp.where(sel == 0, 0, jnp.where(sel == 1, 1, -1))
+        new_st = jnp.where(
+            sel == 0,
+            ST_H,
+            jnp.where(
+                sel == 1,
+                jnp.where(e_ext == 1, ST_E, ST_H),
+                jnp.where(f_ext == 1, ST_F, ST_H),
+            ),
+        )
+        new_st = jnp.where(at_global_edge, ST_H, new_st)
+
+        i = jnp.where(stop_now, i, i + di)
+        k = jnp.where(stop_now, k, k + dk)
+        st = jnp.where(stop_now, st, new_st)
+        done = done | stop_now
+        return (i, k, st, done), op
+
+    st0 = jnp.zeros((B,), jnp.int32)
+    done0 = jnp.zeros((B,), bool)
+    (iF, kF, _, _), ops_rev = jax.lax.scan(
+        walk, (i0, k0, st0, done0), None, length=MAXS
+    )
+    ops_rev = jnp.transpose(ops_rev, (1, 0))  # (B, MAXS), end -> start order
+
+    n_ops = jnp.sum(ops_rev != OP_NONE, axis=1).astype(jnp.int32)
+    # reverse into forward order, left-aligned: index math over fixed shape
+    idx = n_ops[:, None] - 1 - jnp.arange(MAXS, dtype=jnp.int32)[None, :]
+    ops_fwd = jnp.where(
+        idx >= 0,
+        jnp.take_along_axis(ops_rev, jnp.clip(idx, 0, MAXS - 1), axis=1),
+        OP_NONE,
+    )
+    return TracebackResult(
+        score=score,
+        ops=ops_fwd,
+        n_ops=n_ops,
+        pattern_start=iF,
+        pattern_end=i0,
+        text_start=iF + kF,
+        text_end=i0 + k0,
+    )
+
+
+def cigar_to_string(ops: np.ndarray, n_ops: int) -> str:
+    """Run-length encode a forward op array into a CIGAR string (host-side)."""
+    ops = np.asarray(ops)[:int(n_ops)]
+    if len(ops) == 0:
+        return "*"
+    out = []
+    run_op = ops[0]
+    run = 1
+    for o in ops[1:]:
+        if o == run_op:
+            run += 1
+        else:
+            out.append(f"{run}{_OP_CHARS[run_op].decode()}")
+            run_op, run = o, 1
+    out.append(f"{run}{_OP_CHARS[run_op].decode()}")
+    return "".join(out)
+
+
+def ops_to_chars(ops: np.ndarray, n_ops: int) -> str:
+    """Expand a forward op array to an 'MID' character string."""
+    return "".join("?MID"[o] for o in np.asarray(ops)[:int(n_ops)])
