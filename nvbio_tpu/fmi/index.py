@@ -1,0 +1,142 @@
+"""FM-index container, construction, and artifacts.
+
+Equivalent surface to the reference's ``fm_index`` (``fmindex.h:341-633``) +
+``FMIndexData`` I/O containers (``io/fmindex/fmindex.h:80-327``): the packed
+BWT with occurrence checkpoints, the C (L2) counts, the primary row (the
+BWA-style removed-sentinel trick), and a mark-bitvector sampled suffix array
+(<= K LF-steps per locate, the reference's SSA_value_multiple scheme,
+``ssa.h``).
+
+SA-row conventions: rows index the suffixes of T$ (n+1 rows, row 0 = "$"),
+``primary`` is the row whose suffix is the whole text (SA[primary] = 0); the
+stored BWT has the sentinel removed (length n).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+from nvbio_tpu import packed
+from nvbio_tpu.fmi import rank as rank_mod
+
+
+@dataclasses.dataclass
+class FMIndex:
+    """Device-ready FM-index (arrays may be numpy or jax)."""
+
+    bwt_words: Any        # uint32[ceil(n/16)] — 2-bit packed BWT ($ removed)
+    occ: Any              # int32[n_blocks+1, 4] — checkpoints every 64 syms
+    count: Any            # int32[5] — C[c] = 1 + #symbols < c (the +1 is $)
+    primary: int          # row of the sentinel in the (virtual) full BWT
+    n: int                # text length
+    # sampled suffix array (mark-bitvector scheme):
+    sa_interval: int      # K: SA[i] stored where SA[i] % K == 0
+    ssa_marks: Any        # uint32[ceil((n+1)/32)] bit i => row i is sampled
+    ssa_cum: Any          # int32[n_words] exclusive popcount prefix of marks
+    ssa_vals: Any         # int32[n_samples] sampled SA values, in row order
+
+    def device(self) -> "FMIndex":
+        import jax.numpy as jnp
+
+        return FMIndex(
+            jnp.asarray(self.bwt_words),
+            jnp.asarray(self.occ),
+            jnp.asarray(self.count),
+            int(self.primary),
+            int(self.n),
+            int(self.sa_interval),
+            jnp.asarray(self.ssa_marks),
+            jnp.asarray(self.ssa_cum),
+            jnp.asarray(self.ssa_vals),
+        )
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            bwt_words=np.asarray(self.bwt_words),
+            occ=np.asarray(self.occ),
+            count=np.asarray(self.count),
+            primary=self.primary,
+            n=self.n,
+            sa_interval=self.sa_interval,
+            ssa_marks=np.asarray(self.ssa_marks),
+            ssa_cum=np.asarray(self.ssa_cum),
+            ssa_vals=np.asarray(self.ssa_vals),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "FMIndex":
+        z = np.load(path)
+        return cls(
+            z["bwt_words"], z["occ"], z["count"], int(z["primary"]), int(z["n"]),
+            int(z["sa_interval"]), z["ssa_marks"], z["ssa_cum"], z["ssa_vals"],
+        )
+
+
+def bwt_from_sa(text_codes: np.ndarray, sa: np.ndarray):
+    """(bwt_codes with $ removed, primary row) from the SA of T$.
+
+    ``sa`` has n+1 entries over rows of T$ (sa[0] == n, the "$" row).
+    BWT[r] = T[sa[r] - 1]; the row with sa[r] == 0 is the sentinel (primary).
+    """
+    n = len(text_codes)
+    assert len(sa) == n + 1
+    primary = int(np.nonzero(sa == 0)[0][0])
+    prev = sa - 1
+    bwt_full = text_codes[np.clip(prev, 0, n - 1)]
+    bwt = np.delete(bwt_full, primary)
+    return bwt.astype(np.uint8), primary
+
+
+def build_fmindex(
+    text_codes: np.ndarray, sa: np.ndarray | None = None, sa_interval: int = 16
+) -> FMIndex:
+    """Build a complete FM-index from 2-bit text codes (host-side).
+
+    If ``sa`` is None it is built with nvbio_tpu.index.sa.suffix_array.
+    """
+    from nvbio_tpu.index.sa import suffix_array
+
+    text_codes = np.asarray(text_codes, dtype=np.uint8)
+    n = len(text_codes)
+    if sa is None:
+        sa = suffix_array(text_codes)
+    bwt, primary = bwt_from_sa(text_codes, sa)
+    bwt_words = packed.pack(bwt, 2)
+    occ = rank_mod.build_occ_table(bwt_words, n)
+
+    counts = np.bincount(text_codes, minlength=4)[:4]
+    count = np.zeros(5, dtype=np.int64)
+    count[1:] = np.cumsum(counts)
+    count += 1  # the $ row
+    count[0] = 1
+    if count.max() >= 2**31:
+        raise ValueError("text too long for int32 FM-index")
+
+    # sampled SA: mark rows whose SA value % K == 0
+    K = sa_interval
+    marked = (sa % K) == 0
+    rows = np.nonzero(marked)[0]
+    n_rows = n + 1
+    n_words = (n_rows + 31) // 32
+    marks = np.zeros(n_words, dtype=np.uint32)
+    np.bitwise_or.at(marks, rows // 32, (np.uint32(1) << (rows % 32).astype(np.uint32)))
+    popc = np.array([bin(w).count("1") for w in marks.tolist()], dtype=np.int64)
+    cum = np.zeros(n_words, dtype=np.int64)
+    np.cumsum(popc[:-1], out=cum[1:])
+    vals = sa[rows]
+
+    return FMIndex(
+        bwt_words=bwt_words,
+        occ=occ,
+        count=count.astype(np.int32),
+        primary=primary,
+        n=n,
+        sa_interval=K,
+        ssa_marks=marks,
+        ssa_cum=cum.astype(np.int32),
+        ssa_vals=vals.astype(np.int32),
+    )

@@ -1,0 +1,166 @@
+"""FM-index golden tests (host-built tables vs device queries, mirroring
+``nvbio-test/fmindex_test.cu``)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from nvbio_tpu import packed
+from nvbio_tpu.fmi.index import FMIndex, build_fmindex, bwt_from_sa
+from nvbio_tpu.fmi.rank import build_occ_table, rank, rank_all
+from nvbio_tpu.fmi.search import (
+    backward_search,
+    locate_batch,
+    search_1mm,
+    extend_backward_all,
+)
+from nvbio_tpu.index.sa import suffix_array
+
+
+def brute_sa(codes):
+    n = len(codes)
+    s = list(codes) + [-1]
+    return np.array(
+        sorted(range(n + 1), key=lambda i: s[i:]), dtype=np.int64
+    )
+
+
+def test_suffix_array_small(rng):
+    for n in [1, 2, 5, 13, 100, 257]:
+        codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+        sa = suffix_array(codes)
+        np.testing.assert_array_equal(sa, brute_sa(codes))
+
+
+def test_rank_vs_numpy(rng):
+    n = 1000
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    words = jnp.asarray(packed.pack(codes, 2))
+    occ = jnp.asarray(build_occ_table(packed.pack(codes, 2), n))
+    idx = rng.integers(0, n + 1, size=200)
+    cs = rng.integers(0, 4, size=200)
+    got = np.asarray(rank(words, occ, jnp.asarray(cs), jnp.asarray(idx)))
+    want = np.array([(codes[:i] == c).sum() for c, i in zip(cs, idx)])
+    np.testing.assert_array_equal(got, want)
+    # rank_all
+    got4 = np.asarray(rank_all(words, occ, jnp.asarray(idx)))
+    want4 = np.stack([[(codes[:i] == c).sum() for c in range(4)] for i in idx])
+    np.testing.assert_array_equal(got4, want4)
+
+
+def _naive_occurrences(text, q):
+    q = "".join(map(str, q))
+    t = "".join(map(str, text))
+    out = []
+    start = 0
+    while True:
+        p = t.find(q, start)
+        if p < 0:
+            break
+        out.append(p)
+        start = p + 1
+    return sorted(out)
+
+
+def test_backward_search_and_locate(rng):
+    n = 4096
+    text = rng.integers(0, 4, size=n, dtype=np.uint8)
+    fmi = build_fmindex(text).device()
+
+    B, L = 32, 12
+    # half genuine substrings, half random
+    queries = np.zeros((B, L), dtype=np.int32)
+    qlens = rng.integers(6, L + 1, size=B).astype(np.int32)
+    for b in range(B):
+        if b % 2 == 0:
+            p = rng.integers(0, n - L)
+            queries[b, :qlens[b]] = text[p:p + qlens[b]]
+        else:
+            queries[b, :qlens[b]] = rng.integers(0, 4, size=qlens[b])
+
+    lo, hi = backward_search(fmi, jnp.asarray(queries), jnp.asarray(qlens))
+    lo, hi = np.asarray(lo), np.asarray(hi)
+
+    sa = suffix_array(text)
+    for b in range(B):
+        q = queries[b, :qlens[b]]
+        want = _naive_occurrences(text, q)
+        cnt = max(0, hi[b] - lo[b])
+        assert cnt == len(want), f"b={b}: count {cnt} != {len(want)}"
+        if cnt:
+            got_pos = sorted(sa[lo[b]:hi[b]].tolist())
+            assert got_pos == want
+
+    # locate via sampled SA must reproduce SA values
+    rows_with_hits = np.concatenate(
+        [np.arange(lo[b], hi[b]) for b in range(B) if hi[b] > lo[b]]
+    )[:64]
+    pos, done = locate_batch(fmi, jnp.asarray(rows_with_hits, dtype=np.int32))
+    assert np.asarray(done).all()
+    np.testing.assert_array_equal(np.asarray(pos), sa[rows_with_hits])
+
+
+def test_search_1mm(rng):
+    n = 2048
+    text = rng.integers(0, 4, size=n, dtype=np.uint8)
+    fmi = build_fmindex(text).device()
+    B, L = 8, 10
+    queries = np.zeros((B, L), dtype=np.int32)
+    qlens = np.full(B, L, dtype=np.int32)
+    for b in range(B):
+        p = rng.integers(0, n - L)
+        queries[b] = text[p:p + L]
+        # force one mismatch for odd b
+        if b % 2:
+            queries[b, rng.integers(0, L)] ^= 1
+
+    ex_lo, ex_hi, mm_lo, mm_hi, _ = search_1mm(
+        fmi, jnp.asarray(queries), jnp.asarray(qlens)
+    )
+    ex_cnt = np.maximum(0, np.asarray(ex_hi) - np.asarray(ex_lo))
+    mm_cnt = np.maximum(0, np.asarray(mm_hi) - np.asarray(mm_lo)).sum(axis=(1, 2))
+
+    # golden: count occurrences at distance 0 and exactly 1
+    tstr = text
+    for b in range(B):
+        q = queries[b]
+        d0 = d1 = 0
+        for p in range(n - L + 1):
+            d = int((tstr[p:p + L] != q).sum())
+            if d == 0:
+                d0 += 1
+            elif d == 1:
+                d1 += 1
+        assert ex_cnt[b] == d0
+        assert mm_cnt[b] == d1
+
+
+def test_extend_backward_all(rng):
+    n = 1024
+    text = rng.integers(0, 4, size=n, dtype=np.uint8)
+    fmi = build_fmindex(text).device()
+    # whole-range split by first symbol == count table deltas
+    lo = jnp.asarray([0], jnp.int32)
+    hi = jnp.asarray([n + 1], jnp.int32)
+    lo4, hi4 = extend_backward_all(fmi, lo, hi)
+    cnts = np.asarray(hi4 - lo4)[0]
+    want = np.bincount(text, minlength=4)
+    np.testing.assert_array_equal(cnts, want)
+
+
+def test_fmindex_save_load(tmp_path, rng):
+    text = rng.integers(0, 4, size=512, dtype=np.uint8)
+    fmi = build_fmindex(text)
+    p = str(tmp_path / "idx.npz")
+    fmi.save(p)
+    fmi2 = FMIndex.load(p)
+    np.testing.assert_array_equal(fmi.bwt_words, fmi2.bwt_words)
+    assert fmi.primary == fmi2.primary and fmi.n == fmi2.n
+
+
+def test_bwt_from_sa_roundtrip(rng):
+    """LF-walk over the BWT reconstructs the text reversed."""
+    text = rng.integers(0, 4, size=200, dtype=np.uint8)
+    fmi = build_fmindex(text).device()
+    # locate row of the full-text suffix: primary has SA == 0
+    pos, done = locate_batch(fmi, jnp.asarray([fmi.primary], jnp.int32))
+    assert np.asarray(pos)[0] == 0
