@@ -1,0 +1,47 @@
+"""Pipeline parameters (the analogue of nvBowtie's Params,
+``nvBowtie/bowtie2/cuda/params.h:93-164``) — hashable, jit-static."""
+
+from __future__ import annotations
+
+import dataclasses
+
+from nvbio_tpu.align.types import GotohScoring
+
+
+@dataclasses.dataclass(frozen=True)
+class MapParams:
+    max_read_len: int = 128       # reads padded/bucketed to this (ref caps at 512)
+    seed_len: int = 22            # bowtie2 default seed length
+    seed_stride: int = 15         # seed every `stride` bases (ref: interval fn)
+    hits_per_seed: int = 8        # SA rows located per seed (select width)
+    max_dist: int = 8             # band radius for extension
+    # Bowtie2 end-to-end defaults: match 0, mismatch -2..-6 by quality,
+    # gap open 5 + first extend 3 => -8, extend -3.
+    scoring: GotohScoring = GotohScoring(
+        match=0, mismatch=-6,
+        pattern_gap_open=-8, pattern_gap_ext=-3,
+        text_gap_open=-8, text_gap_ext=-3,
+    )
+    # min-score threshold, bowtie2 end-to-end default: -0.6 + -0.6 * L
+    score_min_const: float = -0.6
+    score_min_coeff: float = -0.6
+    # quality-dependent mismatch penalties (bowtie2 MX=6, MN=2)
+    mm_penalty_min: int = 2
+    mm_penalty_max: int = 6
+    use_quality_penalties: bool = True
+
+    @property
+    def band(self) -> int:
+        return 2 * self.max_dist + 1
+
+    @property
+    def seeds_per_strand(self) -> int:
+        return max(1, (self.max_read_len - self.seed_len) // self.seed_stride + 1)
+
+    @property
+    def num_seeds(self) -> int:
+        return 2 * self.seeds_per_strand  # both strands
+
+    @property
+    def num_candidates(self) -> int:
+        return self.num_seeds * self.hits_per_seed

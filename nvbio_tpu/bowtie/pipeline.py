@@ -1,0 +1,280 @@
+"""Single-end read mapping pipeline: seed -> search -> locate -> extend ->
+reduce -> traceback -> SAM.
+
+Dense re-composition of nvBowtie's best-approx state machine
+(``aligner_best_approx.h:85-840``):
+
+  reference (CUDA)                         this pipeline (TPU)
+  ------------------------------------     ---------------------------------
+  SeedHitDequeArray priority deques        dense (B, S) SA ranges
+  select (SumTree-sampled hits)            first-H rows per range (masked)
+  locate (sorted SSA lookups)              batched bounded LF-walk
+  score_best banded Gotoh kernels          batch_score_banded (lazy-F scan)
+  reduce best-2 w/ bail-out                masked argmax + distinct-locus 2nd
+  banded_traceback_best                    direction-replay banded traceback
+  BowtieMapq2                              mapq_v2_end_to_end
+
+Every stage is fixed-shape; "queues" are validity masks. One jit compiles the
+whole per-batch step; multi-chip scaling shards the batch dimension
+(see nvbio_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nvbio_tpu import packed
+from nvbio_tpu.align.batch import batch_score_banded
+from nvbio_tpu.align.traceback import batch_traceback_banded, cigar_to_string
+from nvbio_tpu.align.types import NEG_INF, SEMI_GLOBAL, GotohAligner
+from nvbio_tpu.bowtie.mapq import mapq_v2_end_to_end
+from nvbio_tpu.bowtie.params import MapParams
+from nvbio_tpu.fmi.search import backward_search_core, locate_core
+from nvbio_tpu.io.sam import (
+    FLAG_REVERSE,
+    FLAG_UNMAPPED,
+    SamRecord,
+    quals_to_string,
+)
+from nvbio_tpu.alphabet import Alphabet, codes_to_string
+
+
+def _mm_penalties(quals, params: MapParams):
+    """Bowtie2 quality-dependent mismatch penalty (negative scores)."""
+    if not params.use_quality_penalties:
+        return None
+    q = jnp.minimum(quals.astype(jnp.int32), 40)
+    span = params.mm_penalty_max - params.mm_penalty_min
+    pen = params.mm_penalty_min + (2 * span * q + 40) // 80  # round-half-up /40
+    return -pen.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def align_batch_core(fmi, genome_words, n_genome, reads, lens, quals, params: MapParams):
+    """Map one dense batch of reads. Returns a dict of per-read results."""
+    P = params
+    B, L = reads.shape
+    S1 = P.seeds_per_strand
+    H = P.hits_per_seed
+    W = P.band
+    TW = L + W - 1
+    reads = reads.astype(jnp.int32)
+    lens = lens.astype(jnp.int32)
+    neg = jnp.int32(NEG_INF)
+
+    # ---- strands ----------------------------------------------------------
+    rev_idx = jnp.clip(lens[:, None] - 1 - jnp.arange(L, dtype=jnp.int32), 0, L - 1)
+    rc = 3 - jnp.take_along_axis(reads, rev_idx, axis=1)
+    mm = _mm_penalties(quals, P)
+    if mm is not None:
+        mm_rc = jnp.take_along_axis(mm, rev_idx, axis=1)
+    else:
+        mm_rc = None
+
+    # ---- seeding ----------------------------------------------------------
+    starts = (jnp.arange(S1, dtype=jnp.int32) * P.seed_stride)  # (S1,)
+    seed_gather = starts[:, None] + jnp.arange(P.seed_len, dtype=jnp.int32)[None, :]
+    fwd_seeds = reads[:, seed_gather]          # (B, S1, s)
+    rc_seeds = rc[:, seed_gather]
+    seeds = jnp.concatenate([fwd_seeds, rc_seeds], axis=1)  # (B, 2*S1, s)
+    seeds_flat = seeds.reshape(B * 2 * S1, P.seed_len)
+    seed_valid = (starts[None, :] + P.seed_len) <= lens[:, None]  # (B, S1)
+    seed_valid2 = jnp.concatenate([seed_valid, seed_valid], axis=1)  # (B, 2*S1)
+
+    slens = jnp.full((B * 2 * S1,), P.seed_len, jnp.int32)
+    lo, hi = backward_search_core(fmi, seeds_flat, slens)
+    lo = lo.reshape(B, 2 * S1)
+    hi = hi.reshape(B, 2 * S1)
+    range_size = jnp.maximum(hi - lo, 0)
+
+    # ---- select + locate ---------------------------------------------------
+    # the reference randomizes selection over a SumTree CDF; we take the
+    # first H rows per range (deterministic), masked by range size
+    k = jnp.arange(H, dtype=jnp.int32)
+    rows = lo[:, :, None] + k[None, None, :]                       # (B, 2S1, H)
+    hit_valid = (
+        (k[None, None, :] < range_size[:, :, None]) & seed_valid2[:, :, None]
+    )
+    rows_flat = jnp.clip(rows, 0, fmi.n).reshape(B * 2 * S1 * H)
+    pos, _ = locate_core(fmi, rows_flat)
+    pos = pos.reshape(B, 2 * S1, H)
+
+    # candidate genome window start: seed offset within the (strand) read,
+    # slack of max_dist on each side
+    seed_off = jnp.concatenate([starts, starts])                    # (2*S1,)
+    w0 = pos - seed_off[None, :, None] - P.max_dist
+    w0 = jnp.clip(w0, 0, jnp.maximum(n_genome - 1, 0))
+
+    C = 2 * S1 * H
+    w0 = w0.reshape(B, C)
+    cand_valid = hit_valid.reshape(B, C)
+    cand_strand = jnp.arange(C, dtype=jnp.int32)[None, :] >= (S1 * H)  # False=fwd
+
+    # ---- extension scoring -------------------------------------------------
+    win = packed.extract_window(genome_words, w0.reshape(B * C), TW, 2, xp=jnp)
+    wlens = jnp.clip(n_genome - w0.reshape(B * C), 0, TW).astype(jnp.int32)
+
+    pat_sel = jnp.where(cand_strand[:, :, None], rc[:, None, :], reads[:, None, :])
+    pats = pat_sel.reshape(B * C, L)
+    plens = jnp.broadcast_to(lens[:, None], (B, C)).reshape(B * C)
+    if mm is not None:
+        mm_sel = jnp.where(cand_strand[:, :, None], mm_rc[:, None, :], mm[:, None, :])
+        mm_flat = mm_sel.reshape(B * C, L)
+    else:
+        mm_flat = None
+
+    aligner = GotohAligner(SEMI_GLOBAL, P.scoring)
+    sunk = batch_score_banded(pats, plens, win, wlens, aligner, W, mm_flat)
+    scores = jnp.where(cand_valid.reshape(B * C), sunk.score, neg).reshape(B, C)
+
+    # ---- reduce: best + distinct-locus second best -------------------------
+    best_idx = jnp.argmax(scores, axis=1).astype(jnp.int32)
+    best_score = jnp.take_along_axis(scores, best_idx[:, None], axis=1)[:, 0]
+    best_pos = jnp.take_along_axis(w0, best_idx[:, None], axis=1)[:, 0]
+    best_strand = jnp.take_along_axis(cand_strand, best_idx[:, None], axis=1)[:, 0]
+
+    same_locus = (jnp.abs(w0 - best_pos[:, None]) <= 2 * P.max_dist) & (
+        cand_strand == best_strand[:, None]
+    )
+    second_masked = jnp.where(same_locus, neg, scores)
+    second_score = jnp.max(second_masked, axis=1)
+
+    # ---- traceback of winners ----------------------------------------------
+    win_b = win.reshape(B, C, TW)
+    wl_b = wlens.reshape(B, C)
+    btext = jnp.take_along_axis(win_b, best_idx[:, None, None], axis=1)[:, 0]
+    btlen = jnp.take_along_axis(wl_b, best_idx[:, None], axis=1)[:, 0]
+    bpat = jnp.where(best_strand[:, None], rc, reads)
+    bmm = None
+    if mm is not None:
+        bmm = jnp.where(best_strand[:, None], mm_rc, mm)
+    tb = batch_traceback_banded(bpat, lens, btext, btlen, aligner, W, bmm)
+
+    # ---- mapq + thresholds --------------------------------------------------
+    score_min = jnp.ceil(
+        P.score_min_const + P.score_min_coeff * lens.astype(jnp.float32)
+    ).astype(jnp.int32)
+    mapped = (best_score >= score_min) & (lens >= P.seed_len)
+    has_second = second_score >= score_min
+    mapq = mapq_v2_end_to_end(best_score, second_score, has_second, score_min)
+    mapq = jnp.where(mapped, mapq, 0)
+
+    # NM: mismatches within M ops + gap lengths (computed from the traceback)
+    ops = tb.ops  # (B, MAXS) forward order
+    # text/pattern cursors per op via cumulative consumption
+    is_m = ops == 1
+    is_i = ops == 2
+    is_d = ops == 3
+    pat_cursor = jnp.cumsum((is_m | is_i).astype(jnp.int32), axis=1) - 1 + tb.pattern_start[:, None]
+    txt_cursor = jnp.cumsum((is_m | is_d).astype(jnp.int32), axis=1) - 1 + tb.text_start[:, None]
+    pat_sym = jnp.take_along_axis(bpat, jnp.clip(pat_cursor, 0, L - 1), axis=1)
+    txt_sym = jnp.take_along_axis(btext, jnp.clip(txt_cursor, 0, TW - 1), axis=1)
+    mism = is_m & (pat_sym != txt_sym)
+    nm = jnp.sum((mism | is_i | is_d).astype(jnp.int32), axis=1)
+
+    return dict(
+        mapped=mapped,
+        best_score=best_score,
+        second_score=second_score,
+        has_second=has_second,
+        mapq=mapq,
+        strand=best_strand,
+        window_start=best_pos,
+        text_start=tb.text_start,
+        ops=tb.ops,
+        n_ops=tb.n_ops,
+        nm=nm,
+        rc_reads=rc,
+    )
+
+
+@dataclasses.dataclass
+class ReadMapper:
+    """Host-side driver owning the index + reference metadata."""
+
+    fmi: object            # FMIndex (device)
+    genome_words: object   # jnp uint32 packed genome
+    n_genome: int
+    ref_names: list
+    ref_offsets: np.ndarray
+    params: MapParams
+
+    @classmethod
+    def build(cls, reference, params: MapParams = MapParams(), fmi=None):
+        """From an io.Reference (host): builds the FM-index if not given."""
+        from nvbio_tpu.fmi.index import build_fmindex
+
+        if fmi is None:
+            fmi = build_fmindex(reference.codes)
+        return cls(
+            fmi=fmi.device(),
+            genome_words=jnp.asarray(reference.packed_words()),
+            n_genome=reference.total_length,
+            ref_names=reference.names,
+            ref_offsets=reference.offsets,
+            params=params,
+        )
+
+    def map_batch(self, batch) -> list[SamRecord]:
+        """Map a ReadBatch -> SAM records (host-side formatting)."""
+        res = align_batch_core(
+            self.fmi,
+            self.genome_words,
+            jnp.int32(self.n_genome),
+            jnp.asarray(batch.codes),
+            jnp.asarray(batch.lengths),
+            jnp.asarray(batch.quals),
+            self.params,
+        )
+        res = {k: np.asarray(v) for k, v in res.items()}
+        out = []
+        offsets = self.ref_offsets
+        for b, name in enumerate(batch.names):
+            if batch.lengths[b] == 0:
+                continue  # batch padding
+            L = int(batch.lengths[b])
+            fwd_seq = codes_to_string(batch.codes[b, :L], Alphabet.DNA)
+            if not res["mapped"][b]:
+                out.append(
+                    SamRecord(
+                        qname=name, flag=FLAG_UNMAPPED, rname="*", pos=0,
+                        mapq=0, cigar="*", seq=fwd_seq,
+                        qual=quals_to_string(batch.quals[b], L),
+                    )
+                )
+                continue
+            gpos = int(res["window_start"][b]) + int(res["text_start"][b])
+            ci = int(np.searchsorted(offsets, gpos, side="right") - 1)
+            local = gpos - int(offsets[ci])
+            strand = bool(res["strand"][b])
+            if strand:
+                seq = codes_to_string(res["rc_reads"][b, :L], Alphabet.DNA)
+                qual = quals_to_string(batch.quals[b, :L][::-1], L)
+            else:
+                seq = fwd_seq
+                qual = quals_to_string(batch.quals[b], L)
+            tags = {
+                "AS": int(res["best_score"][b]),
+                "NM": int(res["nm"][b]),
+            }
+            if res["has_second"][b]:
+                tags["XS"] = int(res["second_score"][b])
+            out.append(
+                SamRecord(
+                    qname=name,
+                    flag=FLAG_REVERSE if strand else 0,
+                    rname=self.ref_names[ci],
+                    pos=local + 1,
+                    mapq=int(res["mapq"][b]),
+                    cigar=cigar_to_string(res["ops"][b], res["n_ops"][b]),
+                    seq=seq,
+                    qual=qual,
+                    tags=tags,
+                )
+            )
+        return out

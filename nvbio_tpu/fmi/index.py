@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any
 
+import jax
 import numpy as np
 
 from nvbio_tpu import packed
@@ -74,6 +75,22 @@ class FMIndex:
             z["bwt_words"], z["occ"], z["count"], int(z["primary"]), int(z["n"]),
             int(z["sa_interval"]), z["ssa_marks"], z["ssa_cum"], z["ssa_vals"],
         )
+
+
+# Register as a pytree so whole-index objects flow through jit/scan/shard_map:
+# arrays (+ primary, which may be traced) are leaves; n and sa_interval are
+# static structure (sa_interval bounds the locate loop).
+jax.tree_util.register_pytree_node(
+    FMIndex,
+    lambda f: (
+        (f.bwt_words, f.occ, f.count, f.primary, f.ssa_marks, f.ssa_cum, f.ssa_vals),
+        (f.n, f.sa_interval),
+    ),
+    lambda aux, ch: FMIndex(
+        bwt_words=ch[0], occ=ch[1], count=ch[2], primary=ch[3], n=aux[0],
+        sa_interval=aux[1], ssa_marks=ch[4], ssa_cum=ch[5], ssa_vals=ch[6],
+    ),
+)
 
 
 def bwt_from_sa(text_codes: np.ndarray, sa: np.ndarray):

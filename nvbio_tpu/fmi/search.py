@@ -10,11 +10,13 @@ Replaces the reference's per-thread match/locate device functions
   * 1-mismatch search: instead of a DFS stack (divergent on GPU, hostile to
     XLA), enumerate the mismatch position x substituted symbol grid as extra
     dense batch dimensions — bounded, regular work that maps onto the VPU.
+
+``*_core`` functions are pure (no jit) and take an FMIndex pytree — callers
+(e.g. the bowtie pipeline) compose them inside their own jit; the public
+wrappers jit them directly.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -35,19 +37,13 @@ def step_backward(fmi, c, lo, hi):
     return cnt + _occ(fmi, c, lo), cnt + _occ(fmi, c, hi)
 
 
-@functools.partial(jax.jit, static_argnames=("fmi_static",))
-def _backward_search_impl(bwt_words, occ, count, primary, queries, qlens, fmi_static):
-    n_rows, L = fmi_static
-    B = queries.shape[0]
-
-    class _F:  # lightweight view for _occ/step
-        pass
-
-    fmi = _F()
-    fmi.bwt_words, fmi.occ, fmi.count, fmi.primary = bwt_words, occ, count, primary
-
+def backward_search_core(fmi, queries, qlens):
+    """Exact match: SA interval [lo, hi) per query ((B, L) left-aligned)."""
+    queries = jnp.asarray(queries, jnp.int32)
+    qlens = jnp.asarray(qlens, jnp.int32)
+    B, L = queries.shape
     lo0 = jnp.zeros((B,), jnp.int32)
-    hi0 = jnp.full((B,), n_rows, jnp.int32)
+    hi0 = jnp.full((B,), fmi.n + 1, jnp.int32)
 
     def step(carry, s):
         lo, hi = carry
@@ -63,26 +59,16 @@ def _backward_search_impl(bwt_words, occ, count, primary, queries, qlens, fmi_st
     return lo, hi
 
 
-def backward_search(fmi, queries: jnp.ndarray, qlens: jnp.ndarray):
-    """Exact match of each query: SA interval [lo, hi) (empty if lo >= hi).
-
-    queries: (B, L) int32 codes (left-aligned); qlens: (B,).
-    """
-    queries = jnp.asarray(queries, jnp.int32)
-    qlens = jnp.asarray(qlens, jnp.int32)
-    return _backward_search_impl(
-        fmi.bwt_words, fmi.occ, fmi.count, jnp.int32(fmi.primary),
-        queries, qlens, (fmi.n + 1, queries.shape[1]),
-    )
+def backward_search(fmi, queries, qlens):
+    return jax.jit(backward_search_core)(fmi, queries, qlens)
 
 
-@functools.partial(jax.jit, static_argnames=("sa_interval", "primary"))
-def _locate_impl(bwt_words, occ, count, marks, cum, vals, rows, sa_interval, primary):
-    class _F:
-        pass
-
-    fmi = _F()
-    fmi.bwt_words, fmi.occ, fmi.count, fmi.primary = bwt_words, occ, count, jnp.int32(primary)
+def locate_core(fmi, rows):
+    """SA values for SA rows via bounded LF-walk; (positions, resolved)."""
+    rows = jnp.asarray(rows, jnp.int32)
+    marks, cum, vals = fmi.ssa_marks, fmi.ssa_cum, fmi.ssa_vals
+    primary = jnp.asarray(fmi.primary, jnp.int32)
+    n_syms = fmi.bwt_words.shape[0] * 16
 
     def is_marked(i):
         w = jnp.take(marks, i // 32)
@@ -91,7 +77,9 @@ def _locate_impl(bwt_words, occ, count, marks, cum, vals, rows, sa_interval, pri
     def mark_rank(i):
         w = jnp.take(marks, i // 32)
         prefix = w & ((jnp.uint32(1) << (i % 32).astype(jnp.uint32)) - 1)
-        return jnp.take(cum, i // 32) + jax.lax.population_count(prefix).astype(jnp.int32)
+        return jnp.take(cum, i // 32) + jax.lax.population_count(prefix).astype(
+            jnp.int32
+        )
 
     def body(t, state):
         i, pos, done = state
@@ -99,46 +87,30 @@ def _locate_impl(bwt_words, occ, count, marks, cum, vals, rows, sa_interval, pri
         val = jnp.take(vals, mark_rank(i))
         pos = jnp.where(hit, val + t, pos)
         done = done | hit
-        # LF step for the not-yet-done rows (i != primary there: primary is
-        # always marked since SA[primary] == 0)
-        adj = i - (i > fmi.primary).astype(jnp.int32)
-        c = packed.gather_symbols(bwt_words, jnp.clip(adj, 0, fmi.bwt_words.shape[0] * 16 - 1), 2)
-        nlo = jnp.take(count, c) + rank(bwt_words, occ, c, adj)
-        i = jnp.where(done, i, nlo)
+        adj = i - (i > primary).astype(jnp.int32)
+        c = packed.gather_symbols(fmi.bwt_words, jnp.clip(adj, 0, n_syms - 1), 2)
+        nxt = jnp.take(fmi.count, c) + rank(fmi.bwt_words, fmi.occ, c, adj)
+        i = jnp.where(done, i, nxt)
         return i, pos, done
 
     B = rows.shape[0]
     pos0 = jnp.zeros((B,), jnp.int32)
     done0 = jnp.zeros((B,), bool)
-    _, pos, done = jax.lax.fori_loop(0, sa_interval, body, (rows, pos0, done0))
+    _, pos, done = jax.lax.fori_loop(0, fmi.sa_interval, body, (rows, pos0, done0))
     return pos, done
 
 
-def locate_batch(fmi, rows: jnp.ndarray):
-    """SA values for a batch of SA rows via bounded LF-walk.
-
-    Returns (positions (B,) int32, resolved (B,) bool — always True when rows
-    are valid)."""
-    rows = jnp.asarray(rows, jnp.int32)
-    return _locate_impl(
-        fmi.bwt_words, fmi.occ, fmi.count, fmi.ssa_marks, fmi.ssa_cum,
-        fmi.ssa_vals, rows, fmi.sa_interval, int(fmi.primary),
-    )
+def locate_batch(fmi, rows):
+    return jax.jit(locate_core)(fmi, rows)
 
 
 def search_1mm(fmi, queries: jnp.ndarray, qlens: jnp.ndarray):
     """Exact + all 1-mismatch SA ranges, dense enumeration.
 
-    The reference's ``hamming_backtrack`` (backtrack.h) walks a DFS with an
-    explicit stack; here the (position, substituted symbol) grid becomes
-    extra batch dimensions: (B, L, 3) interval results + the exact (B,) one.
     Returns (exact_lo, exact_hi, mm_lo (B,L,3), mm_hi (B,L,3), mm_sym (B,L,3)).
-
-    Note: cost is L+1 full backward searches; used for short seeds.
+    Cost is L+1 full backward searches; used for short seeds.
     """
     B, L = queries.shape
-    # build mutated query variants: for each position p and symbol delta
-    # d in {1,2,3}: q'[p] = (q[p] + d) % 4
     deltas = jnp.arange(1, 4, dtype=jnp.int32)
     base = queries[:, None, None, :]  # (B, 1, 1, L)
     pos_eye = jnp.eye(L, dtype=jnp.int32)  # (L, L)
@@ -147,13 +119,12 @@ def search_1mm(fmi, queries: jnp.ndarray, qlens: jnp.ndarray):
     ) % 4  # (B, L, 3, L)
     mm_sym = jnp.take_along_axis(
         mutated, jnp.arange(L, dtype=jnp.int32)[None, :, None, None], axis=3
-    )[..., 0]  # (B, L, 3): the substituted symbol at each position
+    )[..., 0]
 
     flat = mutated.reshape(B * L * 3, L)
     flat_lens = jnp.repeat(qlens, L * 3)
     lo, hi = backward_search(fmi, flat, flat_lens)
     exact_lo, exact_hi = backward_search(fmi, queries, qlens)
-    # positions beyond qlen are invalid mutants
     pvalid = (jnp.arange(L, dtype=jnp.int32)[None, :] < qlens[:, None])[..., None]
     mm_lo = jnp.where(pvalid, lo.reshape(B, L, 3), 0)
     mm_hi = jnp.where(pvalid, hi.reshape(B, L, 3), 0)

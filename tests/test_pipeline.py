@@ -1,0 +1,136 @@
+"""End-to-end mapper tests on a synthetic genome (the fmmap/qmap-equivalent
+milestone from SURVEY.md §7.6)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from nvbio_tpu.alphabet import Alphabet, codes_to_string, reverse_complement_codes
+from nvbio_tpu.bowtie import MapParams, ReadMapper
+from nvbio_tpu.io.fastq import ReadBatch
+from nvbio_tpu.io.reference import Reference
+from nvbio_tpu.io.sam import SamWriter, read_sam
+
+
+def make_genome(rng, n=20000):
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    seq = codes_to_string(codes, Alphabet.DNA)
+    return Reference.from_records([("chr_t", seq)]), codes
+
+
+def sample_reads(rng, codes, n_reads=64, L=80, mut_rate=0.02, indel=False):
+    n = len(codes)
+    reads, positions, strands = [], [], []
+    for i in range(n_reads):
+        p = int(rng.integers(0, n - L))
+        r = codes[p:p + L].copy()
+        nmut = rng.binomial(L, mut_rate)
+        if nmut:
+            pos = rng.integers(0, L, size=nmut)
+            r[pos] = (r[pos] + rng.integers(1, 4, size=nmut)) % 4
+        strand = bool(rng.integers(0, 2))
+        if strand:
+            r = reverse_complement_codes(r)
+        reads.append(r)
+        positions.append(p)
+        strands.append(strand)
+    B = n_reads
+    batch = ReadBatch(
+        names=[f"read{i}" for i in range(B)],
+        codes=np.stack(reads).astype(np.uint8),
+        quals=np.full((B, L), 30, np.uint8),
+        lengths=np.full(B, L, np.int32),
+    )
+    return batch, np.array(positions), np.array(strands)
+
+
+@pytest.fixture(scope="module")
+def mapper_and_genome():
+    rng = np.random.default_rng(7)
+    ref, codes = make_genome(rng)
+    params = MapParams(max_read_len=80, seed_len=20, seed_stride=12,
+                       hits_per_seed=4, max_dist=5)
+    mapper = ReadMapper.build(ref, params)
+    return mapper, ref, codes
+
+
+def test_exact_reads_map_perfectly(mapper_and_genome, rng):
+    mapper, ref, codes = mapper_and_genome
+    batch, positions, strands = sample_reads(rng, codes, mut_rate=0.0)
+    recs = mapper.map_batch(batch)
+    assert len(recs) == len(batch)
+    correct = 0
+    for rec, p, s in zip(recs, positions, strands):
+        assert not rec.flag & 0x4, f"{rec.qname} unmapped"
+        assert rec.tags["AS"] == 0  # perfect end-to-end score
+        assert rec.cigar == f"{len(rec.seq)}M"
+        assert rec.tags["NM"] == 0
+        if rec.pos - 1 == p and bool(rec.flag & 0x10) == bool(s):
+            correct += 1
+    assert correct >= 0.95 * len(recs)
+
+
+def test_mutated_reads_map(mapper_and_genome, rng):
+    mapper, ref, codes = mapper_and_genome
+    batch, positions, strands = sample_reads(rng, codes, mut_rate=0.03)
+    recs = mapper.map_batch(batch)
+    correct = sum(
+        1 for rec, p in zip(recs, positions)
+        if not rec.flag & 0x4 and abs(rec.pos - 1 - p) <= 5
+    )
+    assert correct >= 0.9 * len(recs)
+
+
+def test_indel_read(mapper_and_genome):
+    mapper, ref, codes = mapper_and_genome
+    L = 80
+    p = 5000
+    r = codes[p:p + L + 3].copy()
+    r = np.delete(r, [40, 41, 42])  # 3bp deletion in the read
+    batch = ReadBatch(
+        names=["del3"],
+        codes=r[None, :].astype(np.uint8),
+        quals=np.full((1, L), 30, np.uint8),
+        lengths=np.array([L], np.int32),
+    )
+    recs = mapper.map_batch(batch)
+    rec = recs[0]
+    assert not rec.flag & 0x4
+    assert rec.pos - 1 == p
+    assert "D" in rec.cigar and rec.cigar.count("D") == 1
+    # 40M3D40M
+    assert rec.cigar == "40M3D40M"
+
+
+def test_random_reads_unmapped(mapper_and_genome, rng):
+    mapper, ref, codes = mapper_and_genome
+    B, L = 16, 80
+    batch = ReadBatch(
+        names=[f"rnd{i}" for i in range(B)],
+        codes=rng.integers(0, 4, size=(B, L)).astype(np.uint8),
+        quals=np.full((B, L), 30, np.uint8),
+        lengths=np.full(B, L, np.int32),
+    )
+    recs = mapper.map_batch(batch)
+    unmapped = sum(1 for r in recs if r.flag & 0x4)
+    assert unmapped >= 0.9 * B
+
+
+def test_sam_output_wellformed(mapper_and_genome, rng, tmp_path):
+    mapper, ref, codes = mapper_and_genome
+    batch, _, _ = sample_reads(rng, codes, n_reads=8)
+    recs = mapper.map_batch(batch)
+    path = str(tmp_path / "out.sam")
+    with SamWriter(path, ref.names, [ref.total_length]) as w:
+        for r in recs:
+            w.write(r)
+    header, rows = read_sam(path)
+    assert any(h.startswith("@SQ") for h in header)
+    assert len(rows) == 8
+    for row in rows:
+        assert len(row) >= 11
+        flag = int(row[1])
+        if not flag & 0x4:
+            assert 1 <= int(row[3]) <= ref.total_length
+            assert row[5] != "*"
