@@ -1,0 +1,139 @@
+"""Benchmark: reads aligned/sec/chip through the full device pipeline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline anchor: the project north-star is >1M reads/s on a v5p-16 (16 chips)
+=> 62,500 reads/s/chip (BASELINE.md); vs_baseline = value / 62500.
+
+Also measures the banded Gotoh extension kernel in GCUPS (reference PSA
+SW-Gotoh best published: 157.73 GCUPS on TITAN BLACK, BASELINE.md) in
+"extras" for tracking.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nvbio_tpu import packed
+    from nvbio_tpu.align.batch import batch_score_banded
+    from nvbio_tpu.align.types import SEMI_GLOBAL, GotohAligner, GotohScoring
+    from nvbio_tpu.bowtie.params import MapParams
+    from nvbio_tpu.bowtie.pipeline import align_batch_core
+    from nvbio_tpu.fmi.index import build_fmindex
+
+    rng = np.random.default_rng(0xBEEF)
+    dev = jax.devices()[0]
+    platform = dev.platform
+
+    # ---- problem setup -----------------------------------------------------
+    GENOME = 4_000_000 if platform != "cpu" else 400_000
+    B = 4096 if platform != "cpu" else 512
+    L = 100
+    genome = rng.integers(0, 4, size=GENOME, dtype=np.uint8)
+
+    t0 = time.time()
+    fmi = build_fmindex(genome).device()
+    gwords = jnp.asarray(packed.pack(genome, 2))
+    build_s = time.time() - t0
+
+    params = MapParams(
+        max_read_len=L, seed_len=22, seed_stride=15, hits_per_seed=4, max_dist=8
+    )
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        starts = r.integers(0, GENOME - L, size=B)
+        reads = genome[starts[:, None] + np.arange(L)].astype(np.int32)
+        nmut = max(1, L // 100)
+        pos = r.integers(0, L, size=(B, nmut))
+        val = r.integers(1, 4, size=(B, nmut))
+        np.put_along_axis(
+            reads, pos, (np.take_along_axis(reads, pos, 1) + val) % 4, 1
+        )
+        rc_mask = r.random(B) < 0.5
+        rc = (3 - reads)[:, ::-1]
+        reads = np.where(rc_mask[:, None], rc, reads)
+        lens = np.full(B, L, np.int32)
+        quals = np.full((B, L), 30, np.uint8)
+        return jnp.asarray(reads), jnp.asarray(lens), jnp.asarray(quals)
+
+    n_genome = jnp.int32(GENOME)
+
+    # ---- pipeline throughput ------------------------------------------------
+    # NOTE: a device->host fetch is the only reliable sync point on the
+    # remote-TPU relay (block_until_ready returns early there), so we time
+    # each call through a scalar readback.
+    def run(b):
+        out = align_batch_core(fmi, gwords, n_genome, *b, params)
+        return out, int(np.asarray(out["best_score"])[0])
+
+    batch0 = make_batch(1)
+    out, _ = run(batch0)
+
+    REPS = 5 if platform != "cpu" else 2
+    batches = [make_batch(2 + i) for i in range(REPS)]
+    times = []
+    for b in batches:
+        t0 = time.time()
+        out, _ = run(b)
+        times.append(time.time() - t0)
+    dt = min(times)
+    reads_per_sec = B / dt
+    mapped_frac = float(np.asarray(out["mapped"]).mean())
+
+    # ---- banded extension kernel GCUPS --------------------------------------
+    W = params.band
+    TW = L + W - 1
+    KB = 8192 if platform != "cpu" else 1024
+    pats = jnp.asarray(rng.integers(0, 4, size=(KB, L), dtype=np.int32))
+    txts = jnp.asarray(rng.integers(0, 4, size=(KB, TW), dtype=np.int32))
+    plens = jnp.full((KB,), L, jnp.int32)
+    tlens = jnp.full((KB,), TW, jnp.int32)
+    aligner = GotohAligner(SEMI_GLOBAL, params.scoring)
+    def krun():
+        r = batch_score_banded(pats, plens, txts, tlens, aligner, W)
+        return int(np.asarray(r.score)[0])
+
+    krun()
+    KREPS = 5 if platform != "cpu" else 2
+    ktimes = []
+    for _ in range(KREPS):
+        t0 = time.time()
+        krun()
+        ktimes.append(time.time() - t0)
+    kdt = min(ktimes)
+    cells = KB * L * W
+    gcups = cells / kdt / 1e9
+
+    print(
+        json.dumps(
+            {
+                "metric": "reads_aligned_per_sec_per_chip",
+                "value": round(reads_per_sec, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(reads_per_sec / 62500.0, 4),
+                "extras": {
+                    "platform": platform,
+                    "banded_gotoh_gcups": round(gcups, 2),
+                    "gcups_vs_psa_titan_black": round(gcups / 157.73, 3),
+                    "genome_bp": GENOME,
+                    "batch": B,
+                    "read_len": L,
+                    "mapped_frac": round(mapped_frac, 4),
+                    "index_build_s": round(build_s, 1),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

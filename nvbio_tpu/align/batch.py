@@ -67,6 +67,14 @@ def _exclusive_running_max(x):
     )
 
 
+def _exclusive_running_max_axis0(x):
+    """Exclusive prefix max along axis 0 (the small band/sublane dimension)."""
+    inc = jax.lax.associative_scan(jnp.maximum, x, axis=0)
+    return jnp.concatenate(
+        [jnp.full((1,) + x.shape[1:], NEG_INF, x.dtype), inc[:-1]], axis=0
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("aligner", "band"))
 def batch_score_banded(
     patterns: jnp.ndarray,       # (B, M) int32 symbol codes
@@ -81,6 +89,11 @@ def batch_score_banded(
 
     DP cell (i, k): pattern consumed i, text consumed i + k (k in [0, band)).
     Semantics match ``golden.banded_score``.
+
+    TPU layout note: internally everything is transposed to (W, B) /
+    (len, B) so the huge batch dimension rides the 128-lane axis (full VPU
+    utilization for any band width) and the per-row text window becomes a
+    contiguous ``dynamic_slice`` instead of a gather.
     """
     B, M = patterns.shape
     W = band
@@ -88,44 +101,45 @@ def batch_score_banded(
     po, pe, to, te = (jnp.int32(v) for v in _gap_params(aligner))
     match = jnp.int32(aligner.scoring.match)
     mm_scalar = jnp.int32(aligner.scoring.mismatch)
+    neg = jnp.int32(NEG_INF)
 
-    patterns = patterns.astype(jnp.int32)
+    patterns_T = patterns.astype(jnp.int32).T            # (M, B)
+    TW = M + W - 1
     texts = texts.astype(jnp.int32)
+    if texts.shape[1] < TW:
+        texts = jnp.pad(texts, ((0, 0), (0, TW - texts.shape[1])))
+    texts_T = texts.T                                    # (>=TW, B)
     pattern_lens = pattern_lens.astype(jnp.int32)
     text_lens = text_lens.astype(jnp.int32)
+    mm_T = None if mismatch_scores is None else mismatch_scores.astype(jnp.int32).T
 
-    karange = jnp.arange(W, dtype=jnp.int32)
+    kcol = jnp.arange(W, dtype=jnp.int32)[:, None]       # (W, 1)
 
-    # row 0 init
     if atype == AlignmentType.GLOBAL:
-        H0 = jnp.where(karange == 0, 0, to + te * (karange - 1)).astype(jnp.int32)
-        H0 = jnp.broadcast_to(H0, (B, W))
+        H0 = jnp.broadcast_to(
+            jnp.where(kcol == 0, 0, to + te * (kcol - 1)).astype(jnp.int32), (W, B)
+        )
     else:
-        H0 = jnp.zeros((B, W), jnp.int32)
-    E0 = jnp.full((B, W), NEG_INF, jnp.int32)
+        H0 = jnp.zeros((W, B), jnp.int32)
+    E0 = jnp.full((W, B), neg, jnp.int32)
 
-    neg = jnp.int32(NEG_INF)
     best0 = jnp.full((B,), neg, jnp.int32)
     sink0 = jnp.zeros((B,), jnp.int32)
 
     is_hamming = isinstance(aligner, HammingAligner)
 
     def step(carry, i):
-        # i: 1-based pattern row
+        # i: 1-based pattern row; all planes are (W, B)
         H_prev, E_prev, best, sink_i, final_row = carry
-        p = jax.lax.dynamic_index_in_dim(patterns, i - 1, axis=1, keepdims=False)
-        # text window t[i-1+k] for k in [0, W)
-        tidx = (i - 1) + karange[None, :]
-        trow = jnp.take_along_axis(texts, jnp.clip(tidx, 0, texts.shape[1] - 1), axis=1)
-        if mismatch_scores is None:
+        p = jax.lax.dynamic_index_in_dim(patterns_T, i - 1, axis=0, keepdims=False)
+        trow = jax.lax.dynamic_slice_in_dim(texts_T, i - 1, W, axis=0)
+        if mm_T is None:
             mm = mm_scalar
         else:
-            mm = jax.lax.dynamic_index_in_dim(
-                mismatch_scores, i - 1, axis=1, keepdims=False
-            )[:, None]
-        sub = _subst_scores(p[:, None], trow, match, mm)
-        # cells whose text index falls outside the valid window are dead
-        sub = jnp.where(tidx < text_lens[:, None], sub, neg)
+            mm = jax.lax.dynamic_index_in_dim(mm_T, i - 1, axis=0, keepdims=False)[None, :]
+        sub = _subst_scores(p[None, :], trow, match, mm)
+        tidx = (i - 1) + kcol  # (W, 1)
+        sub = jnp.where(tidx < text_lens[None, :], sub, neg)
 
         diag = H_prev + sub
         if is_hamming:
@@ -134,44 +148,42 @@ def batch_score_banded(
             Hrow = jnp.maximum(H0r, 0) if atype == AlignmentType.LOCAL else H0r
         else:
             # E (pattern gap, 'I'): from (i-1, k+1)
-            Hp_shift = jnp.concatenate([H_prev[:, 1:], jnp.full((B, 1), neg)], axis=1)
-            Ep_shift = jnp.concatenate([E_prev[:, 1:], jnp.full((B, 1), neg)], axis=1)
+            Hp_shift = jnp.concatenate([H_prev[1:], jnp.full((1, B), neg)], axis=0)
+            Ep_shift = jnp.concatenate([E_prev[1:], jnp.full((1, B), neg)], axis=0)
             Erow = jnp.maximum(Ep_shift + pe, Hp_shift + po)
             H0r = jnp.maximum(diag, Erow)
             if atype == AlignmentType.LOCAL:
                 H0r = jnp.maximum(H0r, 0)
-            # F (text gap, 'D'): max-plus prefix scan within the row.
+            # F (text gap, 'D'): max-plus prefix scan along the band.
             # F[k] = te*(k-1) + max_{k'<k}(H0[k'] + to - te*k')
-            G = H0r + (to - te * karange)[None, :]
-            F = _exclusive_running_max(G) + (te * (karange - 1))[None, :]
+            G = H0r + (to - te * kcol)
+            F = _exclusive_running_max_axis0(G) + (te * (kcol - 1))
             Hrow = jnp.maximum(H0r, F)
 
-        # clamp rows past the pattern end to keep them inert (scores there are
-        # never read: extraction is masked on i <= plen)
-        at_final = i == pattern_lens
-        final_row = jnp.where(at_final[:, None], Hrow, final_row)
+        at_final = (i == pattern_lens)[None, :]
+        final_row = jnp.where(at_final, Hrow, final_row)
 
         if atype == AlignmentType.LOCAL:
-            row_valid = (i <= pattern_lens)[:, None] & (tidx < text_lens[:, None])
-            row_best = jnp.max(jnp.where(row_valid, Hrow, neg), axis=1)
+            row_valid = (i <= pattern_lens)[None, :] & (tidx < text_lens[None, :])
+            row_best = jnp.max(jnp.where(row_valid, Hrow, neg), axis=0)
             upd = row_best > best
             best = jnp.where(upd, row_best, best)
             sink_i = jnp.where(upd, i, sink_i)
 
         return (Hrow, Erow, best, sink_i, final_row), None
 
-    final_init = jnp.full((B, W), neg, jnp.int32)
+    final_init = jnp.full((W, B), neg, jnp.int32)
     (H_last, _, best, sink_i, final_row), _ = jax.lax.scan(
         step, (H0, E0, best0, sink0, final_init), jnp.arange(1, M + 1, dtype=jnp.int32)
     )
 
     if atype == AlignmentType.GLOBAL:
-        score = final_row[:, W - 1]
+        score = final_row[W - 1]
         return BestSink(score, pattern_lens + W - 1, pattern_lens)
     if atype == AlignmentType.SEMI_GLOBAL:
         # free text suffix: max over the final row's band
-        k_best = jnp.argmax(final_row, axis=1).astype(jnp.int32)
-        score = jnp.max(final_row, axis=1)
+        k_best = jnp.argmax(final_row, axis=0).astype(jnp.int32)
+        score = jnp.max(final_row, axis=0)
         return BestSink(score, pattern_lens + k_best, pattern_lens)
     return BestSink(best, sink_i, sink_i)  # LOCAL: sink_i = best row (pattern idx)
 

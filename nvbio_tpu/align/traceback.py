@@ -25,7 +25,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nvbio_tpu.align.batch import _exclusive_running_max, _gap_params, _subst_scores
+from nvbio_tpu.align.batch import (
+    _exclusive_running_max_axis0,
+    _gap_params,
+    _subst_scores,
+)
 from nvbio_tpu.align.types import (
     NEG_INF,
     AlignmentType,
@@ -50,7 +54,9 @@ class TracebackResult(NamedTuple):
 def _banded_forward_dirs(patterns, pattern_lens, texts, text_lens, aligner, band,
                          mismatch_scores=None):
     """Banded DP forward pass recording direction bytes; returns
-    (dirs (B, M, W) uint8, final_row (B, W), best (B,), sink (B,2) [local])."""
+    (dirs (M, W, B) uint8, final_row (W, B), best (B,), sink (B,2) [local]).
+
+    Transposed (W, B) layout — see batch_score_banded."""
     B, M = patterns.shape
     W = band
     atype = AlignmentType(aligner.type)
@@ -61,58 +67,60 @@ def _banded_forward_dirs(patterns, pattern_lens, texts, text_lens, aligner, band
     local = atype == AlignmentType.LOCAL
     hamming = isinstance(aligner, HammingAligner)
 
-    patterns = patterns.astype(jnp.int32)
+    patterns_T = patterns.astype(jnp.int32).T
+    TW = M + W - 1
     texts = texts.astype(jnp.int32)
+    if texts.shape[1] < TW:
+        texts = jnp.pad(texts, ((0, 0), (0, TW - texts.shape[1])))
+    texts_T = texts.T
     pattern_lens = pattern_lens.astype(jnp.int32)
     text_lens = text_lens.astype(jnp.int32)
-    karange = jnp.arange(W, dtype=jnp.int32)
+    mm_T = None if mismatch_scores is None else mismatch_scores.astype(jnp.int32).T
+    kcol = jnp.arange(W, dtype=jnp.int32)[:, None]
 
     if atype == AlignmentType.GLOBAL:
         H0 = jnp.broadcast_to(
-            jnp.where(karange == 0, 0, to + te * (karange - 1)).astype(jnp.int32),
-            (B, W),
+            jnp.where(kcol == 0, 0, to + te * (kcol - 1)).astype(jnp.int32), (W, B)
         )
     else:
-        H0 = jnp.zeros((B, W), jnp.int32)
-    E0 = jnp.full((B, W), neg, jnp.int32)
+        H0 = jnp.zeros((W, B), jnp.int32)
+    E0 = jnp.full((W, B), neg, jnp.int32)
 
     best0 = jnp.full((B,), neg, jnp.int32)
     sink0 = jnp.zeros((B, 2), jnp.int32)
-    finit = jnp.full((B, W), neg, jnp.int32)
+    finit = jnp.full((W, B), neg, jnp.int32)
 
     def step(carry, i):
         H_prev, E_prev, best, sink, final_row = carry
-        p = jax.lax.dynamic_index_in_dim(patterns, i - 1, axis=1, keepdims=False)
-        tidx = (i - 1) + karange[None, :]
-        trow = jnp.take_along_axis(texts, jnp.clip(tidx, 0, texts.shape[1] - 1), axis=1)
-        if mismatch_scores is None:
+        p = jax.lax.dynamic_index_in_dim(patterns_T, i - 1, axis=0, keepdims=False)
+        trow = jax.lax.dynamic_slice_in_dim(texts_T, i - 1, W, axis=0)
+        if mm_T is None:
             mm = mm_scalar
         else:
-            mm = jax.lax.dynamic_index_in_dim(
-                mismatch_scores, i - 1, axis=1, keepdims=False
-            )[:, None]
-        sub = _subst_scores(p[:, None], trow, match, mm)
-        sub = jnp.where(tidx < text_lens[:, None], sub, neg)
+            mm = jax.lax.dynamic_index_in_dim(mm_T, i - 1, axis=0, keepdims=False)[None, :]
+        sub = _subst_scores(p[None, :], trow, match, mm)
+        tidx = (i - 1) + kcol
+        sub = jnp.where(tidx < text_lens[None, :], sub, neg)
         diag = H_prev + sub
 
         if hamming:
-            Erow = jnp.full((B, W), neg, jnp.int32)
+            Erow = jnp.full((W, B), neg, jnp.int32)
             Frow = Erow
             H0r = diag
             Hrow = jnp.maximum(H0r, 0) if local else H0r
-            e_ext = jnp.zeros((B, W), bool)
-            f_ext = jnp.zeros((B, W), bool)
+            e_ext = jnp.zeros((W, B), bool)
+            f_ext = jnp.zeros((W, B), bool)
         else:
-            Hp_shift = jnp.concatenate([H_prev[:, 1:], jnp.full((B, 1), neg)], axis=1)
-            Ep_shift = jnp.concatenate([E_prev[:, 1:], jnp.full((B, 1), neg)], axis=1)
+            Hp_shift = jnp.concatenate([H_prev[1:], jnp.full((1, B), neg)], axis=0)
+            Ep_shift = jnp.concatenate([E_prev[1:], jnp.full((1, B), neg)], axis=0)
             Erow = jnp.maximum(Ep_shift + pe, Hp_shift + po)
             e_ext = Ep_shift + pe >= Hp_shift + po
             H0r = jnp.maximum(diag, Erow)
             if local:
                 H0r = jnp.maximum(H0r, 0)
-            G = H0r + (to - te * karange)[None, :]
-            Frow = _exclusive_running_max(G) + (te * (karange - 1))[None, :]
-            Fshift = jnp.concatenate([jnp.full((B, 1), neg), Frow[:, :-1]], axis=1)
+            G = H0r + (to - te * kcol)
+            Frow = _exclusive_running_max_axis0(G) + (te * (kcol - 1))
+            Fshift = jnp.concatenate([jnp.full((1, B), neg), Frow[:-1]], axis=0)
             f_ext = Frow == Fshift + te
             Hrow = jnp.maximum(H0r, Frow)
 
@@ -127,14 +135,14 @@ def _banded_forward_dirs(patterns, pattern_lens, texts, text_lens, aligner, band
             hdir | (e_ext.astype(jnp.int32) << 2) | (f_ext.astype(jnp.int32) << 3)
         ).astype(jnp.uint8)
 
-        at_final = i == pattern_lens
-        final_row = jnp.where(at_final[:, None], Hrow, final_row)
+        at_final = (i == pattern_lens)[None, :]
+        final_row = jnp.where(at_final, Hrow, final_row)
 
         if local:
-            row_valid = (i <= pattern_lens)[:, None] & (tidx < text_lens[:, None])
+            row_valid = (i <= pattern_lens)[None, :] & (tidx < text_lens[None, :])
             masked = jnp.where(row_valid, Hrow, neg)
-            row_best = jnp.max(masked, axis=1)
-            row_arg = jnp.argmax(masked, axis=1).astype(jnp.int32)
+            row_best = jnp.max(masked, axis=0)
+            row_arg = jnp.argmax(masked, axis=0).astype(jnp.int32)
             upd = row_best > best
             best = jnp.where(upd, row_best, best)
             sink = jnp.where(
@@ -148,8 +156,7 @@ def _banded_forward_dirs(patterns, pattern_lens, texts, text_lens, aligner, band
     (Hl, El, best, sink, final_row), dirs = jax.lax.scan(
         step, (H0, E0, best0, sink0, finit), jnp.arange(1, M + 1, dtype=jnp.int32)
     )
-    dirs = jnp.transpose(dirs, (1, 0, 2))  # (B, M, W)
-    return dirs, final_row, best, sink
+    return dirs, final_row, best, sink  # dirs: (M, W, B)
 
 
 @functools.partial(jax.jit, static_argnames=("aligner", "band"))
@@ -174,20 +181,20 @@ def batch_traceback_banded(
     dirs, final_row, best_local, sink_local = _banded_forward_dirs(
         patterns, pattern_lens, texts, text_lens, aligner, band, mismatch_scores
     )
-    dirs_flat = dirs.reshape(B, M * W)
+    dirs_flat = dirs.reshape(M * W, B)  # (cell, B)
 
     if local:
         score = best_local
         i0 = sink_local[:, 0]
         k0 = sink_local[:, 1]
     elif glob:
-        score = final_row[:, W - 1]
+        score = final_row[W - 1]
         i0 = pattern_lens
         k0 = jnp.full((B,), W - 1, jnp.int32)
     else:
-        score = jnp.max(final_row, axis=1)
+        score = jnp.max(final_row, axis=0)
         i0 = pattern_lens
-        k0 = jnp.argmax(final_row, axis=1).astype(jnp.int32)
+        k0 = jnp.argmax(final_row, axis=0).astype(jnp.int32)
 
     MAXS = M + W
     ST_H, ST_E, ST_F = 0, 1, 2
@@ -195,8 +202,8 @@ def batch_traceback_banded(
     def walk(carry, _):
         i, k, st, done = carry
         cell = jnp.take_along_axis(
-            dirs_flat, (jnp.clip(i - 1, 0, M - 1) * W + k)[:, None], axis=1
-        )[:, 0].astype(jnp.int32)
+            dirs_flat, (jnp.clip(i - 1, 0, M - 1) * W + k)[None, :], axis=0
+        )[0].astype(jnp.int32)
         hdir = cell & 3
         e_ext = (cell >> 2) & 1
         f_ext = (cell >> 3) & 1

@@ -44,4 +44,5 @@ class MapParams:
 
     @property
     def num_candidates(self) -> int:
-        return self.num_seeds * self.hits_per_seed
+        """Unique-locus extension slots after dedup (per read, both strands)."""
+        return 2 * min(self.hits_per_seed * 2, self.seeds_per_strand * self.hits_per_seed)

@@ -110,13 +110,44 @@ def align_batch_core(fmi, genome_words, n_genome, reads, lens, quals, params: Ma
     w0 = pos - seed_off[None, :, None] - P.max_dist
     w0 = jnp.clip(w0, 0, jnp.maximum(n_genome - 1, 0))
 
-    C = 2 * S1 * H
-    w0 = w0.reshape(B, C)
-    cand_valid = hit_valid.reshape(B, C)
-    cand_strand = jnp.arange(C, dtype=jnp.int32)[None, :] >= (S1 * H)  # False=fwd
+    CH = S1 * H  # candidates per strand half
+    w0 = w0.reshape(B, 2 * CH)
+    cand_valid_all = hit_valid.reshape(B, 2 * CH)
+
+    # ---- dedup to unique loci per strand ------------------------------------
+    # (the reference scores every selected hit; most hits of a well-mapped
+    # read land on one locus — dedup slashes extension work ~3x at fixed
+    # shapes. Candidates within 2*max_dist collapse to their leftmost start.)
+    NCH = min(P.hits_per_seed * 2, CH)
+    tol = 2 * P.max_dist
+
+    def dedup_half(w0h, validh):
+        big = jnp.int32(2**31 - 1)
+        key = jnp.where(validh, w0h, big)
+        order = jnp.argsort(key, axis=1)
+        sk = jnp.take_along_axis(key, order, axis=1)
+        # window starts are >= 0, so -(tol+1) guarantees the first valid
+        # element is marked new (and cannot overflow int32)
+        prev = jnp.concatenate(
+            [jnp.full((B, 1), -(tol + 1), jnp.int32), sk[:, :-1]], axis=1
+        )
+        is_new = (sk - prev > tol) & (sk < big)
+        rank = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1
+        slot_key = jnp.where(is_new, rank, CH)
+        sel = jnp.argsort(slot_key, axis=1)[:, :NCH]
+        uw0 = jnp.take_along_axis(sk, sel, axis=1)
+        uvalid = jnp.take_along_axis(is_new, sel, axis=1)
+        return jnp.where(uvalid, uw0, 0), uvalid
+
+    w0f, validf = dedup_half(w0[:, :CH], cand_valid_all[:, :CH])
+    w0r, validr = dedup_half(w0[:, CH:], cand_valid_all[:, CH:])
+    C = 2 * NCH
+    w0 = jnp.concatenate([w0f, w0r], axis=1)           # (B, C)
+    cand_valid = jnp.concatenate([validf, validr], axis=1)
+    cand_strand = jnp.arange(C, dtype=jnp.int32)[None, :] >= NCH  # False=fwd
 
     # ---- extension scoring -------------------------------------------------
-    win = packed.extract_window(genome_words, w0.reshape(B * C), TW, 2, xp=jnp)
+    win = packed.extract_window_aligned(genome_words, w0.reshape(B * C), TW, 2)
     wlens = jnp.clip(n_genome - w0.reshape(B * C), 0, TW).astype(jnp.int32)
 
     pat_sel = jnp.where(cand_strand[:, :, None], rc[:, None, :], reads[:, None, :])

@@ -109,7 +109,7 @@ def bwt_from_sa(text_codes: np.ndarray, sa: np.ndarray):
 
 
 def build_fmindex(
-    text_codes: np.ndarray, sa: np.ndarray | None = None, sa_interval: int = 16
+    text_codes: np.ndarray, sa: np.ndarray | None = None, sa_interval: int = 8
 ) -> FMIndex:
     """Build a complete FM-index from 2-bit text codes (host-side).
 

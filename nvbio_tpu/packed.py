@@ -123,6 +123,42 @@ def extract_window(words, start, win_len: int, bits: int, xp=None):
     return gather_symbols(words, idx, bits)
 
 
+def extract_window_aligned(words, start, win_len: int, bits: int):
+    """Gather-efficient batched window extraction (jnp only).
+
+    Instead of one gather per symbol (``extract_window``), gathers only the
+    covering *words* (16 symbols each at 2 bits) and bit-aligns them with a
+    funnel shift, so a 116-symbol window costs ~9 word-gathers + vector bit
+    ops instead of 116 element-gathers. This is the TPU analogue of the
+    reference's word-aligned vectorized string loads
+    (``nvbio/strings/vectorized_string.h``).
+
+    start: (B,) int32; returns (B, win_len) int32 symbol codes.
+    """
+    import jax.numpy as jnp
+
+    spw = symbols_per_word(bits)
+    n_words_needed = (win_len + spw - 1) // spw + 1
+    start = jnp.asarray(start, jnp.int32)
+    word0 = start // spw
+    off = start % spw
+
+    widx = word0[:, None] + jnp.arange(n_words_needed, dtype=jnp.int32)[None, :]
+    wds = jnp.take(words, jnp.clip(widx, 0, words.shape[0] - 1), axis=0)  # (B, NW)
+    wds = wds.astype(jnp.uint32)
+
+    # funnel shift: align so that symbol `start` sits at bit 0 of word 0
+    sh = (off * bits).astype(jnp.uint32)[:, None]
+    lo = wds[:, :-1] >> sh
+    hi = jnp.where(sh == 0, jnp.uint32(0), wds[:, 1:] << (32 - sh))
+    aligned = lo | hi  # (B, NW-1)
+
+    shifts = (jnp.arange(spw, dtype=jnp.uint32) * bits)[None, None, :]
+    syms = (aligned[:, :, None] >> shifts) & ((1 << bits) - 1)
+    flat = syms.reshape(start.shape[0], -1)
+    return flat[:, :win_len].astype(jnp.int32)
+
+
 def _ns(arr):
     if isinstance(arr, np.ndarray):
         return np

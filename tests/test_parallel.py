@@ -1,0 +1,51 @@
+"""Multi-chip SPMD tests on the 8-device fake CPU mesh."""
+
+import numpy as np
+
+import jax
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as ge
+
+    assert len(jax.devices()) >= 8
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert bool(np.asarray(out["mapped"]).all())
+
+
+def test_sharded_matches_single_device():
+    """Sharded execution must be bitwise identical to single-device."""
+    import __graft_entry__ as ge
+    import jax.numpy as jnp
+    from nvbio_tpu.bowtie.pipeline import align_batch_core
+    from nvbio_tpu.parallel.mesh import (
+        make_reads_mesh, replicate, shard_batch, sharded_align_step,
+    )
+
+    fmi, gwords, n, reads, lens, quals, params = ge._tiny_problem(batch=32)
+    single = align_batch_core(
+        fmi, gwords, jnp.int32(n), jnp.asarray(reads), jnp.asarray(lens),
+        jnp.asarray(quals), params,
+    )
+
+    mesh = make_reads_mesh(8)
+    step = sharded_align_step(mesh, params)
+    res, stats = step(
+        replicate(mesh, fmi), replicate(mesh, gwords), jnp.int32(n),
+        shard_batch(mesh, jnp.asarray(reads)),
+        shard_batch(mesh, jnp.asarray(lens)),
+        shard_batch(mesh, jnp.asarray(quals)),
+    )
+    np.testing.assert_array_equal(np.asarray(single["mapq"]), np.asarray(res["mapq"]))
+    np.testing.assert_array_equal(
+        np.asarray(single["window_start"]), np.asarray(res["window_start"])
+    )
+    assert int(stats["n_mapped"]) == int(np.asarray(single["mapped"]).sum())
