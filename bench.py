@@ -27,7 +27,7 @@ def main():
     from nvbio_tpu.align.types import SEMI_GLOBAL, GotohAligner, GotohScoring
     from nvbio_tpu.bowtie.params import MapParams
     from nvbio_tpu.bowtie.pipeline import align_batch_core
-    from nvbio_tpu.fmi.index import build_fmindex
+    from nvbio_tpu.qgram import build_qgram_index
 
     rng = np.random.default_rng(0xBEEF)
     dev = jax.devices()[0]
@@ -35,18 +35,18 @@ def main():
 
     # ---- problem setup -----------------------------------------------------
     GENOME = 4_000_000 if platform != "cpu" else 400_000
-    B = 4096 if platform != "cpu" else 512
+    B = 16384 if platform != "cpu" else 512
     L = 100
     genome = rng.integers(0, 4, size=GENOME, dtype=np.uint8)
-
-    t0 = time.time()
-    fmi = build_fmindex(genome).device()
-    gwords = jnp.asarray(packed.pack(genome, 2))
-    build_s = time.time() - t0
 
     params = MapParams(
         max_read_len=L, seed_len=22, seed_stride=15, hits_per_seed=4, max_dist=8
     )
+
+    t0 = time.time()
+    fmi = build_qgram_index(genome, params.qgram_q).device()
+    gwords = jnp.asarray(packed.pack(genome, 2))
+    build_s = time.time() - t0
 
     def make_batch(seed):
         r = np.random.default_rng(seed)
@@ -92,15 +92,25 @@ def main():
     # ---- banded extension kernel GCUPS --------------------------------------
     W = params.band
     TW = L + W - 1
-    KB = 8192 if platform != "cpu" else 1024
+    KB = 262144 if platform != "cpu" else 1024
     pats = jnp.asarray(rng.integers(0, 4, size=(KB, L), dtype=np.int32))
     txts = jnp.asarray(rng.integers(0, 4, size=(KB, TW), dtype=np.int32))
     plens = jnp.full((KB,), L, jnp.int32)
     tlens = jnp.full((KB,), TW, jnp.int32)
     aligner = GotohAligner(SEMI_GLOBAL, params.scoring)
-    def krun():
-        r = batch_score_banded(pats, plens, txts, tlens, aligner, W)
-        return int(np.asarray(r.score)[0])
+
+    if platform == "tpu":
+        from nvbio_tpu.align.pallas_kernels import banded_score_semiglobal_pallas
+
+        def krun():
+            s, _ = banded_score_semiglobal_pallas(
+                pats, plens, txts, tlens, params.scoring, W
+            )
+            return int(np.asarray(s)[0])
+    else:
+        def krun():
+            r = batch_score_banded(pats, plens, txts, tlens, aligner, W)
+            return int(np.asarray(r.score)[0])
 
     krun()
     KREPS = 5 if platform != "cpu" else 2

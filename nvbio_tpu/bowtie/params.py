@@ -29,6 +29,13 @@ class MapParams:
     mm_penalty_min: int = 2
     mm_penalty_max: int = 6
     use_quality_penalties: bool = True
+    # seeding index: "qgram" (direct-address k-mer table, 2 gathers/seed — the
+    # fast path) or "fmi" (FM-index backward search + sampled-SA locate — the
+    # compact/bowtie2-faithful path)
+    seeding: str = "qgram"
+    qgram_q: int = 12
+    # extension scorer: "pallas" (TPU kernel), "scan" (XLA), or "auto"
+    extension: str = "auto"
 
     @property
     def band(self) -> int:

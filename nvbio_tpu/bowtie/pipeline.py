@@ -55,8 +55,11 @@ def _mm_penalties(quals, params: MapParams):
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def align_batch_core(fmi, genome_words, n_genome, reads, lens, quals, params: MapParams):
-    """Map one dense batch of reads. Returns a dict of per-read results."""
+def align_batch_core(index, genome_words, n_genome, reads, lens, quals, params: MapParams):
+    """Map one dense batch of reads. Returns a dict of per-read results.
+
+    ``index`` is an FMIndex or a QGramIndex, matching ``params.seeding``.
+    """
     P = params
     B, L = reads.shape
     S1 = P.seeds_per_strand
@@ -82,27 +85,39 @@ def align_batch_core(fmi, genome_words, n_genome, reads, lens, quals, params: Ma
     fwd_seeds = reads[:, seed_gather]          # (B, S1, s)
     rc_seeds = rc[:, seed_gather]
     seeds = jnp.concatenate([fwd_seeds, rc_seeds], axis=1)  # (B, 2*S1, s)
-    seeds_flat = seeds.reshape(B * 2 * S1, P.seed_len)
     seed_valid = (starts[None, :] + P.seed_len) <= lens[:, None]  # (B, S1)
     seed_valid2 = jnp.concatenate([seed_valid, seed_valid], axis=1)  # (B, 2*S1)
 
-    slens = jnp.full((B * 2 * S1,), P.seed_len, jnp.int32)
-    lo, hi = backward_search_core(fmi, seeds_flat, slens)
-    lo = lo.reshape(B, 2 * S1)
-    hi = hi.reshape(B, 2 * S1)
-    range_size = jnp.maximum(hi - lo, 0)
-
-    # ---- select + locate ---------------------------------------------------
-    # the reference randomizes selection over a SumTree CDF; we take the
-    # first H rows per range (deterministic), masked by range size
     k = jnp.arange(H, dtype=jnp.int32)
-    rows = lo[:, :, None] + k[None, None, :]                       # (B, 2S1, H)
-    hit_valid = (
-        (k[None, None, :] < range_size[:, :, None]) & seed_valid2[:, :, None]
-    )
-    rows_flat = jnp.clip(rows, 0, fmi.n).reshape(B * 2 * S1 * H)
-    pos, _ = locate_core(fmi, rows_flat)
-    pos = pos.reshape(B, 2 * S1, H)
+    if P.seeding == "qgram":
+        # direct-address k-mer lookup: positions come straight from the table
+        from nvbio_tpu.qgram import qgram_locate, qgram_range, seed_keys_from_batch
+
+        keys = seed_keys_from_batch(seeds, index.q)        # (B, 2S1)
+        lo, hi = qgram_range(index, keys)
+        range_size = jnp.maximum(hi - lo, 0)
+        hit_valid = (
+            (k[None, None, :] < range_size[:, :, None]) & seed_valid2[:, :, None]
+        )
+        pos = qgram_locate(index, lo[:, :, None], k[None, None, :])  # (B,2S1,H)
+    else:
+        # FM-index backward search + bounded LF locate
+        seeds_flat = seeds.reshape(B * 2 * S1, P.seed_len)
+        slens = jnp.full((B * 2 * S1,), P.seed_len, jnp.int32)
+        lo, hi = backward_search_core(index, seeds_flat, slens)
+        lo = lo.reshape(B, 2 * S1)
+        hi = hi.reshape(B, 2 * S1)
+        range_size = jnp.maximum(hi - lo, 0)
+
+        # the reference randomizes selection over a SumTree CDF; we take the
+        # first H rows per range (deterministic), masked by range size
+        rows = lo[:, :, None] + k[None, None, :]                   # (B, 2S1, H)
+        hit_valid = (
+            (k[None, None, :] < range_size[:, :, None]) & seed_valid2[:, :, None]
+        )
+        rows_flat = jnp.clip(rows, 0, index.n).reshape(B * 2 * S1 * H)
+        pos, _ = locate_core(index, rows_flat)
+        pos = pos.reshape(B, 2 * S1, H)
 
     # candidate genome window start: seed offset within the (strand) read,
     # slack of max_dist on each side
@@ -160,8 +175,18 @@ def align_batch_core(fmi, genome_words, n_genome, reads, lens, quals, params: Ma
         mm_flat = None
 
     aligner = GotohAligner(SEMI_GLOBAL, P.scoring)
-    sunk = batch_score_banded(pats, plens, win, wlens, aligner, W, mm_flat)
-    scores = jnp.where(cand_valid.reshape(B * C), sunk.score, neg).reshape(B, C)
+    use_pallas = P.extension == "pallas" or (
+        P.extension == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from nvbio_tpu.align.pallas_kernels import banded_score_semiglobal_pallas
+
+        sc, _ = banded_score_semiglobal_pallas(
+            pats, plens, win, wlens, P.scoring, W, mm_flat
+        )
+    else:
+        sc = batch_score_banded(pats, plens, win, wlens, aligner, W, mm_flat).score
+    scores = jnp.where(cand_valid.reshape(B * C), sc, neg).reshape(B, C)
 
     # ---- reduce: best + distinct-locus second best -------------------------
     best_idx = jnp.argmax(scores, axis=1).astype(jnp.int32)
@@ -228,7 +253,7 @@ def align_batch_core(fmi, genome_words, n_genome, reads, lens, quals, params: Ma
 class ReadMapper:
     """Host-side driver owning the index + reference metadata."""
 
-    fmi: object            # FMIndex (device)
+    index: object          # FMIndex or QGramIndex (device), per params.seeding
     genome_words: object   # jnp uint32 packed genome
     n_genome: int
     ref_names: list
@@ -236,14 +261,19 @@ class ReadMapper:
     params: MapParams
 
     @classmethod
-    def build(cls, reference, params: MapParams = MapParams(), fmi=None):
-        """From an io.Reference (host): builds the FM-index if not given."""
-        from nvbio_tpu.fmi.index import build_fmindex
+    def build(cls, reference, params: MapParams = MapParams(), index=None):
+        """From an io.Reference (host): builds the seeding index if not given."""
+        if index is None:
+            if params.seeding == "qgram":
+                from nvbio_tpu.qgram import build_qgram_index
 
-        if fmi is None:
-            fmi = build_fmindex(reference.codes)
+                index = build_qgram_index(reference.codes, params.qgram_q)
+            else:
+                from nvbio_tpu.fmi.index import build_fmindex
+
+                index = build_fmindex(reference.codes)
         return cls(
-            fmi=fmi.device(),
+            index=index.device(),
             genome_words=jnp.asarray(reference.packed_words()),
             n_genome=reference.total_length,
             ref_names=reference.names,
@@ -254,7 +284,7 @@ class ReadMapper:
     def map_batch(self, batch) -> list[SamRecord]:
         """Map a ReadBatch -> SAM records (host-side formatting)."""
         res = align_batch_core(
-            self.fmi,
+            self.index,
             self.genome_words,
             jnp.int32(self.n_genome),
             jnp.asarray(batch.codes),

@@ -117,6 +117,23 @@ def test_random_reads_unmapped(mapper_and_genome, rng):
     assert unmapped >= 0.9 * B
 
 
+def test_fmi_and_qgram_seeding_agree(mapper_and_genome, rng):
+    """Both seeding indices must produce the same alignments on clean reads."""
+    mapper_q, ref, codes = mapper_and_genome
+    params_f = MapParams(max_read_len=80, seed_len=20, seed_stride=12,
+                         hits_per_seed=4, max_dist=5, seeding="fmi")
+    mapper_f = ReadMapper.build(ref, params_f)
+    batch, positions, strands = sample_reads(rng, codes, n_reads=32, mut_rate=0.01)
+    recs_q = mapper_q.map_batch(batch)
+    recs_f = mapper_f.map_batch(batch)
+    agree = sum(
+        1 for a, b in zip(recs_q, recs_f)
+        if (a.flag, a.pos, a.cigar, a.tags and a.tags.get("AS")) ==
+           (b.flag, b.pos, b.cigar, b.tags and b.tags.get("AS"))
+    )
+    assert agree >= 0.9 * len(recs_q)
+
+
 def test_sam_output_wellformed(mapper_and_genome, rng, tmp_path):
     mapper, ref, codes = mapper_and_genome
     batch, _, _ = sample_reads(rng, codes, n_reads=8)
