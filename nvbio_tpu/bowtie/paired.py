@@ -1,0 +1,350 @@
+"""Paired-end alignment: concordant pairing + mate rescue.
+
+Dense re-composition of nvBowtie's paired best-approx driver
+(``aligner_best_approx_paired.h:275-479``): anchor/opposite mate scoring,
+concordant classification within the fragment-length window, and opposite-mate
+full-DP rescue — expressed as an all-pairs (C x C) score matrix per read pair
+plus a wavefront rescue scan, all fixed-shape.
+
+FR orientation: a concordant pair has mates on opposite strands with the
+reverse mate downstream; fragment length = (rev mate end) - (fwd mate start)
+in [minins, maxins].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nvbio_tpu import packed
+from nvbio_tpu.align.batch import batch_score_full
+from nvbio_tpu.align.types import NEG_INF, SEMI_GLOBAL, GotohAligner
+from nvbio_tpu.bowtie.mapq import mapq_v2_end_to_end
+from nvbio_tpu.bowtie.params import MapParams
+from nvbio_tpu.bowtie.pipeline import (
+    finalize_best,
+    read_candidates,
+    score_min_of,
+)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def align_paired_core(
+    index, genome_words, n_genome,
+    reads1, lens1, quals1, reads2, lens2, quals2,
+    params: MapParams,
+):
+    """Map one dense batch of read pairs. Returns per-mate result dicts +
+    pairing info."""
+    P = params
+    neg = jnp.int32(NEG_INF)
+    B, L = reads1.shape
+
+    c1 = read_candidates(index, genome_words, n_genome, reads1, lens1, quals1, P)
+    c2 = read_candidates(index, genome_words, n_genome, reads2, lens2, quals2, P)
+
+    score_min1 = score_min_of(c1["lens"], P)
+    score_min2 = score_min_of(c2["lens"], P)
+
+    s1 = jnp.where(c1["scores"] >= score_min1[:, None], c1["scores"], neg)
+    s2 = jnp.where(c2["scores"] >= score_min2[:, None], c2["scores"], neg)
+    C = s1.shape[1]
+
+    # ---- concordance matrix (B, C, C) ---------------------------------------
+    w1 = c1["w0"][:, :, None]       # (B, C, 1)
+    w2 = c2["w0"][:, None, :]       # (B, 1, C)
+    st1 = c1["strand"][:, :, None]
+    st2 = c2["strand"][:, None, :]
+    slack = P.band
+    # case A: mate1 fwd, mate2 rev => frag = w2 + L2 - w1
+    fragA = w2 + c2["lens"][:, None, None] - w1
+    okA = (~st1) & st2 & (fragA >= P.minins - slack) & (fragA <= P.maxins + slack)
+    # case B: mate2 fwd, mate1 rev => frag = w1 + L1 - w2
+    fragB = w1 + c1["lens"][:, None, None] - w2
+    okB = st1 & (~st2) & (fragB >= P.minins - slack) & (fragB <= P.maxins + slack)
+    conc = okA | okB
+
+    pair_scores = jnp.where(conc, s1[:, :, None] + s2[:, None, :], neg)
+    flat = pair_scores.reshape(B, C * C)
+    pair_idx = jnp.argmax(flat, axis=1).astype(jnp.int32)
+    pair_best = jnp.take_along_axis(flat, pair_idx[:, None], axis=1)[:, 0]
+    i1 = pair_idx // C
+    i2 = pair_idx % C
+    has_pair = pair_best > neg // 2
+
+    # distinct-locus second-best pair (for PE mapq)
+    bw1 = jnp.take_along_axis(c1["w0"], i1[:, None], axis=1)[:, 0]
+    bw2 = jnp.take_along_axis(c2["w0"], i2[:, None], axis=1)[:, 0]
+    tol = 2 * P.max_dist
+    same = (
+        (jnp.abs(c1["w0"][:, :, None] - bw1[:, None, None]) <= tol)
+        & (jnp.abs(c2["w0"][:, None, :] - bw2[:, None, None]) <= tol)
+    )
+    pair_second = jnp.max(
+        jnp.where(same, neg, pair_scores).reshape(B, C * C), axis=1
+    )
+
+    # ---- SE bests (fallback + rescue anchors) --------------------------------
+    se1_idx = jnp.argmax(s1, axis=1).astype(jnp.int32)
+    se1_score = jnp.take_along_axis(s1, se1_idx[:, None], axis=1)[:, 0]
+    se2_idx = jnp.argmax(s2, axis=1).astype(jnp.int32)
+    se2_score = jnp.take_along_axis(s2, se2_idx[:, None], axis=1)[:, 0]
+    se1_ok = se1_score > neg // 2
+    se2_ok = se2_score > neg // 2
+
+    # ---- mate rescue ---------------------------------------------------------
+    # anchor = the mapped mate's best SE candidate; scan the fragment window
+    # on the opposite strand with the full wavefront (free ends => semi-global
+    # gives the best end position within the window).
+    if P.mate_rescue:
+        RW = P.maxins + P.band  # rescue window length (static)
+
+        def rescue(anchor_w0, anchor_strand, anchor_len, other, other_len,
+                   other_mm):
+            # window: anchor fwd -> [w0, w0 + RW); anchor rev -> ending at
+            # anchor end: [w0 + len - RW, ...)
+            wstart = jnp.where(
+                anchor_strand,
+                anchor_w0 + anchor_len + P.band - RW,
+                anchor_w0,
+            )
+            wstart = jnp.clip(wstart, 0, jnp.maximum(n_genome - 1, 0))
+            win = packed.extract_window_aligned(genome_words, wstart, RW, 2)
+            wlen = jnp.clip(n_genome - wstart, 0, RW).astype(jnp.int32)
+            aligner = GotohAligner(SEMI_GLOBAL, P.scoring)
+            sunk = batch_score_full(
+                other, other_len, win, wlen, aligner, mismatch_scores=other_mm
+            )
+            # candidate window start for the rescued mate (banded re-align)
+            rw0 = jnp.clip(
+                wstart + sunk.sink_text - other_len - P.max_dist,
+                0, jnp.maximum(n_genome - 1, 0),
+            )
+            return sunk.score, rw0
+
+        # rescue mate2 from mate1 anchor (mate2 on opposite strand of mate1)
+        a1_w0 = jnp.take_along_axis(c1["w0"], se1_idx[:, None], axis=1)[:, 0]
+        a1_st = jnp.take_along_axis(c1["strand"], se1_idx[:, None], axis=1)[:, 0]
+        other2 = jnp.where(a1_st[:, None], c2["reads"], c2["rc"])
+        omm2 = None if c2["mm"] is None else jnp.where(
+            a1_st[:, None], c2["mm"], c2["mm_rc"]
+        )
+        r2_score, r2_w0 = rescue(a1_w0, a1_st, c1["lens"], other2, c2["lens"], omm2)
+        r2_score = jnp.where(se1_ok & (r2_score >= score_min2), r2_score, neg)
+
+        # rescue mate1 from mate2 anchor
+        a2_w0 = jnp.take_along_axis(c2["w0"], se2_idx[:, None], axis=1)[:, 0]
+        a2_st = jnp.take_along_axis(c2["strand"], se2_idx[:, None], axis=1)[:, 0]
+        other1 = jnp.where(a2_st[:, None], c1["reads"], c1["rc"])
+        omm1 = None if c1["mm"] is None else jnp.where(
+            a2_st[:, None], c1["mm"], c1["mm_rc"]
+        )
+        r1_score, r1_w0 = rescue(a2_w0, a2_st, c2["lens"], other1, c1["lens"], omm1)
+        r1_score = jnp.where(se2_ok & (r1_score >= score_min1), r1_score, neg)
+
+        resc2 = ~has_pair & se1_ok & (r2_score > neg // 2)
+        resc1 = ~has_pair & se2_ok & (r1_score > neg // 2) & ~resc2
+
+        # fold rescues into the chosen pair: append the rescued candidate by
+        # overwriting slot selection (we re-gather windows in finalize anyway)
+        i1 = jnp.where(resc2, se1_idx, i1)
+        i2 = jnp.where(resc1, se2_idx, i2)
+        pair1_w0 = jnp.where(
+            resc1, r1_w0, jnp.take_along_axis(c1["w0"], i1[:, None], axis=1)[:, 0]
+        )
+        pair2_w0 = jnp.where(
+            resc2, r2_w0, jnp.take_along_axis(c2["w0"], i2[:, None], axis=1)[:, 0]
+        )
+        pair1_strand = jnp.where(
+            resc1, ~a2_st,
+            jnp.take_along_axis(c1["strand"], i1[:, None], axis=1)[:, 0],
+        )
+        pair2_strand = jnp.where(
+            resc2, ~a1_st,
+            jnp.take_along_axis(c2["strand"], i2[:, None], axis=1)[:, 0],
+        )
+        pair1_score = jnp.where(
+            resc1, r1_score, jnp.take_along_axis(s1, i1[:, None], axis=1)[:, 0]
+        )
+        pair2_score = jnp.where(
+            resc2, r2_score, jnp.take_along_axis(s2, i2[:, None], axis=1)[:, 0]
+        )
+        has_pair = has_pair | resc1 | resc2
+        pair_best = jnp.where(
+            resc1 | resc2, pair1_score + pair2_score, pair_best
+        )
+    else:
+        pair1_w0 = jnp.take_along_axis(c1["w0"], i1[:, None], axis=1)[:, 0]
+        pair2_w0 = jnp.take_along_axis(c2["w0"], i2[:, None], axis=1)[:, 0]
+        pair1_strand = jnp.take_along_axis(c1["strand"], i1[:, None], axis=1)[:, 0]
+        pair2_strand = jnp.take_along_axis(c2["strand"], i2[:, None], axis=1)[:, 0]
+        pair1_score = jnp.take_along_axis(s1, i1[:, None], axis=1)[:, 0]
+        pair2_score = jnp.take_along_axis(s2, i2[:, None], axis=1)[:, 0]
+        resc1 = resc2 = jnp.zeros((B,), bool)
+
+    # ---- choose final per-mate alignments ------------------------------------
+    # paired -> pair slots (possibly rescued); unpaired -> SE best
+    fin1_w0 = jnp.where(has_pair, pair1_w0,
+                        jnp.take_along_axis(c1["w0"], se1_idx[:, None], axis=1)[:, 0])
+    fin2_w0 = jnp.where(has_pair, pair2_w0,
+                        jnp.take_along_axis(c2["w0"], se2_idx[:, None], axis=1)[:, 0])
+    fin1_st = jnp.where(has_pair, pair1_strand,
+                        jnp.take_along_axis(c1["strand"], se1_idx[:, None], axis=1)[:, 0])
+    fin2_st = jnp.where(has_pair, pair2_strand,
+                        jnp.take_along_axis(c2["strand"], se2_idx[:, None], axis=1)[:, 0])
+    fin1_score = jnp.where(has_pair, pair1_score, se1_score)
+    fin2_score = jnp.where(has_pair, pair2_score, se2_score)
+
+    # finalize via a synthetic 1-candidate view (traceback re-gathers windows)
+    def fin_one(c, w0, strand):
+        cands = dict(c)
+        cands["w0"] = w0[:, None]
+        cands["strand"] = strand[:, None]
+        return finalize_best(cands, genome_words, n_genome,
+                             jnp.zeros((B,), jnp.int32), P)
+
+    fin1 = fin_one(c1, fin1_w0, fin1_st)
+    fin2 = fin_one(c2, fin2_w0, fin2_st)
+
+    mapped1 = fin1_score > neg // 2
+    mapped2 = fin2_score > neg // 2
+
+    # ---- PE mapq (pair-level scores through the V2 table) --------------------
+    pair_min = score_min1 + score_min2
+    mapq_pair = mapq_v2_end_to_end(
+        pair_best, pair_second,
+        pair_second >= pair_min, pair_min,
+    )
+    # unpaired mates: SE mapq against their own second-best
+    same1 = (jnp.abs(c1["w0"] - fin1_w0[:, None]) <= tol) & (
+        c1["strand"] == fin1_st[:, None])
+    sec1 = jnp.max(jnp.where(same1, neg, s1), axis=1)
+    same2 = (jnp.abs(c2["w0"] - fin2_w0[:, None]) <= tol) & (
+        c2["strand"] == fin2_st[:, None])
+    sec2 = jnp.max(jnp.where(same2, neg, s2), axis=1)
+    mapq1_se = mapq_v2_end_to_end(fin1_score, sec1, sec1 >= score_min1, score_min1)
+    mapq2_se = mapq_v2_end_to_end(fin2_score, sec2, sec2 >= score_min2, score_min2)
+    mapq1 = jnp.where(has_pair, mapq_pair, jnp.where(mapped1, mapq1_se, 0))
+    mapq2 = jnp.where(has_pair, mapq_pair, jnp.where(mapped2, mapq2_se, 0))
+
+    def pack_mate(fin, mapped, score, mapq, c):
+        return dict(
+            mapped=mapped, best_score=score, mapq=mapq,
+            strand=fin["strand"], window_start=fin["window_start"],
+            text_start=fin["text_start"], ops=fin["ops"], n_ops=fin["n_ops"],
+            nm=fin["nm"], rc_reads=c["rc"],
+        )
+
+    return (
+        pack_mate(fin1, mapped1, fin1_score, mapq1, c1),
+        pack_mate(fin2, mapped2, fin2_score, mapq2, c2),
+        dict(proper=has_pair, rescued1=resc1, rescued2=resc2,
+             pair_score=pair_best),
+    )
+
+
+def map_pair_batch(mapper, batch1, batch2):
+    """Map paired ReadBatches -> interleaved SAM records (host formatting).
+
+    ``mapper`` is a nvbio_tpu.bowtie.pipeline.ReadMapper.
+    """
+    from nvbio_tpu.align.traceback import cigar_to_string
+    from nvbio_tpu.alphabet import Alphabet, codes_to_string
+    from nvbio_tpu.io.sam import (
+        FLAG_FIRST_IN_PAIR,
+        FLAG_MATE_REVERSE,
+        FLAG_MATE_UNMAPPED,
+        FLAG_PAIRED,
+        FLAG_PROPER_PAIR,
+        FLAG_REVERSE,
+        FLAG_SECOND_IN_PAIR,
+        FLAG_UNMAPPED,
+        SamRecord,
+        quals_to_string,
+    )
+
+    res1, res2, pinfo = align_paired_core(
+        mapper.index, mapper.genome_words, jnp.int32(mapper.n_genome),
+        jnp.asarray(batch1.codes), jnp.asarray(batch1.lengths),
+        jnp.asarray(batch1.quals),
+        jnp.asarray(batch2.codes), jnp.asarray(batch2.lengths),
+        jnp.asarray(batch2.quals),
+        mapper.params,
+    )
+    res1 = {k: np.asarray(v) for k, v in res1.items()}
+    res2 = {k: np.asarray(v) for k, v in res2.items()}
+    proper = np.asarray(pinfo["proper"])
+
+    out = []
+    for b, name in enumerate(batch1.names):
+        if batch1.lengths[b] == 0:
+            continue
+
+        recs = []
+        gpos = [0, 0]
+        for m, (batch, res, first) in enumerate(
+            [(batch1, res1, True), (batch2, res2, False)]
+        ):
+            L = int(batch.lengths[b])
+            mapped = bool(res["mapped"][b])
+            strand = bool(res["strand"][b]) and mapped
+            flag = FLAG_PAIRED | (FLAG_FIRST_IN_PAIR if first else FLAG_SECOND_IN_PAIR)
+            if proper[b]:
+                flag |= FLAG_PROPER_PAIR
+            if not mapped:
+                flag |= FLAG_UNMAPPED
+            if strand:
+                flag |= FLAG_REVERSE
+            if mapped:
+                gpos[m] = int(res["window_start"][b]) + int(res["text_start"][b])
+            if strand:
+                seq = codes_to_string(res["rc_reads"][b, :L], Alphabet.DNA)
+                qual = quals_to_string(batch.quals[b, :L][::-1], L)
+            else:
+                seq = codes_to_string(batch.codes[b, :L], Alphabet.DNA)
+                qual = quals_to_string(batch.quals[b], L)
+            recs.append([flag, mapped, strand, seq, qual, L, res])
+
+        # cross-mate flags
+        for m in range(2):
+            o = 1 - m
+            if not recs[o][1]:
+                recs[m][0] |= FLAG_MATE_UNMAPPED
+            elif recs[o][2]:
+                recs[m][0] |= FLAG_MATE_REVERSE
+
+        for m in range(2):
+            flag, mapped, strand, seq, qual, L, res = recs[m]
+            o = 1 - m
+            if not mapped:
+                out.append(SamRecord(
+                    qname=name, flag=flag, rname="*", pos=0, mapq=0,
+                    cigar="*", seq=seq, qual=qual,
+                ))
+                continue
+            ci, local = mapper.contig_of(gpos[m])
+            rnext, pnext, tlen = "*", 0, 0
+            if recs[o][1]:
+                co, loco = mapper.contig_of(gpos[o])
+                rnext = "=" if co == ci else mapper.ref_names[co]
+                pnext = loco + 1
+                if co == ci:
+                    # TLEN: leftmost start to rightmost end, sign by position
+                    ends = [gpos[m] + L, gpos[o] + recs[o][5]]
+                    left = min(gpos[m], gpos[o])
+                    right = max(ends)
+                    tlen = right - left
+                    if gpos[m] > gpos[o] or (gpos[m] == gpos[o] and m == 1):
+                        tlen = -tlen
+            tags = {"AS": int(res["best_score"][b]), "NM": int(res["nm"][b])}
+            out.append(SamRecord(
+                qname=name, flag=flag, rname=mapper.ref_names[ci],
+                pos=local + 1, mapq=int(res["mapq"][b]),
+                cigar=cigar_to_string(res["ops"][b], res["n_ops"][b]),
+                seq=seq, qual=qual, rnext=rnext, pnext=pnext, tlen=tlen,
+                tags=tags,
+            ))
+    return out

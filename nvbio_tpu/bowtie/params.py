@@ -36,6 +36,10 @@ class MapParams:
     qgram_q: int = 12
     # extension scorer: "pallas" (TPU kernel), "scan" (XLA), or "auto"
     extension: str = "auto"
+    # paired-end (bowtie2 defaults: -I 0 -X 500, fr orientation)
+    minins: int = 0
+    maxins: int = 500
+    mate_rescue: bool = True
 
     @property
     def band(self) -> int:

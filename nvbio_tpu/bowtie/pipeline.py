@@ -6,17 +6,18 @@ Dense re-composition of nvBowtie's best-approx state machine
 
   reference (CUDA)                         this pipeline (TPU)
   ------------------------------------     ---------------------------------
-  SeedHitDequeArray priority deques        dense (B, S) SA ranges
+  SeedHitDequeArray priority deques        dense (B, S) SA/bucket ranges
   select (SumTree-sampled hits)            first-H rows per range (masked)
-  locate (sorted SSA lookups)              batched bounded LF-walk
-  score_best banded Gotoh kernels          batch_score_banded (lazy-F scan)
+  locate (sorted SSA lookups)              q-gram direct lookup / bounded LF
+  score_best banded Gotoh kernels          Pallas banded Gotoh (VMEM-resident)
   reduce best-2 w/ bail-out                masked argmax + distinct-locus 2nd
   banded_traceback_best                    direction-replay banded traceback
   BowtieMapq2                              mapq_v2_end_to_end
 
 Every stage is fixed-shape; "queues" are validity masks. One jit compiles the
 whole per-batch step; multi-chip scaling shards the batch dimension
-(see nvbio_tpu.parallel).
+(see nvbio_tpu.parallel). The paired-end pipeline (nvbio_tpu.bowtie.paired)
+reuses the candidate stage and adds pairing + mate rescue.
 """
 
 from __future__ import annotations
@@ -54,11 +55,24 @@ def _mm_penalties(quals, params: MapParams):
     return -pen.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def align_batch_core(index, genome_words, n_genome, reads, lens, quals, params: MapParams):
-    """Map one dense batch of reads. Returns a dict of per-read results.
+def score_min_of(lens, params: MapParams):
+    return jnp.ceil(
+        params.score_min_const + params.score_min_coeff * lens.astype(jnp.float32)
+    ).astype(jnp.int32)
 
-    ``index`` is an FMIndex or a QGramIndex, matching ``params.seeding``.
+
+def use_pallas_extension(params: MapParams) -> bool:
+    return params.extension == "pallas" or (
+        params.extension == "auto" and jax.default_backend() == "tpu"
+    )
+
+
+def read_candidates(index, genome_words, n_genome, reads, lens, quals,
+                    params: MapParams):
+    """Seed + locate + dedup + extension-score candidates for one batch.
+
+    Returns a dict with per-candidate arrays of shape (B, C):
+    scores / w0 / strand / valid, plus per-read rc reads and penalty planes.
     """
     P = params
     B, L = reads.shape
@@ -74,10 +88,7 @@ def align_batch_core(index, genome_words, n_genome, reads, lens, quals, params: 
     rev_idx = jnp.clip(lens[:, None] - 1 - jnp.arange(L, dtype=jnp.int32), 0, L - 1)
     rc = 3 - jnp.take_along_axis(reads, rev_idx, axis=1)
     mm = _mm_penalties(quals, P)
-    if mm is not None:
-        mm_rc = jnp.take_along_axis(mm, rev_idx, axis=1)
-    else:
-        mm_rc = None
+    mm_rc = None if mm is None else jnp.take_along_axis(mm, rev_idx, axis=1)
 
     # ---- seeding ----------------------------------------------------------
     starts = (jnp.arange(S1, dtype=jnp.int32) * P.seed_stride)  # (S1,)
@@ -86,7 +97,7 @@ def align_batch_core(index, genome_words, n_genome, reads, lens, quals, params: 
     rc_seeds = rc[:, seed_gather]
     seeds = jnp.concatenate([fwd_seeds, rc_seeds], axis=1)  # (B, 2*S1, s)
     seed_valid = (starts[None, :] + P.seed_len) <= lens[:, None]  # (B, S1)
-    seed_valid2 = jnp.concatenate([seed_valid, seed_valid], axis=1)  # (B, 2*S1)
+    seed_valid2 = jnp.concatenate([seed_valid, seed_valid], axis=1)
 
     k = jnp.arange(H, dtype=jnp.int32)
     if P.seeding == "qgram":
@@ -174,64 +185,108 @@ def align_batch_core(index, genome_words, n_genome, reads, lens, quals, params: 
     else:
         mm_flat = None
 
-    aligner = GotohAligner(SEMI_GLOBAL, P.scoring)
-    use_pallas = P.extension == "pallas" or (
-        P.extension == "auto" and jax.default_backend() == "tpu"
-    )
-    if use_pallas:
+    if use_pallas_extension(P):
         from nvbio_tpu.align.pallas_kernels import banded_score_semiglobal_pallas
 
         sc, _ = banded_score_semiglobal_pallas(
             pats, plens, win, wlens, P.scoring, W, mm_flat
         )
     else:
+        aligner = GotohAligner(SEMI_GLOBAL, P.scoring)
         sc = batch_score_banded(pats, plens, win, wlens, aligner, W, mm_flat).score
     scores = jnp.where(cand_valid.reshape(B * C), sc, neg).reshape(B, C)
+
+    return dict(
+        scores=scores, w0=w0, strand=cand_strand, valid=cand_valid,
+        reads=reads, lens=lens, rc=rc, mm=mm, mm_rc=mm_rc,
+    )
+
+
+def finalize_best(cands, genome_words, n_genome, best_idx, params: MapParams):
+    """Traceback + NM for one chosen candidate per read.
+
+    Re-extracts the winning windows from the genome (B windows) and runs the
+    direction-replay banded traceback.
+    """
+    P = params
+    W = P.band
+    reads, lens, rc = cands["reads"], cands["lens"], cands["rc"]
+    mm, mm_rc = cands["mm"], cands["mm_rc"]
+    B, L = reads.shape
+    TW = L + W - 1
+
+    best_pos = jnp.take_along_axis(cands["w0"], best_idx[:, None], axis=1)[:, 0]
+    best_strand = jnp.take_along_axis(cands["strand"], best_idx[:, None], axis=1)[:, 0]
+
+    btext = packed.extract_window_aligned(genome_words, best_pos, TW, 2)
+    btlen = jnp.clip(n_genome - best_pos, 0, TW).astype(jnp.int32)
+    bpat = jnp.where(best_strand[:, None], rc, reads)
+    bmm = None if mm is None else jnp.where(best_strand[:, None], mm_rc, mm)
+    aligner = GotohAligner(SEMI_GLOBAL, P.scoring)
+    tb = batch_traceback_banded(bpat, lens, btext, btlen, aligner, W, bmm)
+
+    # NM: mismatches within M ops + gap lengths (computed from the traceback)
+    ops = tb.ops  # (B, MAXS) forward order
+    is_m = ops == 1
+    is_i = ops == 2
+    is_d = ops == 3
+    pat_cursor = (
+        jnp.cumsum((is_m | is_i).astype(jnp.int32), axis=1) - 1
+        + tb.pattern_start[:, None]
+    )
+    txt_cursor = (
+        jnp.cumsum((is_m | is_d).astype(jnp.int32), axis=1) - 1
+        + tb.text_start[:, None]
+    )
+    pat_sym = jnp.take_along_axis(bpat, jnp.clip(pat_cursor, 0, L - 1), axis=1)
+    txt_sym = jnp.take_along_axis(btext, jnp.clip(txt_cursor, 0, TW - 1), axis=1)
+    mism = is_m & (pat_sym != txt_sym)
+    nm = jnp.sum((mism | is_i | is_d).astype(jnp.int32), axis=1)
+
+    return dict(
+        strand=best_strand,
+        window_start=best_pos,
+        text_start=tb.text_start,
+        ops=tb.ops,
+        n_ops=tb.n_ops,
+        nm=nm,
+        tb_score=tb.score,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def align_batch_core(index, genome_words, n_genome, reads, lens, quals,
+                     params: MapParams):
+    """Map one dense batch of reads (single-end). Returns per-read results.
+
+    ``index`` is an FMIndex or a QGramIndex, matching ``params.seeding``.
+    """
+    P = params
+    neg = jnp.int32(NEG_INF)
+    cands = read_candidates(index, genome_words, n_genome, reads, lens, quals, P)
+    scores, w0, strand = cands["scores"], cands["w0"], cands["strand"]
+    lens = cands["lens"]
 
     # ---- reduce: best + distinct-locus second best -------------------------
     best_idx = jnp.argmax(scores, axis=1).astype(jnp.int32)
     best_score = jnp.take_along_axis(scores, best_idx[:, None], axis=1)[:, 0]
     best_pos = jnp.take_along_axis(w0, best_idx[:, None], axis=1)[:, 0]
-    best_strand = jnp.take_along_axis(cand_strand, best_idx[:, None], axis=1)[:, 0]
+    best_strand = jnp.take_along_axis(strand, best_idx[:, None], axis=1)[:, 0]
 
     same_locus = (jnp.abs(w0 - best_pos[:, None]) <= 2 * P.max_dist) & (
-        cand_strand == best_strand[:, None]
+        strand == best_strand[:, None]
     )
     second_masked = jnp.where(same_locus, neg, scores)
     second_score = jnp.max(second_masked, axis=1)
 
-    # ---- traceback of winners ----------------------------------------------
-    win_b = win.reshape(B, C, TW)
-    wl_b = wlens.reshape(B, C)
-    btext = jnp.take_along_axis(win_b, best_idx[:, None, None], axis=1)[:, 0]
-    btlen = jnp.take_along_axis(wl_b, best_idx[:, None], axis=1)[:, 0]
-    bpat = jnp.where(best_strand[:, None], rc, reads)
-    bmm = None
-    if mm is not None:
-        bmm = jnp.where(best_strand[:, None], mm_rc, mm)
-    tb = batch_traceback_banded(bpat, lens, btext, btlen, aligner, W, bmm)
+    fin = finalize_best(cands, genome_words, n_genome, best_idx, P)
 
     # ---- mapq + thresholds --------------------------------------------------
-    score_min = jnp.ceil(
-        P.score_min_const + P.score_min_coeff * lens.astype(jnp.float32)
-    ).astype(jnp.int32)
+    score_min = score_min_of(lens, P)
     mapped = (best_score >= score_min) & (lens >= P.seed_len)
     has_second = second_score >= score_min
     mapq = mapq_v2_end_to_end(best_score, second_score, has_second, score_min)
     mapq = jnp.where(mapped, mapq, 0)
-
-    # NM: mismatches within M ops + gap lengths (computed from the traceback)
-    ops = tb.ops  # (B, MAXS) forward order
-    # text/pattern cursors per op via cumulative consumption
-    is_m = ops == 1
-    is_i = ops == 2
-    is_d = ops == 3
-    pat_cursor = jnp.cumsum((is_m | is_i).astype(jnp.int32), axis=1) - 1 + tb.pattern_start[:, None]
-    txt_cursor = jnp.cumsum((is_m | is_d).astype(jnp.int32), axis=1) - 1 + tb.text_start[:, None]
-    pat_sym = jnp.take_along_axis(bpat, jnp.clip(pat_cursor, 0, L - 1), axis=1)
-    txt_sym = jnp.take_along_axis(btext, jnp.clip(txt_cursor, 0, TW - 1), axis=1)
-    mism = is_m & (pat_sym != txt_sym)
-    nm = jnp.sum((mism | is_i | is_d).astype(jnp.int32), axis=1)
 
     return dict(
         mapped=mapped,
@@ -239,13 +294,13 @@ def align_batch_core(index, genome_words, n_genome, reads, lens, quals, params: 
         second_score=second_score,
         has_second=has_second,
         mapq=mapq,
-        strand=best_strand,
-        window_start=best_pos,
-        text_start=tb.text_start,
-        ops=tb.ops,
-        n_ops=tb.n_ops,
-        nm=nm,
-        rc_reads=rc,
+        strand=fin["strand"],
+        window_start=fin["window_start"],
+        text_start=fin["text_start"],
+        ops=fin["ops"],
+        n_ops=fin["n_ops"],
+        nm=fin["nm"],
+        rc_reads=cands["rc"],
     )
 
 
@@ -281,6 +336,10 @@ class ReadMapper:
             params=params,
         )
 
+    def contig_of(self, gpos: int):
+        ci = int(np.searchsorted(self.ref_offsets, gpos, side="right") - 1)
+        return ci, gpos - int(self.ref_offsets[ci])
+
     def map_batch(self, batch) -> list[SamRecord]:
         """Map a ReadBatch -> SAM records (host-side formatting)."""
         res = align_batch_core(
@@ -294,7 +353,6 @@ class ReadMapper:
         )
         res = {k: np.asarray(v) for k, v in res.items()}
         out = []
-        offsets = self.ref_offsets
         for b, name in enumerate(batch.names):
             if batch.lengths[b] == 0:
                 continue  # batch padding
@@ -310,8 +368,7 @@ class ReadMapper:
                 )
                 continue
             gpos = int(res["window_start"][b]) + int(res["text_start"][b])
-            ci = int(np.searchsorted(offsets, gpos, side="right") - 1)
-            local = gpos - int(offsets[ci])
+            ci, local = self.contig_of(gpos)
             strand = bool(res["strand"][b])
             if strand:
                 seq = codes_to_string(res["rc_reads"][b, :L], Alphabet.DNA)
