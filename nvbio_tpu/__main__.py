@@ -1,0 +1,27 @@
+"""CLI dispatcher: ``python -m nvbio_tpu <command> ...``."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="nvbio_tpu",
+        description="TPU-native bioinformatics framework (nvbio capabilities)",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    from nvbio_tpu.apps import aln_diff_app, index_app, map_app
+
+    index_app.add_parser(sub)
+    map_app.add_parser(sub)
+    aln_diff_app.add_parser(sub)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,59 @@
+"""`nvbio_tpu index` — build reference index artifacts from FASTA.
+
+Equivalent of nvBWT + nvSSA (``nvBWT/nvBWT.cu``, ``nvSSA/nvSSA.cpp``): packs
+the genome, builds the FM-index (BWT + occ + sampled SA) and/or the q-gram
+table, and writes .npz artifacts next to the output prefix:
+  <prefix>.ref.npz   packed reference + contig metadata
+  <prefix>.fmi.npz   FM-index (with --fmi)
+  <prefix>.qgram.npz q-gram index (default)
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def add_parser(sub):
+    p = sub.add_parser("index", help="build reference index artifacts")
+    p.add_argument("fasta", help="reference FASTA (.fa/.fa.gz)")
+    p.add_argument("prefix", help="output artifact prefix")
+    p.add_argument("--fmi", action="store_true", help="also build the FM-index")
+    p.add_argument("--no-qgram", action="store_true", help="skip the q-gram table")
+    p.add_argument("-q", type=int, default=12, help="q-gram length (default 12)")
+    p.add_argument("--sa-interval", type=int, default=8)
+    p.set_defaults(func=run)
+    return p
+
+
+def run(args):
+    from nvbio_tpu.io.reference import Reference
+    from nvbio_tpu.utils.console import log_info, log_stats
+
+    t0 = time.time()
+    ref = Reference.from_fasta(args.fasta)
+    log_info(
+        f"loaded {len(ref.names)} contigs, {ref.total_length:,} bp "
+        f"({time.time()-t0:.1f}s)"
+    )
+    ref.save(args.prefix + ".ref.npz")
+
+    if not args.no_qgram:
+        from nvbio_tpu.qgram import build_qgram_index
+
+        t0 = time.time()
+        qg = build_qgram_index(ref.codes, args.q)
+        qg.save(args.prefix + ".qgram.npz")
+        log_stats(f"q-gram index (q={args.q}) built in {time.time()-t0:.1f}s")
+
+    if args.fmi:
+        from nvbio_tpu.fmi.index import build_fmindex
+
+        t0 = time.time()
+        fmi = build_fmindex(ref.codes, sa_interval=args.sa_interval)
+        fmi.save(args.prefix + ".fmi.npz")
+        log_stats(
+            f"FM-index built in {time.time()-t0:.1f}s "
+            f"(primary={fmi.primary}, SA interval={fmi.sa_interval})"
+        )
+    return 0

@@ -1,0 +1,115 @@
+"""`nvbio_tpu map` — Bowtie2-style read mapping (nvBowtie equivalent).
+
+Single-end:  nvbio_tpu map <prefix|ref.fa> reads.fq[.gz] -o out.sam
+Paired-end:  nvbio_tpu map <prefix|ref.fa> -1 r1.fq -2 r2.fq -o out.sam
+
+Accepts either an index prefix produced by `nvbio_tpu index` or a raw FASTA
+(index built on the fly). Streams fixed-size batches to the device and
+overlaps host parsing with device compute.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def add_parser(sub):
+    p = sub.add_parser("map", help="map reads (SE or PE) -> SAM")
+    p.add_argument("reference", help="index prefix (from `index`) or FASTA")
+    p.add_argument("reads", nargs="?", help="single-end FASTQ(.gz)")
+    p.add_argument("-1", dest="mate1", help="mate-1 FASTQ (paired-end)")
+    p.add_argument("-2", dest="mate2", help="mate-2 FASTQ (paired-end)")
+    p.add_argument("-o", "--output", default="-", help="output SAM (default stdout)")
+    p.add_argument("--batch", type=int, default=4096)
+    p.add_argument("--max-read-len", type=int, default=128)
+    p.add_argument("--seed-len", type=int, default=22)
+    p.add_argument("--seed-stride", type=int, default=15)
+    p.add_argument("--hits-per-seed", type=int, default=4)
+    p.add_argument("--max-dist", type=int, default=8)
+    p.add_argument("--seeding", choices=["qgram", "fmi"], default="qgram")
+    p.add_argument("-I", "--minins", type=int, default=0)
+    p.add_argument("-X", "--maxins", type=int, default=500)
+    p.add_argument("--no-rescue", action="store_true")
+    p.set_defaults(func=run)
+    return p
+
+
+def _load_reference(path: str, params):
+    import os
+
+    from nvbio_tpu.io.reference import Reference
+
+    if path.endswith((".fa", ".fasta", ".fa.gz", ".fasta.gz")):
+        return Reference.from_fasta(path), None
+    ref = Reference.load(path + ".ref.npz")
+    index = None
+    if params.seeding == "qgram" and os.path.exists(path + ".qgram.npz"):
+        from nvbio_tpu.qgram import QGramIndex
+
+        index = QGramIndex.load(path + ".qgram.npz")
+    elif params.seeding == "fmi" and os.path.exists(path + ".fmi.npz"):
+        from nvbio_tpu.fmi.index import FMIndex
+
+        index = FMIndex.load(path + ".fmi.npz")
+    return ref, index
+
+
+def run(args):
+    from nvbio_tpu.bowtie.params import MapParams
+    from nvbio_tpu.bowtie.pipeline import ReadMapper
+    from nvbio_tpu.io.fastq import fastq_batches
+    from nvbio_tpu.io.sam import SamWriter
+    from nvbio_tpu.utils.console import log_info, log_stats
+
+    paired = args.mate1 is not None
+    if paired and not args.mate2:
+        raise SystemExit("paired-end needs both -1 and -2")
+    if not paired and not args.reads:
+        raise SystemExit("provide a reads file (or -1/-2 for paired-end)")
+
+    params = MapParams(
+        max_read_len=args.max_read_len,
+        seed_len=args.seed_len,
+        seed_stride=args.seed_stride,
+        hits_per_seed=args.hits_per_seed,
+        max_dist=args.max_dist,
+        seeding=args.seeding,
+        minins=args.minins,
+        maxins=args.maxins,
+        mate_rescue=not args.no_rescue,
+    )
+    t0 = time.time()
+    ref, index = _load_reference(args.reference, params)
+    mapper = ReadMapper.build(ref, params, index=index)
+    log_info(f"reference + index ready in {time.time()-t0:.1f}s "
+             f"({ref.total_length:,} bp, seeding={params.seeding})")
+
+    out = sys.stdout if args.output == "-" else open(args.output, "w")
+    lengths = (ref.offsets[1:] - ref.offsets[:-1]).tolist()
+    n_reads = n_mapped = 0
+    t0 = time.time()
+    with SamWriter(out, ref.names, lengths) as w:
+        if paired:
+            from nvbio_tpu.bowtie.paired import map_pair_batch
+
+            it1 = fastq_batches(args.mate1, args.batch, args.max_read_len)
+            it2 = fastq_batches(args.mate2, args.batch, args.max_read_len)
+            for b1, b2 in zip(it1, it2):
+                for rec in map_pair_batch(mapper, b1, b2):
+                    w.write(rec)
+                    n_reads += 1
+                    n_mapped += 0 if rec.flag & 0x4 else 1
+        else:
+            for batch in fastq_batches(args.reads, args.batch, args.max_read_len):
+                for rec in mapper.map_batch(batch):
+                    w.write(rec)
+                    n_reads += 1
+                    n_mapped += 0 if rec.flag & 0x4 else 1
+    dt = time.time() - t0
+    log_stats(
+        f"{n_reads:,} reads in {dt:.1f}s ({n_reads/max(dt,1e-9):,.0f} reads/s); "
+        f"{n_mapped:,} mapped ({100.0*n_mapped/max(n_reads,1):.2f}%)"
+    )
+    return 0

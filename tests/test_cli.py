@@ -1,0 +1,68 @@
+"""CLI app tests (index / map / aln-diff) via the module entry point."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from nvbio_tpu.alphabet import Alphabet, codes_to_string
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, "-m", "nvbio_tpu", *args],
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=600,
+    )
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, size=8000, dtype=np.uint8)
+    seq = codes_to_string(codes, Alphabet.DNA)
+    (d / "ref.fa").write_text(f">c1\n{seq}\n")
+    L = 60
+    lines = []
+    for i in range(12):
+        p = int(rng.integers(0, 8000 - L))
+        lines.append(f"@r{i}_{p}\n{seq[p:p+L]}\n+\n{'I'*L}\n")
+    (d / "reads.fq").write_text("".join(lines))
+    return d
+
+
+def test_cli_index_map_diff(dataset):
+    r = _run(["index", "ref.fa", "idx", "-q", "10"], dataset)
+    assert r.returncode == 0, r.stderr
+    assert (dataset / "idx.ref.npz").exists()
+    assert (dataset / "idx.qgram.npz").exists()
+
+    r = _run(
+        ["map", "idx", "reads.fq", "-o", "out.sam", "--max-read-len", "60",
+         "--seed-len", "16", "--seed-stride", "10", "--batch", "64",
+         "--max-dist", "4"],
+        dataset,
+    )
+    assert r.returncode == 0, r.stderr
+    sam = (dataset / "out.sam").read_text().splitlines()
+    body = [l for l in sam if not l.startswith("@")]
+    assert len(body) == 12
+    for line in body:
+        f = line.split("\t")
+        name_pos = int(f[0].split("_")[1])
+        assert not int(f[1]) & 0x4
+        assert int(f[3]) - 1 == name_pos
+
+    r = _run(["aln-diff", "out.sam", "out.sam", "--json"], dataset)
+    assert r.returncode == 0, r.stderr
+    import json
+
+    stats = json.loads(r.stdout)
+    assert stats["same_pos"] == stats["both_mapped"] == 12
