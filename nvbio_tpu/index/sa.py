@@ -15,8 +15,26 @@ from __future__ import annotations
 import numpy as np
 
 
-def suffix_array(codes: np.ndarray) -> np.ndarray:
-    """SA of text + sentinel: int64[n+1]; sentinel sorts first (sa[0] == n)."""
+def suffix_array(codes: np.ndarray, method: str = "auto") -> np.ndarray:
+    """SA of text + sentinel (n+1 entries, sa[0] == n).
+
+    method: "native" (C++ SA-IS, O(n)), "doubling" (numpy, O(n log^2 n)),
+    or "auto" (native if the toolchain is available, else doubling).
+    """
+    if method in ("auto", "native"):
+        try:
+            from nvbio_tpu import native
+
+            K = int(np.max(codes)) + 1 if len(codes) else 1
+            return native.sais_u8(codes, K=max(K, 4)).astype(np.int64)
+        except Exception:
+            if method == "native":
+                raise
+    return _suffix_array_doubling(codes)
+
+
+def _suffix_array_doubling(codes: np.ndarray) -> np.ndarray:
+    """Manber-Myers prefix doubling, fully vectorized numpy."""
     codes = np.asarray(codes)
     n = len(codes)
     s = np.empty(n + 1, dtype=np.int64)

@@ -1,0 +1,80 @@
+"""Native (C++) runtime components, built on demand with g++ + ctypes.
+
+The reference keeps its performance-critical host paths in C/C++ (suffix
+sorting via libdivsufsort/sais, BGZF/BAM codecs); this package does the same
+for the TPU framework's host side. Libraries are compiled once into
+``<pkg>/native/build/`` and loaded via ctypes (no pybind11 dependency).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_BUILD = os.path.join(_DIR, "build")
+_LOCK = threading.Lock()
+_LIBS: dict[str, ctypes.CDLL] = {}
+
+
+def _compile(name: str, sources: list[str]) -> str:
+    os.makedirs(_BUILD, exist_ok=True)
+    out = os.path.join(_BUILD, f"lib{name}.so")
+    srcs = [os.path.join(_DIR, s) for s in sources]
+    newest_src = max(os.path.getmtime(s) for s in srcs)
+    if os.path.exists(out) and os.path.getmtime(out) >= newest_src:
+        return out
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
+        "-o", out, *srcs,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return out
+
+
+def load(name: str, sources: list[str]) -> ctypes.CDLL:
+    """Compile (if stale) and dlopen a native library."""
+    with _LOCK:
+        if name not in _LIBS:
+            _LIBS[name] = ctypes.CDLL(_compile(name, sources))
+        return _LIBS[name]
+
+
+def sais_available() -> bool:
+    try:
+        get_sais()
+        return True
+    except Exception:
+        return False
+
+
+def get_sais() -> ctypes.CDLL:
+    import numpy as np  # noqa: F401
+
+    lib = load("nvbio_sais", ["sais.cpp"])
+    fn = lib.nvbio_tpu_sais_u8
+    fn.restype = ctypes.c_int
+    fn.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+    ]
+    return lib
+
+
+def sais_u8(codes, K: int = 4):
+    """Suffix array of ``codes`` (+ implicit sentinel): int32[n+1]."""
+    import numpy as np
+
+    lib = get_sais()
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = len(codes)
+    if n >= 2**31:
+        raise ValueError("text too long for int32 SA-IS (shard the genome)")
+    sa = np.empty(n + 1, dtype=np.int32)
+    rc = lib.nvbio_tpu_sais_u8(
+        codes.ctypes.data, np.int32(n), np.int32(K), sa.ctypes.data
+    )
+    if rc != 0:
+        raise RuntimeError(f"sais failed: {rc}")
+    return sa
