@@ -1,0 +1,131 @@
+"""MEM pipeline tests: SMEM correctness, chaining, end-to-end local mapping."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from nvbio_tpu.alphabet import Alphabet, codes_to_string, reverse_complement_codes
+from nvbio_tpu.fmi.index import build_fmindex
+from nvbio_tpu.fmi.mem import find_smems_batch, smem_extend_lengths
+from nvbio_tpu.io.fastq import ReadBatch
+from nvbio_tpu.io.reference import Reference
+from nvbio_tpu.mem import MemMapper, MemParams
+
+
+@pytest.fixture(scope="module")
+def genome():
+    rng = np.random.default_rng(21)
+    return rng.integers(0, 4, size=12000, dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def fmi_rev(genome):
+    return build_fmindex(genome[::-1].copy()).device()
+
+
+def brute_extend(genome, read, p):
+    """Longest exact match of read[p:...] somewhere in genome."""
+    gs = "".join(map(str, genome))
+    best = 0
+    for e in range(p + 1, len(read) + 1):
+        if gs.find("".join(map(str, read[p:e]))) >= 0:
+            best = e - p
+        else:
+            break
+    return best
+
+
+def test_smem_extend_lengths(genome, fmi_rev, rng):
+    L = 50
+    B = 6
+    reads = np.zeros((B, L), dtype=np.int32)
+    for b in range(B):
+        p = rng.integers(0, len(genome) - L)
+        reads[b] = genome[p:p + L]
+        # introduce a mismatch in the middle to split matches
+        reads[b, 25] = (reads[b, 25] + 1) % 4
+    lens = np.full(B, L, np.int32)
+    ext, lo, hi = smem_extend_lengths(fmi_rev, jnp.asarray(reads), jnp.asarray(lens))
+    ext = np.asarray(ext)
+    for b in range(B):
+        for p in [0, 10, 25, 26, 40]:
+            want = brute_extend(genome, reads[b], p)
+            assert ext[b, p] == want, f"b={b} p={p}: {ext[b,p]} != {want}"
+
+
+def test_find_smems(genome, fmi_rev, rng):
+    L = 60
+    p = 3000
+    read = genome[p:p + L].copy()
+    read[30] = (read[30] + 1) % 4  # split into two long SMEMs
+    sm = find_smems_batch(
+        fmi_rev, jnp.asarray(read[None, :].astype(np.int32)),
+        jnp.asarray([L], np.int32), min_len=19,
+    )
+    valid = np.asarray(sm.valid)[0]
+    qbeg = np.asarray(sm.qbeg)[0][valid]
+    qend = np.asarray(sm.qend)[0][valid]
+    spans = sorted(zip(qbeg.tolist(), qend.tolist()))
+    assert (0, 30) in spans       # left of the mismatch
+    assert any(b == 31 and e == 60 for b, e in spans)  # right of the mismatch
+    # located positions point at the true locus
+    tpos = np.asarray(sm.tpos)[0]
+    hv = np.asarray(sm.hit_valid)[0]
+    for s in range(len(valid)):
+        if valid[s] and hv[s, 0]:
+            b_, e_ = int(np.asarray(sm.qbeg)[0][s]), int(np.asarray(sm.qend)[0][s])
+            got = set(tpos[s][hv[s]].tolist())
+            assert p + b_ in got
+
+
+def test_mem_end_to_end(genome, rng):
+    ref = Reference.from_records([("chrM", codes_to_string(genome, Alphabet.DNA))])
+    params = MemParams(max_read_len=80, min_seed_len=15, max_dist=8)
+    mapper = MemMapper.build(ref, params)
+    B, L = 16, 80
+    reads, truth, strands = [], [], []
+    for i in range(B):
+        p = int(rng.integers(0, len(genome) - L))
+        r = genome[p:p + L].copy()
+        # a few mismatches
+        idx = rng.integers(0, L, size=2)
+        r[idx] = (r[idx] + 1) % 4
+        s = bool(i % 2)
+        if s:
+            r = reverse_complement_codes(r)
+        reads.append(r)
+        truth.append(p)
+        strands.append(s)
+    batch = ReadBatch(
+        names=[f"m{i}" for i in range(B)],
+        codes=np.stack(reads).astype(np.uint8),
+        quals=np.full((B, L), 30, np.uint8),
+        lengths=np.full(B, L, np.int32),
+    )
+    recs = mapper.map_batch(batch)
+    ok = 0
+    for rec, p, s in zip(recs, truth, strands):
+        if not rec.flag & 0x4 and abs(rec.pos - 1 - p) <= 10 \
+           and bool(rec.flag & 0x10) == s:
+            ok += 1
+    assert ok >= 0.85 * B
+
+
+def test_mem_soft_clip(genome):
+    """A read with garbage tail must come back soft-clipped (local mode)."""
+    rng = np.random.default_rng(5)
+    L = 80
+    p = 4000
+    r = genome[p:p + 60].copy()
+    tail = rng.integers(0, 4, size=20).astype(np.uint8)
+    read = np.concatenate([r, tail])
+    ref = Reference.from_records([("chrM", codes_to_string(genome, Alphabet.DNA))])
+    mapper = MemMapper.build(ref, MemParams(max_read_len=80, min_seed_len=15))
+    batch = ReadBatch(
+        names=["clip"], codes=read[None].astype(np.uint8),
+        quals=np.full((1, L), 30, np.uint8), lengths=np.array([L], np.int32),
+    )
+    rec = mapper.map_batch(batch)[0]
+    assert not rec.flag & 0x4
+    assert rec.pos - 1 == p
+    assert rec.cigar.endswith("S") and "60M" in rec.cigar
