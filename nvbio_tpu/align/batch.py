@@ -54,8 +54,16 @@ def _gap_params(aligner):
     return s.insertion, s.insertion, s.deletion, s.deletion
 
 
-def _subst_scores(p, t, match, mismatch):
-    """Elementwise substitution scores; int32."""
+def _subst_scores(p, t, match, mismatch, matrix=None):
+    """Elementwise substitution scores; int32.
+
+    With ``matrix`` (A x A int32, e.g. BLOSUM62), scores come from a table
+    lookup over (pattern symbol, text symbol) instead of match/mismatch.
+    """
+    if matrix is not None:
+        A = matrix.shape[0]
+        idx = p * A + jnp.clip(t, 0, A - 1)
+        return jnp.take(matrix.reshape(-1), jnp.clip(idx, 0, A * A - 1))
     return jnp.where(p == t, jnp.int32(match), mismatch)
 
 
@@ -84,6 +92,7 @@ def batch_score_banded(
     aligner,
     band: int,
     mismatch_scores: jnp.ndarray | None = None,  # (B, M) per-position penalty
+    subst_matrix: jnp.ndarray | None = None,     # (A, A) score table (protein)
 ) -> BestSink:
     """Banded alignment scores, band anchored at the window's main diagonal.
 
@@ -137,7 +146,7 @@ def batch_score_banded(
             mm = mm_scalar
         else:
             mm = jax.lax.dynamic_index_in_dim(mm_T, i - 1, axis=0, keepdims=False)[None, :]
-        sub = _subst_scores(p[None, :], trow, match, mm)
+        sub = _subst_scores(p[None, :], trow, match, mm, subst_matrix)
         tidx = (i - 1) + kcol  # (W, 1)
         sub = jnp.where(tidx < text_lens[None, :], sub, neg)
 
@@ -196,6 +205,7 @@ def batch_score_full(
     text_lens: jnp.ndarray,     # (B,)
     aligner,
     mismatch_scores: jnp.ndarray | None = None,
+    subst_matrix: jnp.ndarray | None = None,
 ) -> BestSink:
     """Full-matrix alignment via anti-diagonal wavefront.
 
@@ -276,7 +286,7 @@ def batch_score_full(
 
         ii = d - jj  # text index per slot
         mm = mm_scalar if mmrow is None else mmrow
-        sub = _subst_scores(pat_row, tw, match, mm)
+        sub = _subst_scores(pat_row, tw, match, mm, subst_matrix)
 
         def shift1(x, fill):
             return jnp.concatenate([jnp.full((B, 1), fill, x.dtype), x[:, :-1]], axis=1)
