@@ -13,12 +13,19 @@ def main(argv=None):
     )
     sub = parser.add_subparsers(dest="command", required=True)
 
-    from nvbio_tpu.apps import aln_diff_app, index_app, map_app, mem_app
+    from nvbio_tpu.apps import (
+        aln_diff_app,
+        correct_app,
+        index_app,
+        map_app,
+        mem_app,
+    )
 
     index_app.add_parser(sub)
     map_app.add_parser(sub)
     mem_app.add_parser(sub)
     aln_diff_app.add_parser(sub)
+    correct_app.add_parser(sub)
 
     args = parser.parse_args(argv)
     try:
