@@ -16,9 +16,11 @@ def main(argv=None):
     from nvbio_tpu.apps import (
         aln_diff_app,
         correct_app,
+        extract_app,
         index_app,
         map_app,
         mem_app,
+        setbwt_app,
     )
 
     index_app.add_parser(sub)
@@ -26,6 +28,8 @@ def main(argv=None):
     mem_app.add_parser(sub)
     aln_diff_app.add_parser(sub)
     correct_app.add_parser(sub)
+    extract_app.add_parser(sub)
+    setbwt_app.add_parser(sub)
 
     args = parser.parse_args(argv)
     try:

@@ -282,21 +282,19 @@ def batch_traceback_banded(
 
 
 def cigar_to_string(ops: np.ndarray, n_ops: int) -> str:
-    """Run-length encode a forward op array into a CIGAR string (host-side)."""
-    ops = np.asarray(ops)[:int(n_ops)]
-    if len(ops) == 0:
+    """Run-length encode a forward op array into a CIGAR string (host-side,
+    vectorized: boundary detection via one nonzero instead of a char loop)."""
+    n = int(n_ops)
+    ops = np.asarray(ops)[:n]
+    if n == 0:
         return "*"
-    out = []
-    run_op = ops[0]
-    run = 1
-    for o in ops[1:]:
-        if o == run_op:
-            run += 1
-        else:
-            out.append(f"{run}{_OP_CHARS[run_op].decode()}")
-            run_op, run = o, 1
-    out.append(f"{run}{_OP_CHARS[run_op].decode()}")
-    return "".join(out)
+    bounds = np.nonzero(ops[1:] != ops[:-1])[0]
+    ends = np.append(bounds + 1, n)
+    starts = np.insert(ends[:-1], 0, 0)
+    chars = "?MID"
+    return "".join(
+        f"{e - s}{chars[ops[s]]}" for s, e in zip(starts, ends)
+    )
 
 
 def ops_to_chars(ops: np.ndarray, n_ops: int) -> str:

@@ -14,6 +14,8 @@ import argparse
 import sys
 import time
 
+import numpy as np
+
 
 def add_parser(sub):
     p = sub.add_parser("map", help="map reads (SE or PE) -> SAM")
@@ -29,6 +31,7 @@ def add_parser(sub):
     p.add_argument("--hits-per-seed", type=int, default=4)
     p.add_argument("--max-dist", type=int, default=8)
     p.add_argument("--seeding", choices=["qgram", "fmi"], default="qgram")
+    p.add_argument("--report", help="write an HTML stats report")
     p.add_argument("-I", "--minins", type=int, default=0)
     p.add_argument("-X", "--maxins", type=int, default=500)
     p.add_argument("--no-rescue", action="store_true")
@@ -62,6 +65,7 @@ def run(args):
     from nvbio_tpu.io.fastq import fastq_batches
     from nvbio_tpu.io.sam import SamWriter
     from nvbio_tpu.utils.console import log_info, log_stats
+    from nvbio_tpu.utils.stats import AlignmentStats, html_report
 
     paired = args.mate1 is not None
     if paired and not args.mate2:
@@ -89,6 +93,7 @@ def run(args):
     out = sys.stdout if args.output == "-" else open(args.output, "w")
     lengths = (ref.offsets[1:] - ref.offsets[:-1]).tolist()
     n_reads = n_mapped = 0
+    stats = AlignmentStats()
     t0 = time.time()
     with SamWriter(out, ref.names, lengths) as w:
         if paired:
@@ -102,8 +107,29 @@ def run(args):
                     n_reads += 1
                     n_mapped += 0 if rec.flag & 0x4 else 1
         else:
+            # software pipelining: device compute of batch i+1 overlaps the
+            # host-side formatting/writing of batch i (async jax dispatch)
+            pending = None
             for batch in fastq_batches(args.reads, args.batch, args.max_read_len):
-                for rec in mapper.map_batch(batch):
+                res = mapper.dispatch(batch)
+                if pending is not None:
+                    pb, pres = pending
+                    stats.update_from_result(
+                        {k: np.asarray(v) for k, v in pres.items()},
+                        pb.lengths,
+                    )
+                    for rec in mapper.format_batch(pb, pres):
+                        w.write(rec)
+                        n_reads += 1
+                        n_mapped += 0 if rec.flag & 0x4 else 1
+                pending = (batch, res)
+            if pending is not None:
+                pb, pres = pending
+                stats.update_from_result(
+                    {k: np.asarray(v) for k, v in pres.items()},
+                    pb.lengths,
+                )
+                for rec in mapper.format_batch(pb, pres):
                     w.write(rec)
                     n_reads += 1
                     n_mapped += 0 if rec.flag & 0x4 else 1
@@ -112,4 +138,11 @@ def run(args):
         f"{n_reads:,} reads in {dt:.1f}s ({n_reads/max(dt,1e-9):,.0f} reads/s); "
         f"{n_mapped:,} mapped ({100.0*n_mapped/max(n_reads,1):.2f}%)"
     )
+    if args.report:
+        stats.wall_s = dt
+        if paired:
+            stats.n_reads, stats.n_mapped = n_reads, n_mapped
+        with open(args.report, "w") as f:
+            f.write(html_report(stats))
+        log_info(f"HTML report written to {args.report}")
     return 0

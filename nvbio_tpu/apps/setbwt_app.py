@@ -1,0 +1,35 @@
+"""`nvbio_tpu setbwt` — read-set BWT construction (nvSetBWT equivalent)."""
+
+from __future__ import annotations
+
+import time
+
+
+def add_parser(sub):
+    p = sub.add_parser("setbwt", help="build the BWT of a read set")
+    p.add_argument("reads", help="FASTQ(.gz)")
+    p.add_argument("output", help="output prefix (.setbwt.npz / .txt)")
+    p.add_argument("--txt", action="store_true", help="also write ASCII BWT")
+    p.set_defaults(func=run)
+    return p
+
+
+def run(args):
+    from nvbio_tpu.alphabet import Alphabet, string_to_codes
+    from nvbio_tpu.index.setbwt import bwt_to_text, save_set_bwt, set_bwt
+    from nvbio_tpu.io.fastq import read_fastq
+    from nvbio_tpu.utils.console import log_stats
+
+    t0 = time.time()
+    recs = read_fastq(args.reads)
+    reads = [string_to_codes(s, Alphabet.DNA) for _, s, _ in recs]
+    bwt, primary = set_bwt(reads)
+    save_set_bwt(args.output + ".setbwt.npz", bwt, primary)
+    if args.txt:
+        with open(args.output + ".setbwt.txt", "w") as f:
+            f.write(bwt_to_text(bwt))
+    log_stats(
+        f"set-BWT of {len(reads):,} reads ({len(bwt):,} symbols) "
+        f"in {time.time()-t0:.1f}s"
+    )
+    return 0

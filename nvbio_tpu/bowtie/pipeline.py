@@ -340,9 +340,13 @@ class ReadMapper:
         ci = int(np.searchsorted(self.ref_offsets, gpos, side="right") - 1)
         return ci, gpos - int(self.ref_offsets[ci])
 
-    def map_batch(self, batch) -> list[SamRecord]:
-        """Map a ReadBatch -> SAM records (host-side formatting)."""
-        res = align_batch_core(
+    def dispatch(self, batch):
+        """Enqueue device work for a batch (async; returns device arrays).
+
+        Splitting dispatch/format lets callers overlap host-side SAM
+        formatting of batch i with device compute of batch i+1 — the TPU
+        analogue of the reference's InputThread/ComputeThread overlap."""
+        return align_batch_core(
             self.index,
             self.genome_words,
             jnp.int32(self.n_genome),
@@ -351,6 +355,12 @@ class ReadMapper:
             jnp.asarray(batch.quals),
             self.params,
         )
+
+    def map_batch(self, batch) -> list[SamRecord]:
+        """Map a ReadBatch -> SAM records (host-side formatting)."""
+        return self.format_batch(batch, self.dispatch(batch))
+
+    def format_batch(self, batch, res) -> list[SamRecord]:
         res = {k: np.asarray(v) for k, v in res.items()}
         out = []
         for b, name in enumerate(batch.names):
