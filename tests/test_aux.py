@@ -1,0 +1,80 @@
+"""Aux subsystem tests: trie, persist/checksums, shared-memory serving."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from nvbio_tpu.trie import CsrTrie, SortedDictionary, pack_keys
+from nvbio_tpu.utils.persist import checksum, checksum_tree, diff_persisted, persist
+from nvbio_tpu.io.server import export_shared, load_shared
+
+
+def test_sorted_dictionary(rng):
+    strings = [rng.integers(0, 4, size=rng.integers(3, 10)).tolist()
+               for _ in range(50)]
+    d = SortedDictionary.build(strings)
+    qk = pack_keys(strings[:10])
+    hit, pay = d.find(qk)
+    assert hit.all()
+    # payloads map back to the original strings
+    for q, p in zip(strings[:10], pay):
+        assert strings[int(p)] == q
+    miss = pack_keys([[3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3]])
+    hit2, _ = d.find(miss)
+    if any(s == [3] * 12 for s in strings):
+        assert hit2.all()
+    # device lookups agree
+    dd = d.device()
+    hd, _ = dd.find(jnp.asarray(qk))
+    assert np.asarray(hd).all()
+
+
+def test_prefix_range(rng):
+    strings = [[0, 1, 2], [0, 1, 3], [0, 2, 0], [1, 0, 0]]
+    d = SortedDictionary.build(strings)
+    lo, hi = d.prefix_range([0, 1])
+    assert hi - lo == 2
+
+
+def test_csr_trie(rng):
+    strings = [rng.integers(0, 4, size=6).tolist() for _ in range(20)]
+    t = CsrTrie.build(strings)
+    q = np.array(strings[:8], dtype=np.int32)
+    pay = np.asarray(t.walk(q, np.full(8, 6, np.int32)))
+    for i, p in enumerate(pay):
+        assert strings[int(p)] == strings[i]
+
+
+def test_checksum_order_invariant(rng):
+    a = rng.integers(0, 1 << 30, size=1000).astype(np.int32)
+    b = a.copy()
+    rng.shuffle(b)
+    assert checksum(a) == checksum(b)
+    b[0] ^= 1
+    assert checksum(a) != checksum(b)
+
+
+def test_persist_diff(tmp_path, rng):
+    tree = {"x": rng.integers(0, 100, size=64), "y": rng.random(16)}
+    persist(str(tmp_path / "runA"), "stage1", tree)
+    tree2 = dict(tree)
+    tree2["x"] = tree["x"].copy()
+    tree2["x"][3] += 1
+    persist(str(tmp_path / "runB"), "stage1", tree2)
+    d = diff_persisted(
+        str(tmp_path / "runA.stage1.npz"), str(tmp_path / "runB.stage1.npz")
+    )
+    assert d["x"] == 1 and d["y"] == 0
+    cs = checksum_tree(tree)
+    assert set(cs) == {"x", "y"}
+
+
+def test_shared_export(tmp_path, rng):
+    from nvbio_tpu.qgram import QGramIndex, build_qgram_index
+
+    codes = rng.integers(0, 4, size=2000, dtype=np.uint8)
+    idx = build_qgram_index(codes, 6)
+    export_shared(str(tmp_path), "qg", idx)
+    loaded = load_shared(str(tmp_path), "qg", QGramIndex)
+    assert isinstance(loaded.offsets, np.memmap)
+    np.testing.assert_array_equal(np.asarray(loaded.offsets), idx.offsets)
+    assert loaded.q == idx.q and loaded.n == idx.n
