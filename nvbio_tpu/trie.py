@@ -18,7 +18,7 @@ from typing import Any
 import numpy as np
 
 
-def pack_keys(strings, bits: int = 2, max_len: int = 15) -> np.ndarray:
+def pack_keys(strings, bits: int = 2, max_len: int = 10) -> np.ndarray:
     """Pack code arrays into length-tagged int64 keys preserving lexicographic
     order: (symbols, MSB-first) then shorter-is-smaller via a length pad.
 
@@ -27,6 +27,8 @@ def pack_keys(strings, bits: int = 2, max_len: int = 15) -> np.ndarray:
     sbits = bits + 1
     if sbits * max_len > 62:
         raise ValueError("max_len too large for int64 keys")
+    # NOTE: keys wider than 31 bits are host-only (TPU jax runs with x64
+    # disabled); the default max_len=10 keeps DNA keys int32-safe
     out = np.zeros(len(strings), dtype=np.int64)
     for i, s in enumerate(strings):
         if len(s) > max_len:
@@ -46,10 +48,10 @@ class SortedDictionary:
     keys: Any                 # int64[n] sorted packed keys
     payload: Any              # int32[n] user values
     bits: int = 2
-    max_len: int = 15
+    max_len: int = 10
 
     @classmethod
-    def build(cls, strings, payload=None, bits: int = 2, max_len: int = 15):
+    def build(cls, strings, payload=None, bits: int = 2, max_len: int = 10):
         keys = pack_keys(strings, bits, max_len)
         order = np.argsort(keys, kind="stable")
         pay = (np.arange(len(strings), dtype=np.int32) if payload is None
@@ -59,6 +61,11 @@ class SortedDictionary:
     def device(self) -> "SortedDictionary":
         import jax.numpy as jnp
 
+        if (self.bits + 1) * self.max_len > 31:
+            raise ValueError(
+                "keys wider than 31 bits cannot round-trip through the "
+                "x64-disabled device; use a smaller max_len"
+            )
         return SortedDictionary(
             jnp.asarray(self.keys), jnp.asarray(self.payload),
             self.bits, self.max_len,
