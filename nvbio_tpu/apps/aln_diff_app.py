@@ -12,9 +12,9 @@ import json
 
 
 def add_parser(sub):
-    p = sub.add_parser("aln-diff", help="compare two SAM files")
-    p.add_argument("sam_l", help="left SAM")
-    p.add_argument("sam_r", help="right SAM")
+    p = sub.add_parser("aln-diff", help="compare two SAM/BAM files")
+    p.add_argument("sam_l", help="left SAM/BAM")
+    p.add_argument("sam_r", help="right SAM/BAM")
     p.add_argument("--pos-tolerance", type=int, default=0)
     p.add_argument("--json", action="store_true", help="emit machine-readable JSON")
     p.set_defaults(func=run)
@@ -22,9 +22,9 @@ def add_parser(sub):
 
 
 def _index_sam(path):
-    from nvbio_tpu.io.sam import read_sam
+    from nvbio_tpu.io.output import read_alignments
 
-    _, recs = read_sam(path)
+    _, recs = read_alignments(path)
     out = {}
     for r in recs:
         flag = int(r[1])

@@ -11,7 +11,6 @@ overlaps host parsing with device compute.
 from __future__ import annotations
 
 import argparse
-import sys
 import time
 
 import numpy as np
@@ -23,7 +22,7 @@ def add_parser(sub):
     p.add_argument("reads", nargs="?", help="single-end FASTQ(.gz)")
     p.add_argument("-1", dest="mate1", help="mate-1 FASTQ (paired-end)")
     p.add_argument("-2", dest="mate2", help="mate-2 FASTQ (paired-end)")
-    p.add_argument("-o", "--output", default="-", help="output SAM (default stdout)")
+    p.add_argument("-o", "--output", default="-", help="output SAM/BAM by extension (default stdout SAM)")
     p.add_argument("--batch", type=int, default=4096)
     p.add_argument("--max-read-len", type=int, default=128)
     p.add_argument("--seed-len", type=int, default=22)
@@ -63,7 +62,7 @@ def run(args):
     from nvbio_tpu.bowtie.params import MapParams
     from nvbio_tpu.bowtie.pipeline import ReadMapper
     from nvbio_tpu.io.fastq import fastq_batches
-    from nvbio_tpu.io.sam import SamWriter
+    from nvbio_tpu.io.output import open_alignment_output
     from nvbio_tpu.utils.console import log_info, log_stats
     from nvbio_tpu.utils.stats import AlignmentStats, html_report
 
@@ -90,12 +89,11 @@ def run(args):
     log_info(f"reference + index ready in {time.time()-t0:.1f}s "
              f"({ref.total_length:,} bp, seeding={params.seeding})")
 
-    out = sys.stdout if args.output == "-" else open(args.output, "w")
     lengths = (ref.offsets[1:] - ref.offsets[:-1]).tolist()
     n_reads = n_mapped = 0
     stats = AlignmentStats()
     t0 = time.time()
-    with SamWriter(out, ref.names, lengths) as w:
+    with open_alignment_output(args.output, ref.names, lengths) as w:
         if paired:
             from nvbio_tpu.bowtie.paired import map_pair_batch
 

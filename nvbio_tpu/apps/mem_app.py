@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import sys
 import time
 
 
@@ -23,7 +22,7 @@ def add_parser(sub):
 def run(args):
     from nvbio_tpu.io.fastq import fastq_batches
     from nvbio_tpu.io.reference import Reference
-    from nvbio_tpu.io.sam import SamWriter
+    from nvbio_tpu.io.output import open_alignment_output
     from nvbio_tpu.mem import MemMapper, MemParams
     from nvbio_tpu.utils.console import log_info, log_stats
 
@@ -36,10 +35,10 @@ def run(args):
     mapper = MemMapper.build(ref, params)
     log_info(f"MEM index ready in {time.time()-t0:.1f}s ({ref.total_length:,} bp)")
 
-    out = sys.stdout if args.output == "-" else open(args.output, "w")
     n = mapped = 0
     t0 = time.time()
-    with SamWriter(out, ref.names, (ref.offsets[1:] - ref.offsets[:-1]).tolist()) as w:
+    with open_alignment_output(args.output, ref.names,
+                               (ref.offsets[1:] - ref.offsets[:-1]).tolist()) as w:
         for batch in fastq_batches(args.reads, args.batch, args.max_read_len):
             for rec in mapper.map_batch(batch):
                 w.write(rec)

@@ -66,3 +66,30 @@ def test_cli_index_map_diff(dataset):
 
     stats = json.loads(r.stdout)
     assert stats["same_pos"] == stats["both_mapped"] == 12
+
+
+def test_cli_map_bam_output(dataset):
+    r = _run(["index", "ref.fa", "idxb", "-q", "10"], dataset)
+    assert r.returncode == 0, r.stderr
+    r = _run(
+        ["map", "idxb", "reads.fq", "-o", "out.bam", "--max-read-len", "60",
+         "--seed-len", "16", "--seed-stride", "10", "--batch", "64",
+         "--max-dist", "4"],
+        dataset,
+    )
+    assert r.returncode == 0, r.stderr
+    from nvbio_tpu.io.bam import read_bam
+
+    header, recs = read_bam(str(dataset / "out.bam"))
+    assert any(h.startswith("@SQ") for h in header)
+    assert len(recs) == 12
+    for f in recs:
+        assert int(f[3]) - 1 == int(f[0].split("_")[1])
+
+    # aln-diff reads BAM directly and must agree with the SAM twin
+    r = _run(["aln-diff", "out.bam", "out.bam", "--json"], dataset)
+    assert r.returncode == 0, r.stderr
+    import json
+
+    stats = json.loads(r.stdout)
+    assert stats["same_pos"] == stats["both_mapped"] == 12
