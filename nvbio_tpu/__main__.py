@@ -15,6 +15,7 @@ def main(argv=None):
 
     from nvbio_tpu.apps import (
         aln_diff_app,
+        assemble_app,
         correct_app,
         extract_app,
         index_app,
@@ -27,6 +28,7 @@ def main(argv=None):
     map_app.add_parser(sub)
     mem_app.add_parser(sub)
     aln_diff_app.add_parser(sub)
+    assemble_app.add_parser(sub)
     correct_app.add_parser(sub)
     extract_app.add_parser(sub)
     setbwt_app.add_parser(sub)
