@@ -22,6 +22,7 @@ def main(argv=None):
         map_app,
         mem_app,
         setbwt_app,
+        sort_app,
     )
 
     index_app.add_parser(sub)
@@ -32,6 +33,7 @@ def main(argv=None):
     correct_app.add_parser(sub)
     extract_app.add_parser(sub)
     setbwt_app.add_parser(sub)
+    sort_app.add_parser(sub)
 
     args = parser.parse_args(argv)
     try:

@@ -187,10 +187,10 @@ class BamWriter:
     """Drop-in sibling of ``SamWriter`` producing BGZF-compressed BAM."""
 
     def __init__(self, path_or_file, ref_names, ref_lengths,
-                 program="nvbio_tpu", level: int = 6):
+                 program="nvbio_tpu", level: int = 6, sort_order="unsorted"):
         self.bgzf = BgzfWriter(path_or_file, level)
         self.ref_ids = {str(n): i for i, n in enumerate(ref_names)}
-        header_text = "@HD\tVN:1.6\tSO:unsorted\n"
+        header_text = f"@HD\tVN:1.6\tSO:{sort_order}\n"
         for name, length in zip(ref_names, ref_lengths):
             header_text += f"@SQ\tSN:{name}\tLN:{int(length)}\n"
         header_text += f"@PG\tID:{program}\tPN:{program}\n"

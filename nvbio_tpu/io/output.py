@@ -12,17 +12,21 @@ import sys
 
 
 def open_alignment_output(path_or_dash, ref_names, ref_lengths,
-                          program: str = "nvbio_tpu"):
+                          program: str = "nvbio_tpu",
+                          sort_order: str = "unsorted"):
     """Open '-', *.sam, or *.bam for writing alignment records."""
     from nvbio_tpu.io.sam import SamWriter
 
     if path_or_dash == "-":
-        return SamWriter(sys.stdout, ref_names, ref_lengths, program)
+        return SamWriter(sys.stdout, ref_names, ref_lengths, program,
+                         sort_order=sort_order)
     if str(path_or_dash).endswith(".bam"):
         from nvbio_tpu.io.bam import BamWriter
 
-        return BamWriter(path_or_dash, ref_names, ref_lengths, program)
-    return SamWriter(str(path_or_dash), ref_names, ref_lengths, program)
+        return BamWriter(path_or_dash, ref_names, ref_lengths, program,
+                         sort_order=sort_order)
+    return SamWriter(str(path_or_dash), ref_names, ref_lengths, program,
+                     sort_order=sort_order)
 
 
 def read_alignments(path: str):

@@ -54,10 +54,11 @@ class SamRecord:
 
 
 class SamWriter:
-    def __init__(self, path_or_file, ref_names, ref_lengths, program="nvbio_tpu"):
+    def __init__(self, path_or_file, ref_names, ref_lengths, program="nvbio_tpu",
+                 sort_order="unsorted"):
         self._own = isinstance(path_or_file, str)
         self.f = open(path_or_file, "w") if self._own else path_or_file
-        self.f.write("@HD\tVN:1.6\tSO:unsorted\n")
+        self.f.write(f"@HD\tVN:1.6\tSO:{sort_order}\n")
         for name, length in zip(ref_names, ref_lengths):
             self.f.write(f"@SQ\tSN:{name}\tLN:{int(length)}\n")
         self.f.write(f"@PG\tID:{program}\tPN:{program}\n")

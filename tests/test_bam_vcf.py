@@ -148,3 +148,53 @@ def test_vcf_load_gz_append(tmp_path):
     from nvbio_tpu.alphabet import Alphabet, codes_to_string
 
     assert codes_to_string(db2.ref_seq(5), Alphabet.DNA_IUPAC) == "AT"
+
+
+def test_sort_alignments(tmp_path):
+    from nvbio_tpu.io.bamsort import sort_alignments
+    from nvbio_tpu.io.sam import SamWriter
+
+    rng = np.random.default_rng(13)
+    names, lens = ["c1", "c2"], [100000, 50000]
+    recs = []
+    for i in range(500):
+        chrom = int(rng.integers(0, 2))
+        pos = int(rng.integers(1, lens[chrom]))
+        flag = 4 if i % 50 == 0 else 0
+        recs.append(SamRecord(f"q{i}", flag, "*" if flag else names[chrom],
+                              0 if flag else pos, 30, "*" if flag else "10M",
+                              "ACGTACGTAC", "I" * 10))
+    src = str(tmp_path / "in.sam")
+    with SamWriter(src, names, lens) as w:
+        for r in recs:
+            w.write(r)
+
+    # small run_size forces the out-of-core spill + k-way merge path
+    out = str(tmp_path / "out.bam")
+    n = sort_alignments(src, out, run_size=64)
+    assert n == 500
+    from nvbio_tpu.io.bam import BamReader
+
+    with BamReader(out) as br:
+        assert "SO:coordinate" in br.header_text
+        got = list(br)
+    assert len(got) == 500
+    keys = [((0x7FFFFFFF, 0) if r.flag & 0x4 else
+             (names.index(r.rname), r.pos)) for r in got]
+    assert keys == sorted(keys)
+    # round-trip count by name must match
+    assert sorted(r.qname for r in got) == sorted(r.qname for r in recs)
+
+    # in-memory path (no spill) must agree
+    out2 = str(tmp_path / "out2.sam")
+    n2 = sort_alignments(src, out2, run_size=10_000)
+    assert n2 == 500
+    from nvbio_tpu.io.sam import read_sam
+
+    header, rows = read_sam(out2)
+    assert any("SO:coordinate" in h for h in header)
+    # same key sequence (tie order between equal keys may differ)
+    keys2 = [((0x7FFFFFFF, 0) if int(r[1]) & 0x4 else
+              (names.index(r[2]), int(r[3]))) for r in rows]
+    assert keys2 == keys
+    assert sorted(r[0] for r in rows) == sorted(r.qname for r in got)
