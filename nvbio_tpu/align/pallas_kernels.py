@@ -215,3 +215,250 @@ def _pad_rows(x, Lp):
     if x.shape[0] >= Lp:
         return x
     return jnp.pad(x, ((0, Lp - x.shape[0]), (0, 0)))
+
+
+# ---------------------------------------------------------------------------
+# Traceback: Pallas forward pass recording packed direction bytes + a
+# row-synchronous replay walk.
+#
+# The reference stores checkpointed direction-vector submatrices and replays
+# them per-thread (``nvbio/alignment/alignment.h:353-671``). Here the forward
+# pass is the same VMEM-resident band loop as the scoring kernel, emitting one
+# 4-bit code per cell into HBM; the walk then runs at the XLA level in
+# row-lockstep: every lane is at the same pattern row, so the direction-row
+# load is a dense dynamic slice and the per-lane band-offset select is a tiny
+# one-hot over W — no per-lane gathers (which would serialize on the scalar
+# core, ~8x slower end-to-end).
+# ---------------------------------------------------------------------------
+
+
+def _banded_tb_kernel(
+    pat_ref, plen_ref, txt_ref, tlen_ref, mm_ref,
+    score_ref, kbest_ref, ops_ref, nops_ref, kfin_ref, nm_ref,
+    H, E, FINAL, DIRS,
+    *, L, W, W8, MAXS, match, po, pe, to, te,
+):
+    """Fused banded Gotoh forward + traceback walk, all VMEM-resident.
+
+    Forward identical to ``_banded_dirs_kernel`` but directions stay in a
+    VMEM scratch plane; the walk then runs in-kernel row-synchronously (see
+    ``batch_traceback_banded_fast``), so no direction bytes ever reach HBM —
+    the on-chip equivalent of the reference's checkpointed traceback
+    (``nvbio/alignment/alignment.h:544-628``).
+    """
+    BLK = pat_ref.shape[1]
+    neg = jnp.int32(NEG_INF)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (W, BLK), 0)
+    kcol8 = jax.lax.broadcasted_iota(jnp.int32, (W8, BLK), 0)
+    TILE_T = _round_up(W + _ROWS - 1, _ROWS)
+
+    H[:] = jnp.zeros((W, BLK), jnp.int32)
+    E[:] = jnp.full((W, BLK), neg, jnp.int32)
+    FINAL[:] = jnp.full((W, BLK), neg, jnp.int32)
+
+    plen = plen_ref[0, :]
+    tlen = tlen_ref[0, :]
+
+    def shift_down(x, d):
+        return jnp.concatenate(
+            [jnp.full((d, BLK), neg, jnp.int32), x[:-d]], axis=0)
+
+    def shift_up(x, d):
+        return jnp.concatenate(
+            [x[d:], jnp.full((d, BLK), neg, jnp.int32)], axis=0)
+
+    n_blocks = (L + _ROWS - 1) // _ROWS
+
+    def body(t, _):
+        base = pl.multiple_of(t * _ROWS, _ROWS)
+        pat_tile = pat_ref[pl.ds(base, _ROWS), :]
+        mm_tile = mm_ref[pl.ds(base, _ROWS), :]
+        txt_tile = txt_ref[pl.ds(base, TILE_T), :]
+
+        for r in range(_ROWS):
+            i = base + r + 1
+            p = pat_tile[r:r + 1, :]
+            mmrow = mm_tile[r:r + 1, :]
+            trow = txt_tile[r:r + W, :]
+
+            sub = jnp.where(p == trow, jnp.int32(match), mmrow)
+            tidx = (i - 1) + kcol
+            sub = jnp.where(tidx < tlen[None, :], sub, neg)
+
+            H_prev = H[:]
+            E_prev = E[:]
+            diag = H_prev + sub
+
+            Hp = shift_up(H_prev, 1)
+            Ep = shift_up(E_prev, 1)
+            Erow = jnp.maximum(Ep + pe, Hp + po)
+            e_ext = Ep + pe >= Hp + po
+            H0r = jnp.maximum(diag, Erow)
+
+            G = H0r + (jnp.int32(to) - jnp.int32(te) * kcol)
+            d = 1
+            while d < W:
+                G = jnp.maximum(G, shift_down(G, d))
+                d *= 2
+            excl = shift_down(G, 1)
+            F = excl + jnp.int32(te) * (kcol - 1)
+            Fsh = shift_down(F, 1)
+            f_ext = F == Fsh + jnp.int32(te)
+            Hrow = jnp.maximum(H0r, F)
+
+            hdir = jnp.where(Hrow == diag, 0,
+                             jnp.where(Hrow == Erow, 1, 2))
+            mism = (p != trow).astype(jnp.int32)  # bit 4: NM during the walk
+            byte = (hdir
+                    | (e_ext.astype(jnp.int32) << 2)
+                    | (f_ext.astype(jnp.int32) << 3)
+                    | (mism << 4))
+            pad = jnp.zeros((W8 - W, BLK), jnp.int32)
+            DIRS[pl.ds((i - 1) * W8, W8), :] = jnp.concatenate(
+                [byte, pad], axis=0)
+
+            H[:] = Hrow
+            E[:] = Erow
+            at_final = (i == plen)[None, :]
+            FINAL[:] = jnp.where(at_final, Hrow, FINAL[:])
+        return 0
+
+    jax.lax.fori_loop(0, n_blocks, body, 0)
+
+    fin = FINAL[:]
+    smax = jnp.max(fin, axis=0)
+    score_ref[0, :] = smax
+    k0 = jnp.min(jnp.where(fin == smax[None, :], kcol, jnp.int32(W)), axis=0)
+    k0 = jnp.minimum(k0, jnp.int32(W - 1))
+    kbest_ref[0, :] = k0
+
+    # ---- row-synchronous walk, dirs resident in VMEM ----------------------
+    ops_rows = jax.lax.broadcasted_iota(jnp.int32, (MAXS, BLK), 0)
+    ops_ref[:] = jnp.zeros((MAXS, BLK), jnp.int32)
+
+    def walk_cond(c):
+        r, i, k, st, cursor, nm = c
+        return r >= 1
+
+    def walk_step(c):
+        r, i, k, st, cursor, nm = c
+        row = DIRS[pl.ds(pl.multiple_of((r - 1) * W8, _ROWS), W8), :]
+        act = i == r
+        cell = jnp.sum(jnp.where(kcol8 == k[None, :], row, 0), axis=0)
+        hdir = cell & 3
+        e_ext = (cell >> 2) & 1
+        f_ext = (cell >> 3) & 1
+        mism = (cell >> 4) & 1
+        sel = jnp.where(st == 1, 1, jnp.where(st == 2, 2, hdir))
+        op = jnp.where(sel == 0, 1, jnp.where(sel == 1, 2, 3))
+        # NM: mismatching M cells + every gap op
+        nm = nm + jnp.where(act,
+                            jnp.where(sel == 0, mism, 1), 0)
+        di = jnp.where(sel == 2, 0, 1)
+        dk = jnp.where(sel == 0, 0, jnp.where(sel == 1, 1, -1))
+        new_st = jnp.where(
+            sel == 0, 0,
+            jnp.where(sel == 1,
+                      jnp.where(e_ext == 1, 1, 0),
+                      jnp.where(f_ext == 1, 2, 0)))
+        ops_ref[:] = ops_ref[:] + jnp.where(
+            act[None, :] & (ops_rows == cursor[None, :]), op[None, :], 0)
+        cursor = jnp.where(act, cursor + 1, cursor)
+        i = jnp.where(act, i - di, i)
+        k = jnp.where(act, jnp.clip(k + dk, 0, W - 1), k)
+        st = jnp.where(act, new_st, st)
+        # advance to the next row only once every lane has left this one
+        r = jnp.where(jnp.any(i == r), r, r - 1)
+        return r, i, k, st, cursor, nm
+
+    zero_v = jnp.zeros((BLK,), jnp.int32)
+    r0 = jnp.int32(L)
+    _, iF, kF, _, cursor, nm = jax.lax.while_loop(
+        walk_cond, walk_step, (r0, plen, k0, zero_v, zero_v, zero_v))
+    nops_ref[0, :] = cursor
+    kfin_ref[0, :] = kF
+    nm_ref[0, :] = nm
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scoring", "band", "block", "interpret"))
+def banded_traceback_semiglobal_pallas(
+    patterns, pattern_lens, texts, text_lens, scoring: GotohScoring,
+    band: int, mismatch_scores=None, block: int = 512, interpret: bool = False,
+):
+    """Fused forward + traceback: returns (score, k_best, ops_rev (B, MAXS),
+    n_ops, k_final, nm) with ops in end->start order (op codes 1/2/3 =
+    M/I/D); nm is the edit-op count (mismatching M cells + gap ops)."""
+    B, M = patterns.shape
+    W = band
+    W8 = _round_up(W, _ROWS)
+    MAXS = _round_up(M + W, _ROWS)
+    TW = M + W - 1
+    Lp = _round_up(M, _ROWS)
+    max_blk = max(128, (6 * 2**20 // (Lp * W8 * 4)) // 128 * 128)
+    BLK = min(block, max_blk, _round_up(max(B, 128), 128))
+    Bp = _round_up(B, BLK)
+    TILE_T = _round_up(W + _ROWS - 1, _ROWS)
+    TWp = (Lp - _ROWS) + TILE_T
+
+    patterns_T = _pad_rows(_pad_cols(patterns.astype(jnp.int32).T, Bp), Lp)
+    texts = texts.astype(jnp.int32)
+    if texts.shape[1] < TW:
+        texts = jnp.pad(texts, ((0, 0), (0, TW - texts.shape[1])))
+    texts_T = _pad_rows(_pad_cols(texts[:, :TW].T, Bp), TWp)
+    plens = _pad_cols(pattern_lens.astype(jnp.int32)[None, :], Bp)
+    tlens = _pad_cols(text_lens.astype(jnp.int32)[None, :], Bp)
+    if mismatch_scores is None:
+        mm_T = jnp.full((Lp, Bp), scoring.mismatch, jnp.int32)
+    else:
+        mm_T = _pad_rows(_pad_cols(mismatch_scores.astype(jnp.int32).T, Bp), Lp)
+
+    kern = functools.partial(
+        _banded_tb_kernel,
+        L=M, W=W, W8=W8, MAXS=MAXS, match=scoring.match,
+        po=scoring.pattern_gap_open, pe=scoring.pattern_gap_ext,
+        to=scoring.text_gap_open, te=scoring.text_gap_ext,
+    )
+    grid = (Bp // BLK,)
+    col = lambda j: (0, j)
+    score, kbest, ops_rev, n_ops, k_fin, nm = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Lp, BLK), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLK), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TWp, BLK), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLK), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lp, BLK), col, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLK), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLK), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((MAXS, BLK), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLK), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLK), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLK), col, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((MAXS, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, BLK), jnp.int32),
+            pltpu.VMEM((W, BLK), jnp.int32),
+            pltpu.VMEM((W, BLK), jnp.int32),
+            pltpu.VMEM((Lp * W8, BLK), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=16 * Bp * M * W,
+            bytes_accessed=4 * Bp * (2 * M + TW + MAXS),
+            transcendentals=0,
+        ),
+    )(patterns_T, plens, texts_T, tlens, mm_T)
+    return (score[0, :B], kbest[0, :B], ops_rev[:, :B].T,
+            n_ops[0, :B], k_fin[0, :B], nm[0, :B])

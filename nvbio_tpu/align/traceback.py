@@ -281,11 +281,14 @@ def batch_traceback_banded(
     )
 
 
-def cigar_to_string(ops: np.ndarray, n_ops: int) -> str:
+def cigar_to_string(ops: np.ndarray, n_ops: int, reverse: bool = False) -> str:
     """Run-length encode a forward op array into a CIGAR string (host-side,
-    vectorized: boundary detection via one nonzero instead of a char loop)."""
+    vectorized: boundary detection via one nonzero instead of a char loop).
+    ``reverse=True`` consumes end->start op arrays (the TPU fast path)."""
     n = int(n_ops)
     ops = np.asarray(ops)[:n]
+    if reverse:
+        ops = ops[::-1]
     if n == 0:
         return "*"
     bounds = np.nonzero(ops[1:] != ops[:-1])[0]
@@ -300,3 +303,59 @@ def cigar_to_string(ops: np.ndarray, n_ops: int) -> str:
 def ops_to_chars(ops: np.ndarray, n_ops: int) -> str:
     """Expand a forward op array to an 'MID' character string."""
     return "".join("?MID"[o] for o in np.asarray(ops)[:int(n_ops)])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scoring", "band", "interpret"))
+def batch_traceback_banded_fast(
+    patterns: jnp.ndarray,
+    pattern_lens: jnp.ndarray,
+    texts: jnp.ndarray,
+    text_lens: jnp.ndarray,
+    scoring,
+    band: int,
+    mismatch_scores: jnp.ndarray | None = None,
+    interpret: bool = False,
+):
+    """SEMI_GLOBAL Gotoh traceback on the TPU fast path.
+
+    Returns ``(TracebackResult, nm)`` — nm is the SAM NM edit count,
+    accumulated during the in-kernel walk (a mismatch bit rides in the
+    direction byte), which avoids the two (B, M+W) per-lane symbol gathers
+    the generic NM computation needs.
+
+    NOTE: unlike ``batch_traceback_banded``, ``ops`` is returned in
+    END->START order (as the walk emits it). Reversing on device would be
+    one more per-lane gather; the host CIGAR formatter reverses for free
+    (``cigar_to_string(..., reverse=True)``).
+
+    Same result contract as ``batch_traceback_banded`` with a
+    ``GotohAligner(SEMI_GLOBAL, scoring)``, but runs as ONE fused Pallas
+    kernel: the forward pass records 4-bit directions into a VMEM scratch
+    plane (never HBM), then replays them in-kernel with a row-synchronous
+    walk — every lane is at the same pattern row, so the direction row is a
+    dense slice and the per-lane band-offset select is a one-hot over the
+    band. This avoids both the generic walk's per-lane gathers (scalar-core
+    loads) and XLA while-loop per-iteration overheads.
+    """
+    from nvbio_tpu.align.pallas_kernels import (
+        banded_traceback_semiglobal_pallas,
+    )
+
+    B, M = patterns.shape
+    W = band
+    pattern_lens = pattern_lens.astype(jnp.int32)
+
+    score, k0, ops_rev, n_ops, k_fin, nm = banded_traceback_semiglobal_pallas(
+        patterns, pattern_lens, texts, text_lens, scoring, W,
+        mismatch_scores, interpret=interpret)
+
+    return TracebackResult(
+        score=score,
+        ops=ops_rev,  # end->start order; host formatter reverses
+        n_ops=n_ops,
+        pattern_start=jnp.zeros((B,), jnp.int32),
+        pattern_end=pattern_lens,
+        text_start=k_fin,
+        text_end=pattern_lens + k0,
+    ), nm

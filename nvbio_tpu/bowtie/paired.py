@@ -266,6 +266,9 @@ def map_pair_batch(mapper, batch1, batch2):
         quals_to_string,
     )
 
+    from nvbio_tpu.bowtie.pipeline import use_pallas_extension
+
+    rev_ops = use_pallas_extension(mapper.params)
     res1, res2, pinfo = align_paired_core(
         mapper.index, mapper.genome_words, jnp.int32(mapper.n_genome),
         jnp.asarray(batch1.codes), jnp.asarray(batch1.lengths),
@@ -343,7 +346,8 @@ def map_pair_batch(mapper, batch1, batch2):
             out.append(SamRecord(
                 qname=name, flag=flag, rname=mapper.ref_names[ci],
                 pos=local + 1, mapq=int(res["mapq"][b]),
-                cigar=cigar_to_string(res["ops"][b], res["n_ops"][b]),
+                cigar=cigar_to_string(res["ops"][b], res["n_ops"][b],
+                                      reverse=rev_ops),
                 seq=seq, qual=qual, rnext=rnext, pnext=pnext, tlen=tlen,
                 tags=tags,
             ))

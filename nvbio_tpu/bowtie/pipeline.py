@@ -222,26 +222,33 @@ def finalize_best(cands, genome_words, n_genome, best_idx, params: MapParams):
     btlen = jnp.clip(n_genome - best_pos, 0, TW).astype(jnp.int32)
     bpat = jnp.where(best_strand[:, None], rc, reads)
     bmm = None if mm is None else jnp.where(best_strand[:, None], mm_rc, mm)
-    aligner = GotohAligner(SEMI_GLOBAL, P.scoring)
-    tb = batch_traceback_banded(bpat, lens, btext, btlen, aligner, W, bmm)
+    if use_pallas_extension(P):
+        from nvbio_tpu.align.traceback import batch_traceback_banded_fast
 
-    # NM: mismatches within M ops + gap lengths (computed from the traceback)
-    ops = tb.ops  # (B, MAXS) forward order
-    is_m = ops == 1
-    is_i = ops == 2
-    is_d = ops == 3
-    pat_cursor = (
-        jnp.cumsum((is_m | is_i).astype(jnp.int32), axis=1) - 1
-        + tb.pattern_start[:, None]
-    )
-    txt_cursor = (
-        jnp.cumsum((is_m | is_d).astype(jnp.int32), axis=1) - 1
-        + tb.text_start[:, None]
-    )
-    pat_sym = jnp.take_along_axis(bpat, jnp.clip(pat_cursor, 0, L - 1), axis=1)
-    txt_sym = jnp.take_along_axis(btext, jnp.clip(txt_cursor, 0, TW - 1), axis=1)
-    mism = is_m & (pat_sym != txt_sym)
-    nm = jnp.sum((mism | is_i | is_d).astype(jnp.int32), axis=1)
+        # nm comes out of the fused kernel walk (no symbol gathers needed)
+        tb, nm = batch_traceback_banded_fast(
+            bpat, lens, btext, btlen, P.scoring, W, bmm)
+    else:
+        aligner = GotohAligner(SEMI_GLOBAL, P.scoring)
+        tb = batch_traceback_banded(bpat, lens, btext, btlen, aligner, W, bmm)
+
+        # NM: mismatches within M ops + gap lengths (from the traceback)
+        ops = tb.ops  # (B, MAXS) forward order
+        is_m = ops == 1
+        is_i = ops == 2
+        is_d = ops == 3
+        pat_cursor = (
+            jnp.cumsum((is_m | is_i).astype(jnp.int32), axis=1) - 1
+            + tb.pattern_start[:, None]
+        )
+        txt_cursor = (
+            jnp.cumsum((is_m | is_d).astype(jnp.int32), axis=1) - 1
+            + tb.text_start[:, None]
+        )
+        pat_sym = jnp.take_along_axis(bpat, jnp.clip(pat_cursor, 0, L - 1), axis=1)
+        txt_sym = jnp.take_along_axis(btext, jnp.clip(txt_cursor, 0, TW - 1), axis=1)
+        mism = is_m & (pat_sym != txt_sym)
+        nm = jnp.sum((mism | is_i | is_d).astype(jnp.int32), axis=1)
 
     return dict(
         strand=best_strand,
@@ -362,6 +369,9 @@ class ReadMapper:
 
     def format_batch(self, batch, res) -> list[SamRecord]:
         res = {k: np.asarray(v) for k, v in res.items()}
+        # the TPU fast-path traceback emits ops end->start (see
+        # batch_traceback_banded_fast); reverse while formatting
+        rev_ops = use_pallas_extension(self.params)
         out = []
         for b, name in enumerate(batch.names):
             if batch.lengths[b] == 0:
@@ -399,7 +409,8 @@ class ReadMapper:
                     rname=self.ref_names[ci],
                     pos=local + 1,
                     mapq=int(res["mapq"][b]),
-                    cigar=cigar_to_string(res["ops"][b], res["n_ops"][b]),
+                    cigar=cigar_to_string(res["ops"][b], res["n_ops"][b],
+                                          reverse=rev_ops),
                     seq=seq,
                     qual=qual,
                     tags=tags,

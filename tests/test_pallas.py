@@ -50,3 +50,59 @@ def test_pallas_banded_no_quals(rng):
         jnp.asarray(tlens), SC, W, block=128, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want.score))
+
+
+def test_fused_traceback_parity(rng):
+    """Fused Pallas traceback (forward + in-VMEM walk) vs the generic
+    scan-based traceback: scores, op sequences, spans, and NM must match."""
+    from nvbio_tpu.align.traceback import (
+        batch_traceback_banded,
+        batch_traceback_banded_fast,
+        cigar_to_string,
+    )
+
+    B, M, W = 48, 40, 11
+    TW = M + W - 1
+    pats = rng.integers(0, 4, size=(B, M)).astype(np.int32)
+    txts = rng.integers(0, 4, size=(B, TW)).astype(np.int32)
+    for b in range(0, B, 2):  # half are real alignments, some with an indel
+        t = txts[b, 4:4 + M].copy()
+        if b % 4 == 0 and M > 12:
+            t = np.concatenate([t[:10], t[11:], t[-1:]])
+        pats[b] = t[:M]
+    plens = rng.integers(M // 2, M + 1, size=B).astype(np.int32)
+    tlens = np.full(B, TW, np.int32)
+    mm = -rng.integers(2, 7, size=(B, M)).astype(np.int32)
+
+    aligner = GotohAligner(SEMI_GLOBAL, SC)
+    ref = batch_traceback_banded(
+        jnp.asarray(pats), jnp.asarray(plens), jnp.asarray(txts),
+        jnp.asarray(tlens), aligner, W, jnp.asarray(mm))
+    fast, nm = batch_traceback_banded_fast(
+        jnp.asarray(pats), jnp.asarray(plens), jnp.asarray(txts),
+        jnp.asarray(tlens), SC, W, jnp.asarray(mm), interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(ref.score), np.asarray(fast.score))
+    np.testing.assert_array_equal(np.asarray(ref.n_ops), np.asarray(fast.n_ops))
+    np.testing.assert_array_equal(np.asarray(ref.text_start),
+                                  np.asarray(fast.text_start))
+    # fast ops are end->start; CIGARs must agree after host reversal
+    for b in range(B):
+        want = cigar_to_string(np.asarray(ref.ops)[b], int(ref.n_ops[b]))
+        got = cigar_to_string(np.asarray(fast.ops)[b], int(fast.n_ops[b]),
+                              reverse=True)
+        assert want == got, f"read {b}: {want} != {got}"
+    # NM parity vs recompute from the reference walk
+    ro = np.asarray(ref.ops)
+    for b in range(B):
+        pc = int(np.asarray(ref.pattern_start)[b])
+        tc = int(np.asarray(ref.text_start)[b])
+        want_nm = 0
+        for o in ro[b][:int(ref.n_ops[b])]:
+            if o == 1:
+                want_nm += int(pats[b, pc] != txts[b, tc]); pc += 1; tc += 1
+            elif o == 2:
+                want_nm += 1; pc += 1
+            else:
+                want_nm += 1; tc += 1
+        assert int(nm[b]) == want_nm, b
