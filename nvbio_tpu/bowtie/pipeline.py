@@ -46,13 +46,13 @@ from nvbio_tpu.alphabet import Alphabet, codes_to_string
 
 
 def _mm_penalties(quals, params: MapParams):
-    """Bowtie2 quality-dependent mismatch penalty (negative scores)."""
+    """Bowtie2 quality-dependent mismatch penalty (positive magnitude)."""
     if not params.use_quality_penalties:
         return None
     q = jnp.minimum(quals.astype(jnp.int32), 40)
     span = params.mm_penalty_max - params.mm_penalty_min
     pen = params.mm_penalty_min + (2 * span * q + 40) // 80  # round-half-up /40
-    return -pen.astype(jnp.int32)
+    return pen.astype(jnp.int32)
 
 
 def score_min_of(lens, params: MapParams):
@@ -85,10 +85,13 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
     neg = jnp.int32(NEG_INF)
 
     # ---- strands ----------------------------------------------------------
-    rev_idx = jnp.clip(lens[:, None] - 1 - jnp.arange(L, dtype=jnp.int32), 0, L - 1)
-    rc = 3 - jnp.take_along_axis(reads, rev_idx, axis=1)
-    mm = _mm_penalties(quals, P)
-    mm_rc = None if mm is None else jnp.take_along_axis(mm, rev_idx, axis=1)
+    # reversal through the packed word domain (packed.reverse_rows): the
+    # naive per-lane take_along_axis gathers lower to scalar loads (~15 ms
+    # per (B, L) plane on v5e); this is dense vector work instead
+    rc = 3 - packed.reverse_rows(reads, lens, 2)
+    pen = _mm_penalties(quals, P)
+    mm = None if pen is None else -pen
+    mm_rc = None if pen is None else -packed.reverse_rows(pen, lens, 8)
 
     # ---- seeding ----------------------------------------------------------
     starts = (jnp.arange(S1, dtype=jnp.int32) * P.seed_stride)  # (S1,)
@@ -173,27 +176,43 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
     cand_strand = jnp.arange(C, dtype=jnp.int32)[None, :] >= NCH  # False=fwd
 
     # ---- extension scoring -------------------------------------------------
-    win = packed.extract_window_aligned(genome_words, w0.reshape(B * C), TW, 2)
-    wlens = jnp.clip(n_genome - w0.reshape(B * C), 0, TW).astype(jnp.int32)
+    if use_pallas_extension(P) and B % 1024 == 0:
+        # register-tiled path: slot-major candidate blocks, per-read pattern
+        # tiles selected fwd/rc in-kernel, text windows gathered straight
+        # into the blocked layout — no (B*C, L) operand is materialized
+        from nvbio_tpu.align.pallas_kernels import banded_score_cands_regtile
 
-    pat_sel = jnp.where(cand_strand[:, :, None], rc[:, None, :], reads[:, None, :])
-    pats = pat_sel.reshape(B * C, L)
-    plens = jnp.broadcast_to(lens[:, None], (B, C)).reshape(B * C)
-    if mm is not None:
-        mm_sel = jnp.where(cand_strand[:, :, None], mm_rc[:, None, :], mm[:, None, :])
-        mm_flat = mm_sel.reshape(B * C, L)
-    else:
-        mm_flat = None
-
-    if use_pallas_extension(P):
-        from nvbio_tpu.align.pallas_kernels import banded_score_semiglobal_pallas
-
-        sc, _ = banded_score_semiglobal_pallas(
-            pats, plens, win, wlens, P.scoring, W, mm_flat
+        w0_sm = w0.T.reshape(C * B)
+        wlens_sm = jnp.clip(n_genome - w0_sm, 0, TW).astype(jnp.int32)
+        sc_sm, _ = banded_score_cands_regtile(
+            reads, rc, lens, w0_sm, wlens_sm, genome_words,
+            P.scoring, W, C, NCH, mm, mm_rc,
         )
+        sc = sc_sm.reshape(C, B).T.reshape(B * C)
     else:
-        aligner = GotohAligner(SEMI_GLOBAL, P.scoring)
-        sc = batch_score_banded(pats, plens, win, wlens, aligner, W, mm_flat).score
+        win = packed.extract_window_aligned(genome_words, w0.reshape(B * C), TW, 2)
+        wlens = jnp.clip(n_genome - w0.reshape(B * C), 0, TW).astype(jnp.int32)
+
+        pat_sel = jnp.where(cand_strand[:, :, None], rc[:, None, :], reads[:, None, :])
+        pats = pat_sel.reshape(B * C, L)
+        plens = jnp.broadcast_to(lens[:, None], (B, C)).reshape(B * C)
+        if mm is not None:
+            mm_sel = jnp.where(cand_strand[:, :, None], mm_rc[:, None, :], mm[:, None, :])
+            mm_flat = mm_sel.reshape(B * C, L)
+        else:
+            mm_flat = None
+
+        if use_pallas_extension(P):
+            from nvbio_tpu.align.pallas_kernels import (
+                banded_score_semiglobal_pallas,
+            )
+
+            sc, _ = banded_score_semiglobal_pallas(
+                pats, plens, win, wlens, P.scoring, W, mm_flat
+            )
+        else:
+            aligner = GotohAligner(SEMI_GLOBAL, P.scoring)
+            sc = batch_score_banded(pats, plens, win, wlens, aligner, W, mm_flat).score
     scores = jnp.where(cand_valid.reshape(B * C), sc, neg).reshape(B, C)
 
     return dict(

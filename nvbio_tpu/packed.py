@@ -165,3 +165,92 @@ def _ns(arr):
     import jax.numpy as jnp
 
     return jnp
+
+
+def extract_window_blocked(words, start_blocked, win_rows: int, bits: int):
+    """``extract_window_aligned`` emitting the register-tile block layout.
+
+    start_blocked: (G, 8, 128) int32 window starts; returns
+    (G, win_rows, 8, 128) int32 symbol codes — symbols along axis 1 — the
+    native operand layout of the register-tiled Pallas kernels, produced
+    directly by the word gather (no post-hoc transpose of a (B, W) matrix).
+    """
+    import jax.numpy as jnp
+
+    spw = symbols_per_word(bits)
+    n_words = (win_rows + spw - 1) // spw + 1
+    start = jnp.asarray(start_blocked, jnp.int32)
+    G = start.shape[0]
+    word0 = start // spw
+    off = start % spw
+
+    widx = word0[:, None] + jnp.arange(n_words, dtype=jnp.int32)[None, :, None, None]
+    wds = jnp.take(words, jnp.clip(widx, 0, words.shape[0] - 1),
+                   axis=0).astype(jnp.uint32)          # (G, NW, 8, 128)
+
+    sh = (off * bits).astype(jnp.uint32)[:, None]
+    lo = wds[:, :-1] >> sh
+    hi = jnp.where(sh == 0, jnp.uint32(0), wds[:, 1:] << (32 - sh))
+    aligned = lo | hi                                   # (G, NW-1, 8, 128)
+
+    shifts = (jnp.arange(spw, dtype=jnp.uint32) * bits)[None, None, :, None, None]
+    syms = (aligned[:, :, None] >> shifts) & ((1 << bits) - 1)
+    flat = syms.reshape(G, -1, 8, 128)                  # contiguous expand
+    return flat[:, :win_rows].astype(jnp.int32)
+
+
+def reverse_rows(x, lens, bits: int):
+    """Per-row reversal by variable length, gather-light (jnp).
+
+    y[b, j] = x[b, lens[b]-1-j] for j < lens[b] (tail contents undefined).
+
+    The naive formulation is a (B, L) per-lane gather, which lowers to
+    scalar-core loads on TPU. Here rows are packed to 32-bit words
+    (``bits`` per symbol), symbol-reversed with static mask/shift ops, and
+    re-aligned with a word-level take (L/spw words per row) plus a dense
+    sub-word funnel shift — the same word-funnel trick as
+    ``extract_window_aligned`` (reference ``strings/vectorized_string.h``).
+    """
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+    B, L = x.shape
+    spw = symbols_per_word(bits)
+    Lw = (L + spw - 1) // spw
+    Ls = Lw * spw
+    mask = jnp.uint32((1 << bits) - 1)
+
+    # pack (static): (B, Lw) words, symbol j at bit (j % spw) * bits
+    xp = jnp.pad(x.astype(jnp.uint32) & mask, ((0, 0), (0, Ls - L)))
+    grouped = xp.reshape(B, Lw, spw)
+    shifts = (jnp.arange(spw, dtype=jnp.uint32) * bits)[None, None, :]
+    words = jnp.sum(grouped << shifts, axis=-1, dtype=jnp.uint32)
+
+    # reverse symbols within each word (static log-step swap network)
+    w = words
+    if bits <= 1:
+        w = ((w & 0x55555555) << 1) | ((w >> 1) & 0x55555555)
+    if bits <= 2:
+        w = ((w & 0x33333333) << 2) | ((w >> 2) & 0x33333333)
+    if bits <= 4:
+        w = ((w & 0x0F0F0F0F) << 4) | ((w >> 4) & 0x0F0F0F0F)
+    if bits <= 8:
+        w = ((w & 0x00FF00FF) << 8) | ((w >> 8) & 0x00FF00FF)
+    w = (w << 16) | (w >> 16)
+    # reverse word order: full row now reversed with Ls-len leading junk
+    w = w[:, ::-1]
+
+    # align: drop s = Ls - len leading symbols
+    s = (Ls - lens.astype(jnp.int32))
+    s_words = s // spw
+    s_sub = (s % spw).astype(jnp.uint32) * bits
+    widx = jnp.arange(Lw, dtype=jnp.int32)[None, :] + s_words[:, None]
+    wlo = jnp.take_along_axis(w, jnp.clip(widx, 0, Lw - 1), axis=1)
+    whi = jnp.take_along_axis(w, jnp.clip(widx + 1, 0, Lw - 1), axis=1)
+    whi = jnp.where((widx + 1) <= Lw - 1, whi, 0)
+    sh = s_sub[:, None]
+    aligned = jnp.where(sh == 0, wlo, (wlo >> sh) | (whi << (32 - sh)))
+
+    # unpack (static)
+    syms = (aligned[:, :, None] >> shifts) & mask
+    return syms.reshape(B, -1)[:, :L].astype(x.dtype)
