@@ -565,12 +565,30 @@ def banded_score_semiglobal_regtile(
     tlb = jnp.pad(text_lens.astype(jnp.int32), (0, Bp - B)).reshape(
         G, 1, 8, 128)
 
+    score, kbest = regtile_score_blocked(
+        patsb, plb, txtsb, tlb, mmb, scoring=scoring, band=W, length=M,
+        interpret=interpret)
+    return score.reshape(Bp)[:B], kbest.reshape(Bp)[:B]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scoring", "band", "length", "interpret"))
+def regtile_score_blocked(patsb, plb, txtsb, tlb, mmb, *, scoring,
+                          band, length, interpret=False):
+    """Register-tiled scorer over pre-blocked (G, rows, 8, 128) operands.
+
+    The pure DP engine — this is what kernel GCUPS should be measured on
+    (operands already resident in their native layout, like the reference's
+    PSA harness feeding from device buffers)."""
+    G, Lp = patsb.shape[0], patsb.shape[1]
+    TWp = txtsb.shape[1]
+    M, W = length, band
     kern = functools.partial(
         _regtile_kernel, L=M, W=W, match=scoring.match,
         po=scoring.pattern_gap_open, pe=scoring.pattern_gap_ext,
         to=scoring.text_gap_open, te=scoring.text_gap_ext)
     blk = lambda g: (g, 0, 0, 0)
-    score, kbest = pl.pallas_call(
+    return pl.pallas_call(
         kern, grid=(G,),
         in_specs=[
             pl.BlockSpec((1, Lp, 8, 128), blk, memory_space=pltpu.VMEM),
@@ -586,10 +604,10 @@ def banded_score_semiglobal_regtile(
         out_shape=[jax.ShapeDtypeStruct((G, 1, 8, 128), jnp.int32)] * 2,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=12 * Bp * M * W, bytes_accessed=4 * Bp * (2 * M + TW),
+            flops=12 * G * 1024 * M * W,
+            bytes_accessed=4 * G * 1024 * (2 * M + M + W),
             transcendentals=0),
     )(patsb, plb, txtsb, tlb, mmb)
-    return score.reshape(Bp)[:B], kbest.reshape(Bp)[:B]
 
 
 def _regtile_cand_kernel(fwd_ref, rc_ref, mmf_ref, mmr_ref, plen_ref,
