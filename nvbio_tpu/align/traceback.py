@@ -286,17 +286,19 @@ def cigar_to_string(ops: np.ndarray, n_ops: int, reverse: bool = False) -> str:
     vectorized: boundary detection via one nonzero instead of a char loop).
     ``reverse=True`` consumes end->start op arrays (the TPU fast path)."""
     n = int(n_ops)
+    if n == 0:
+        return "*"
     ops = np.asarray(ops)[:n]
     if reverse:
         ops = ops[::-1]
-    if n == 0:
-        return "*"
     bounds = np.nonzero(ops[1:] != ops[:-1])[0]
-    ends = np.append(bounds + 1, n)
-    starts = np.insert(ends[:-1], 0, 0)
     chars = "?MID"
+    if not len(bounds):  # single-run fast path (most reads: all-M)
+        return f"{n}{chars[int(ops[0])]}"
+    edges = [0, *(bounds + 1).tolist(), n]
     return "".join(
-        f"{e - s}{chars[ops[s]]}" for s, e in zip(starts, ends)
+        f"{edges[i + 1] - edges[i]}{chars[int(ops[edges[i]])]}"
+        for i in range(len(edges) - 1)
     )
 
 

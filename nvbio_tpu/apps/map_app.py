@@ -112,10 +112,7 @@ def run(args):
                 res = mapper.dispatch(batch)
                 if pending is not None:
                     pb, pres = pending
-                    stats.update_from_result(
-                        {k: np.asarray(v) for k, v in pres.items()},
-                        pb.lengths,
-                    )
+                    stats.update_from_result(pres, pb.lengths)
                     for rec in mapper.format_batch(pb, pres):
                         w.write(rec)
                         n_reads += 1
@@ -123,10 +120,7 @@ def run(args):
                 pending = (batch, res)
             if pending is not None:
                 pb, pres = pending
-                stats.update_from_result(
-                    {k: np.asarray(v) for k, v in pres.items()},
-                    pb.lengths,
-                )
+                stats.update_from_result(pres, pb.lengths)
                 for rec in mapper.format_batch(pb, pres):
                     w.write(rec)
                     n_reads += 1

@@ -269,13 +269,18 @@ def finalize_best(cands, genome_words, n_genome, best_idx, params: MapParams):
         mism = is_m & (pat_sym != txt_sym)
         nm = jnp.sum((mism | is_i | is_d).astype(jnp.int32), axis=1)
 
+    # pure-match reads (no I/D): #D == 0 iff n_ops == plen, and then
+    # #I == 0 iff the text span equals plen too — their CIGAR is just "{L}M",
+    # so the host never needs their op rows (lazy readback in format_batch)
+    simple = (tb.n_ops == lens) & ((tb.text_end - tb.text_start) == lens)
     return dict(
         strand=best_strand,
         window_start=best_pos,
         text_start=tb.text_start,
-        ops=tb.ops,
+        ops=tb.ops.astype(jnp.uint8),
         n_ops=tb.n_ops,
         nm=nm,
+        simple=simple,
         tb_score=tb.score,
     )
 
@@ -326,7 +331,7 @@ def align_batch_core(index, genome_words, n_genome, reads, lens, quals,
         ops=fin["ops"],
         n_ops=fin["n_ops"],
         nm=fin["nm"],
-        rc_reads=cands["rc"],
+        simple=fin["simple"],
     )
 
 
@@ -387,49 +392,97 @@ class ReadMapper:
         return self.format_batch(batch, self.dispatch(batch))
 
     def format_batch(self, batch, res) -> list[SamRecord]:
+        res_dev_ops = res["ops"]  # keep on device for lazy row fetch
+        # one bulk transfer instead of a round trip per key (the remote
+        # relay charges ~50ms latency per fetch)
+        res = jax.device_get({k: v for k, v in res.items() if k != "ops"})
         res = {k: np.asarray(v) for k, v in res.items()}
         # the TPU fast-path traceback emits ops end->start (see
         # batch_traceback_banded_fast); reverse while formatting
         rev_ops = use_pallas_extension(self.params)
+
+        # batch-level vectorized prep: bulk ASCII translation, contig
+        # binning, and numpy->python conversion (per-record numpy scalar
+        # handling dominates the naive loop at ~27us/record)
+        from nvbio_tpu.alphabet import _FROM_CODE
+
+        table = _FROM_CODE[Alphabet.DNA]
+        rc_table = table[[3, 2, 1, 0]]  # complement in code space
+        codes_np = np.asarray(batch.codes, np.uint8)
+        fwd_ascii = table[codes_np]
+        # rc recomputed host-side from the reads we already hold (left-
+        # aligned per read happens at slice time via the length offset)
+        rc_full = rc_table[codes_np][:, ::-1]
+        q_ascii = np.asarray(batch.quals, np.uint8) + 33
+        qr_ascii = q_ascii[:, ::-1]
+        lengths = np.asarray(batch.lengths).tolist()
+        mapped = res["mapped"].tolist()
+        strands = res["strand"].tolist()
+        gpos_all = res["window_start"] + res["text_start"]
+        # vectorized contig_of
+        cis = (np.searchsorted(self.ref_offsets, gpos_all, side="right") - 1)
+        locals_ = (gpos_all - self.ref_offsets[np.clip(cis, 0, None)]).tolist()
+        cis = cis.tolist()
+        gpos_all = gpos_all.tolist()
+        mapqs = res["mapq"].tolist()
+        scores = res["best_score"].tolist()
+        nms = res["nm"].tolist()
+        has2 = res["has_second"].tolist()
+        second = res["second_score"].tolist()
+        n_ops_l = res["n_ops"].tolist()
+        simple = res["simple"]
+        # lazy readback: only reads with indels need their op rows (on the
+        # remote relay a full (B, M+W) ops fetch costs ~1s/batch; gapped
+        # reads are typically <1%)
+        gap_rows = np.flatnonzero(~simple & res["mapped"])
+        if len(gap_rows):
+            ops_dev = res_dev_ops
+            if isinstance(ops_dev, np.ndarray):
+                ops_rows = ops_dev[gap_rows]
+            else:
+                ops_rows = np.asarray(ops_dev[jnp.asarray(gap_rows)])
+            ops_of = dict(zip(gap_rows.tolist(), ops_rows))
+        else:
+            ops_of = {}
+        simple = simple.tolist()
+        Lfull = fwd_ascii.shape[1]
+
         out = []
         for b, name in enumerate(batch.names):
-            if batch.lengths[b] == 0:
+            L = lengths[b]
+            if L == 0:
                 continue  # batch padding
-            L = int(batch.lengths[b])
-            fwd_seq = codes_to_string(batch.codes[b, :L], Alphabet.DNA)
-            if not res["mapped"][b]:
+            if not mapped[b]:
                 out.append(
                     SamRecord(
                         qname=name, flag=FLAG_UNMAPPED, rname="*", pos=0,
-                        mapq=0, cigar="*", seq=fwd_seq,
-                        qual=quals_to_string(batch.quals[b], L),
+                        mapq=0, cigar="*",
+                        seq=fwd_ascii[b, :L].tobytes().decode(),
+                        qual=q_ascii[b, :L].tobytes().decode(),
                     )
                 )
                 continue
-            gpos = int(res["window_start"][b]) + int(res["text_start"][b])
-            ci, local = self.contig_of(gpos)
-            strand = bool(res["strand"][b])
+            ci, local = cis[b], locals_[b]
+            strand = strands[b]
             if strand:
-                seq = codes_to_string(res["rc_reads"][b, :L], Alphabet.DNA)
-                qual = quals_to_string(batch.quals[b, :L][::-1], L)
+                seq = rc_full[b, Lfull - L:].tobytes().decode()
+                qual = qr_ascii[b, Lfull - L:].tobytes().decode()
             else:
-                seq = fwd_seq
-                qual = quals_to_string(batch.quals[b], L)
-            tags = {
-                "AS": int(res["best_score"][b]),
-                "NM": int(res["nm"][b]),
-            }
-            if res["has_second"][b]:
-                tags["XS"] = int(res["second_score"][b])
+                seq = fwd_ascii[b, :L].tobytes().decode()
+                qual = q_ascii[b, :L].tobytes().decode()
+            tags = {"AS": scores[b], "NM": nms[b]}
+            if has2[b]:
+                tags["XS"] = second[b]
             out.append(
                 SamRecord(
                     qname=name,
                     flag=FLAG_REVERSE if strand else 0,
                     rname=self.ref_names[ci],
                     pos=local + 1,
-                    mapq=int(res["mapq"][b]),
-                    cigar=cigar_to_string(res["ops"][b], res["n_ops"][b],
-                                          reverse=rev_ops),
+                    mapq=mapqs[b],
+                    cigar=(f"{n_ops_l[b]}M" if simple[b] else
+                           cigar_to_string(ops_of[b], n_ops_l[b],
+                                           reverse=rev_ops)),
                     seq=seq,
                     qual=qual,
                     tags=tags,

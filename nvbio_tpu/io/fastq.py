@@ -4,6 +4,10 @@ The reference streams FASTQ through a dedicated input thread into reusable
 pinned buffers (``nvBowtie/bowtie2/cuda/input_thread.h``); the TPU analogue
 is `fastq_batches`, a generator yielding fixed-shape numpy batches that the
 pipeline overlaps with device steps via double-buffered `device_put`.
+
+Parsing is bytes-in, arrays-out: sequence/quality lines are joined into one
+flat buffer and translated/scattered into the padded (B, L) matrices with
+single numpy ops — no per-read loop touches symbol data.
 """
 
 from __future__ import annotations
@@ -41,24 +45,41 @@ def read_fastq(path: str) -> list[tuple[str, str, str]]:
     return out
 
 
+def _fill_padded(chunks, max_len: int):
+    """bytes rows -> (padded uint8 matrix, lengths) via one flat gather."""
+    B = len(chunks)
+    lens = np.fromiter((len(c) for c in chunks), np.int64, count=B)
+    lens = np.minimum(lens, max_len)
+    flat = np.frombuffer(b"".join(chunks), np.uint8)
+    starts = np.zeros(B, np.int64)
+    np.cumsum(np.fromiter((len(c) for c in chunks), np.int64, count=B)[:-1],
+              out=starts[1:])
+    idx = starts[:, None] + np.arange(max_len)
+    valid = np.arange(max_len)[None, :] < lens[:, None]
+    mat = flat[np.minimum(idx, max(len(flat) - 1, 0))] * valid
+    return mat.astype(np.uint8), lens.astype(np.int32)
+
+
+def batch_from_bytes(names, seq_lines, qual_lines, max_len: int,
+                     alphabet: Alphabet = Alphabet.DNA) -> ReadBatch:
+    """Build a ReadBatch from raw bytes lines (vectorized, no per-read ops)."""
+    table = _TO_CODE[alphabet]
+    seq_mat, lengths = _fill_padded(seq_lines, max_len)
+    qual_mat, _ = _fill_padded(qual_lines, max_len)
+    codes = table[seq_mat]
+    valid = np.arange(max_len)[None, :] < lengths[:, None]
+    codes = np.where(valid, codes, 0).astype(np.uint8)
+    quals = np.where(valid, np.maximum(qual_mat, 33) - 33, 0).astype(np.uint8)
+    return ReadBatch(names, codes, quals, lengths)
+
+
 def batch_from_records(
     records, max_len: int, alphabet: Alphabet = Alphabet.DNA
 ) -> ReadBatch:
-    B = len(records)
-    codes = np.zeros((B, max_len), dtype=np.uint8)
-    quals = np.zeros((B, max_len), dtype=np.uint8)
-    lengths = np.zeros(B, dtype=np.int32)
-    table = _TO_CODE[alphabet]
-    names = []
-    for b, (name, seq, qual) in enumerate(records):
-        L = min(len(seq), max_len)
-        raw = np.frombuffer(seq[:L].encode(), dtype=np.uint8)
-        codes[b, :L] = table[raw]
-        q = np.frombuffer(qual[:L].encode(), dtype=np.uint8)
-        quals[b, :L] = np.maximum(q, 33) - 33
-        lengths[b] = L
-        names.append(name)
-    return ReadBatch(names, codes, quals, lengths)
+    names = [r[0] for r in records]
+    seqs = [r[1].encode() for r in records]
+    quals = [r[2].encode() for r in records]
+    return batch_from_bytes(names, seqs, quals, max_len, alphabet)
 
 
 def fastq_batches(
@@ -67,12 +88,20 @@ def fastq_batches(
 ):
     """Yield fixed-shape ReadBatches; the final batch is zero-padded to
     batch_size (static shapes for jit) with lengths == 0 marking padding."""
-    records = read_fastq(path)
-    for i in range(0, len(records), batch_size):
-        chunk = records[i:i + batch_size]
-        batch = batch_from_records(chunk, max_len, alphabet)
-        if pad_to_full and len(chunk) < batch_size:
-            pad = batch_size - len(chunk)
+    with _open_maybe_gz(path) as f:
+        data = f.read()
+    lines = data.split(b"\n")
+    n_reads = (len(lines) + 1) // 4  # trailing newline tolerant
+    while n_reads and len(lines) <= 4 * (n_reads - 1) + 1:
+        n_reads -= 1
+    for i in range(0, n_reads, batch_size):
+        j = min(i + batch_size, n_reads)
+        names = [lines[4 * b][1:].split()[0].decode() for b in range(i, j)]
+        seqs = [lines[4 * b + 1] for b in range(i, j)]
+        quals = [lines[4 * b + 3] for b in range(i, j)]
+        batch = batch_from_bytes(names, seqs, quals, max_len, alphabet)
+        if pad_to_full and (j - i) < batch_size:
+            pad = batch_size - (j - i)
             batch = ReadBatch(
                 batch.names + [""] * pad,
                 np.pad(batch.codes, ((0, pad), (0, 0))),
