@@ -17,6 +17,7 @@ def add_parser(sub):
     p.add_argument("sam_r", help="right SAM/BAM")
     p.add_argument("--pos-tolerance", type=int, default=0)
     p.add_argument("--json", action="store_true", help="emit machine-readable JSON")
+    p.add_argument("--html", help="write an HTML comparison report")
     p.set_defaults(func=run)
     return p
 
@@ -75,8 +76,37 @@ def diff_stats(sam_l: str, sam_r: str, pos_tolerance: int = 0) -> dict:
     return stats
 
 
+def _html_report(stats, left, right) -> str:
+    """Self-contained HTML diff report (reference aln-diff HTML output)."""
+    bm = max(stats["both_mapped"], 1)
+    rows = "".join(
+        f"<tr><td>{k.replace('_', ' ')}</td><td>{stats[k]}</td>"
+        f"<td>{100.0 * stats[k] / bm:.2f}%</td></tr>"
+        for k in ("same_pos", "same_strand", "same_cigar", "same_mapq"))
+    hist = "".join(
+        f"<tr><td>{k}</td><td>{v}</td></tr>"
+        for k, v in stats["pos_diff_hist"].items())
+    return f"""<!DOCTYPE html><html><head><title>aln-diff</title><style>
+body{{font-family:sans-serif;margin:2em}}table{{border-collapse:collapse}}
+td,th{{border:1px solid #999;padding:4px 10px;text-align:right}}
+th{{background:#eee}}</style></head><body>
+<h1>alignment diff</h1>
+<p>L: <code>{left}</code> ({stats['n_left']} records)<br>
+R: <code>{right}</code> ({stats['n_right']} records)<br>
+common: {stats['n_common']}, both mapped: {stats['both_mapped']},
+L-only: {stats['only_left']}, R-only: {stats['only_right']}</p>
+<table><tr><th>agreement</th><th>count</th><th>% of both-mapped</th></tr>
+{rows}</table>
+<h2>position-difference histogram</h2>
+<table><tr><th>|dpos| (10 = &ge;10)</th><th>count</th></tr>{hist}</table>
+</body></html>"""
+
+
 def run(args):
     stats = diff_stats(args.sam_l, args.sam_r, args.pos_tolerance)
+    if args.html:
+        with open(args.html, "w") as f:
+            f.write(_html_report(stats, args.sam_l, args.sam_r))
     if args.json:
         print(json.dumps(stats))
         return 0

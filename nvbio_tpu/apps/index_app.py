@@ -6,6 +6,7 @@ table, and writes .npz artifacts next to the output prefix:
   <prefix>.ref.npz   packed reference + contig metadata
   <prefix>.fmi.npz   FM-index (with --fmi)
   <prefix>.qgram.npz q-gram index (default)
+  <prefix>.pac/.ann/.amb  BWA-compatible packed reference (with --pac)
 """
 
 from __future__ import annotations
@@ -22,6 +23,8 @@ def add_parser(sub):
     p.add_argument("--no-qgram", action="store_true", help="skip the q-gram table")
     p.add_argument("-q", type=int, default=12, help="q-gram length (default 12)")
     p.add_argument("--sa-interval", type=int, default=8)
+    p.add_argument("--pac", action="store_true",
+                   help="also write BWA-compatible .pac/.ann/.amb")
     p.set_defaults(func=run)
     return p
 
@@ -45,6 +48,12 @@ def run(args):
         qg = build_qgram_index(ref.codes, args.q)
         qg.save(args.prefix + ".qgram.npz")
         log_stats(f"q-gram index (q={args.q}) built in {time.time()-t0:.1f}s")
+
+    if args.pac:
+        from nvbio_tpu.io.pac import save_reference_pac
+
+        save_reference_pac(ref, args.prefix)
+        log_info(f"wrote {args.prefix}.pac/.ann/.amb (BWA-compatible)")
 
     if args.fmi:
         from nvbio_tpu.fmi.index import build_fmindex

@@ -45,6 +45,10 @@ def _load_reference(path: str, params):
 
     if path.endswith((".fa", ".fasta", ".fa.gz", ".fasta.gz")):
         return Reference.from_fasta(path), None
+    if os.path.exists(path + ".pac") and not os.path.exists(path + ".ref.npz"):
+        from nvbio_tpu.io.pac import load_reference_pac
+
+        return load_reference_pac(path), None
     ref = Reference.load(path + ".ref.npz")
     index = None
     if params.seeding == "qgram" and os.path.exists(path + ".qgram.npz"):
