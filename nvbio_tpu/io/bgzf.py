@@ -41,23 +41,60 @@ def compress_block(data: bytes, level: int = 6) -> bytes:
     return header + cdata + tail
 
 
+def _native_bgzf():
+    try:
+        from nvbio_tpu.native import get_bgzf
+
+        return get_bgzf()
+    except Exception:
+        return None
+
+
 class BgzfWriter:
-    def __init__(self, path_or_file, level: int = 6):
+    """BGZF writer; batches blocks through the native multithreaded
+    compressor (``native/bgzf.cpp``) when available, else Python zlib."""
+
+    # accumulate this much before handing a batch to the thread pool
+    NATIVE_CHUNK = 64 * MAX_BLOCK_PAYLOAD
+
+    def __init__(self, path_or_file, level: int = 6, threads: int | None = None):
+        import os as _os
+
+        if threads is None:
+            threads = _os.cpu_count() or 1
         self._own = isinstance(path_or_file, str)
         self.f = open(path_or_file, "wb") if self._own else path_or_file
         self.level = level
+        self.threads = threads
         self._buf = bytearray()
+        self._lib = _native_bgzf()
+
+    def _compress_out(self, data: bytes) -> None:
+        if self._lib is not None and len(data) > MAX_BLOCK_PAYLOAD:
+            import ctypes
+
+            cap = self._lib.nvbio_tpu_bgzf_max_output(len(data))
+            out = ctypes.create_string_buffer(cap)
+            total = self._lib.nvbio_tpu_bgzf_compress(
+                data, len(data), self.level, self.threads, out, None)
+            if total > 0:
+                self.f.write(out.raw[:total])
+                return
+        for i in range(0, max(len(data), 1) if data else 0,
+                       MAX_BLOCK_PAYLOAD):
+            self.f.write(compress_block(
+                data[i:i + MAX_BLOCK_PAYLOAD], self.level))
 
     def write(self, data: bytes) -> None:
         self._buf += data
-        while len(self._buf) >= MAX_BLOCK_PAYLOAD:
-            chunk = bytes(self._buf[:MAX_BLOCK_PAYLOAD])
-            del self._buf[:MAX_BLOCK_PAYLOAD]
-            self.f.write(compress_block(chunk, self.level))
+        if len(self._buf) >= self.NATIVE_CHUNK:
+            full = len(self._buf) // MAX_BLOCK_PAYLOAD * MAX_BLOCK_PAYLOAD
+            self._compress_out(bytes(self._buf[:full]))
+            del self._buf[:full]
 
     def flush(self) -> None:
         if self._buf:
-            self.f.write(compress_block(bytes(self._buf), self.level))
+            self._compress_out(bytes(self._buf))
             self._buf.clear()
         self.f.flush()
 

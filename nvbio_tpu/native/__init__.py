@@ -19,7 +19,7 @@ _LOCK = threading.Lock()
 _LIBS: dict[str, ctypes.CDLL] = {}
 
 
-def _compile(name: str, sources: list[str]) -> str:
+def _compile(name: str, sources: list[str], extra_flags=()) -> str:
     os.makedirs(_BUILD, exist_ok=True)
     out = os.path.join(_BUILD, f"lib{name}.so")
     srcs = [os.path.join(_DIR, s) for s in sources]
@@ -28,17 +28,17 @@ def _compile(name: str, sources: list[str]) -> str:
         return out
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
-        "-o", out, *srcs,
+        "-o", out, *srcs, *extra_flags,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
     return out
 
 
-def load(name: str, sources: list[str]) -> ctypes.CDLL:
+def load(name: str, sources: list[str], extra_flags=()) -> ctypes.CDLL:
     """Compile (if stale) and dlopen a native library."""
     with _LOCK:
         if name not in _LIBS:
-            _LIBS[name] = ctypes.CDLL(_compile(name, sources))
+            _LIBS[name] = ctypes.CDLL(_compile(name, sources, extra_flags))
         return _LIBS[name]
 
 
@@ -78,3 +78,26 @@ def sais_u8(codes, K: int = 4):
     if rc != 0:
         raise RuntimeError(f"sais failed: {rc}")
     return sa
+
+
+def get_bgzf() -> ctypes.CDLL:
+    """Native multithreaded BGZF compressor (links zlib)."""
+    lib = load("nvbio_bgzf", ["bgzf.cpp"], extra_flags=("-lz", "-pthread"))
+    fn = lib.nvbio_tpu_bgzf_compress
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    mx = lib.nvbio_tpu_bgzf_max_output
+    mx.restype = ctypes.c_int64
+    mx.argtypes = [ctypes.c_int64]
+    return lib
+
+
+def bgzf_available() -> bool:
+    try:
+        get_bgzf()
+        return True
+    except Exception:
+        return False

@@ -52,3 +52,65 @@ def test_sais_speed(rng):
     assert (np.diff(first) >= 0).all()
     # should be comfortably under the numpy doubling time (~6s)
     assert dt < 10
+
+
+def test_native_bgzf_matches_python():
+    import numpy as np
+    import pytest
+
+    from nvbio_tpu.native import bgzf_available
+
+    if not bgzf_available():
+        pytest.skip("native bgzf unavailable")
+    import io as _io
+
+    from nvbio_tpu.io.bgzf import BgzfReader, BgzfWriter
+
+    rng = np.random.default_rng(2)
+    # compressible + incompressible mix, crossing many block boundaries
+    data = (rng.integers(0, 255, size=1_000_000, dtype=np.uint8).tobytes()
+            + b"A" * 500_000)
+    buf = _io.BytesIO()
+    with BgzfWriter(buf, threads=4) as w:
+        assert w._lib is not None
+        for i in range(0, len(data), 100_000):
+            w.write(data[i:i + 100_000])
+    buf.seek(0)
+    with BgzfReader(buf) as r:
+        assert r.read_all() == data
+    # stdlib gzip must also accept it
+    import gzip
+
+    buf.seek(0)
+    assert gzip.decompress(buf.read()) == data
+
+
+def test_native_bgzf_throughput_smoke():
+    import time
+
+    import numpy as np
+    import pytest
+
+    from nvbio_tpu.native import bgzf_available
+
+    if not bgzf_available():
+        pytest.skip("native bgzf unavailable")
+    import io as _io
+
+    from nvbio_tpu.io.bgzf import BgzfWriter
+
+    data = np.random.default_rng(3).integers(
+        0, 4, size=8_000_000, dtype=np.uint8).tobytes()
+    t0 = time.time()
+    with BgzfWriter(_io.BytesIO(), threads=8) as w:
+        w.write(data)
+    native_t = time.time() - t0
+    t0 = time.time()
+    w2 = BgzfWriter(_io.BytesIO(), threads=1)
+    w2._lib = None  # force the Python block loop
+    with w2:
+        w2.write(data)
+    py_t = time.time() - t0
+    # don't assert a hard ratio (CI noise); just sanity that native ran
+    print(f"native {8/native_t:.0f} MB/s vs python {8/py_t:.0f} MB/s")
+    assert native_t < py_t * 2
