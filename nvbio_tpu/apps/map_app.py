@@ -34,6 +34,9 @@ def add_parser(sub):
     p.add_argument("-I", "--minins", type=int, default=0)
     p.add_argument("-X", "--maxins", type=int, default=500)
     p.add_argument("--no-rescue", action="store_true")
+    p.add_argument("--all", action="store_true", dest="all_mode",
+                   help="report ALL alignments above threshold "
+                        "(secondary records), not just the best")
     p.set_defaults(func=run)
     return p
 
@@ -108,6 +111,13 @@ def run(args):
                     w.write(rec)
                     n_reads += 1
                     n_mapped += 0 if rec.flag & 0x4 else 1
+        elif args.all_mode:
+            for batch in fastq_batches(args.reads, args.batch, args.max_read_len):
+                for rec in mapper.map_batch_all(batch):
+                    w.write(rec)
+                    if not rec.flag & 0x100:
+                        n_reads += 1
+                        n_mapped += 0 if rec.flag & 0x4 else 1
         else:
             # software pipelining: device compute of batch i+1 overlaps the
             # host-side formatting/writing of batch i (async jax dispatch)

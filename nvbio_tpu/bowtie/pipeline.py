@@ -286,6 +286,83 @@ def finalize_best(cands, genome_words, n_genome, best_idx, params: MapParams):
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
+def align_batch_all(index, genome_words, n_genome, reads, lens, quals,
+                    params: MapParams):
+    """All-mapping: traceback EVERY candidate above threshold per read.
+
+    Counterpart of the reference's exhaustive all-mapping driver
+    (``nvBowtie/bowtie2/cuda/aligner_all.h:78-561``), which enumerates and
+    outputs every alignment under the score threshold. Here the dedup'd
+    candidate set (C per read) is scored as usual and all passing loci get
+    a full traceback in one flattened (B*C) fused-kernel call; the host
+    emits the best locus as primary and the rest as secondary records.
+    """
+    P = params
+    W = P.band
+    cands = read_candidates(index, genome_words, n_genome, reads, lens, quals, P)
+    scores, w0, strand = cands["scores"], cands["w0"], cands["strand"]
+    lens = cands["lens"]
+    reads_, rc = cands["reads"], cands["rc"]
+    mm, mm_rc = cands["mm"], cands["mm_rc"]
+    B, C = scores.shape
+    L = reads_.shape[1]
+    TW = L + W - 1
+
+    score_min = score_min_of(lens, P)
+    keep = cands["valid"] & (scores >= score_min[:, None]) & (
+        lens[:, None] >= P.seed_len)
+    best_idx = jnp.argmax(scores, axis=1).astype(jnp.int32)
+    is_best = (jnp.arange(C, dtype=jnp.int32)[None, :] == best_idx[:, None])
+
+    # flatten every candidate into one traceback batch
+    w0f = w0.reshape(B * C)
+    btext = packed.extract_window_aligned(genome_words, w0f, TW, 2)
+    btlen = jnp.clip(n_genome - w0f, 0, TW).astype(jnp.int32)
+    strand = jnp.broadcast_to(strand, (B, C))
+    strand_f = strand.reshape(B * C)
+    bpat = jnp.where(strand_f[:, None],
+                     jnp.repeat(rc, C, axis=0), jnp.repeat(reads_, C, axis=0))
+    blens = jnp.repeat(lens, C)
+    bmm = None
+    if mm is not None:
+        bmm = jnp.where(strand_f[:, None],
+                        jnp.repeat(mm_rc, C, axis=0), jnp.repeat(mm, C, axis=0))
+
+    if use_pallas_extension(P):
+        from nvbio_tpu.align.traceback import batch_traceback_banded_fast
+
+        tb, nm = batch_traceback_banded_fast(
+            bpat, blens, btext, btlen, P.scoring, W, bmm)
+    else:
+        aligner = GotohAligner(SEMI_GLOBAL, P.scoring)
+        tb = batch_traceback_banded(bpat, blens, btext, btlen, aligner, W, bmm)
+        nm = jnp.zeros(B * C, jnp.int32)  # host recomputes if needed
+
+    simple = (tb.n_ops == blens) & ((tb.text_end - tb.text_start) == blens)
+    # per-read mapq for the primary (same reduce as best-only mode)
+    best_score = jnp.take_along_axis(scores, best_idx[:, None], axis=1)[:, 0]
+    best_pos = jnp.take_along_axis(w0, best_idx[:, None], axis=1)[:, 0]
+    best_strand = jnp.take_along_axis(strand, best_idx[:, None], axis=1)[:, 0]
+    same_locus = (jnp.abs(w0 - best_pos[:, None]) <= 2 * P.max_dist) & (
+        strand == best_strand[:, None])
+    second_score = jnp.max(
+        jnp.where(same_locus, jnp.int32(NEG_INF), scores), axis=1)
+    has_second = second_score >= score_min
+    mapq = mapq_v2_end_to_end(best_score, second_score, has_second, score_min)
+
+    return dict(
+        keep=keep, is_best=is_best, scores=scores,
+        strand=strand, window_start=w0,
+        text_start=tb.text_start.reshape(B, C),
+        ops=tb.ops.astype(jnp.uint8).reshape(B, C, -1),
+        n_ops=tb.n_ops.reshape(B, C),
+        nm=nm.reshape(B, C),
+        simple=simple.reshape(B, C),
+        mapq=mapq,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
 def align_batch_core(index, genome_words, n_genome, reads, lens, quals,
                      params: MapParams):
     """Map one dense batch of reads (single-end). Returns per-read results.
@@ -390,6 +467,73 @@ class ReadMapper:
     def map_batch(self, batch) -> list[SamRecord]:
         """Map a ReadBatch -> SAM records (host-side formatting)."""
         return self.format_batch(batch, self.dispatch(batch))
+
+    def map_batch_all(self, batch) -> list[SamRecord]:
+        """All-mapping: every above-threshold locus as primary+secondary."""
+        res = align_batch_all(
+            self.index, self.genome_words, jnp.int32(self.n_genome),
+            jnp.asarray(batch.codes.astype(np.int32)),
+            jnp.asarray(batch.lengths), jnp.asarray(batch.quals),
+            self.params,
+        )
+        rev_ops = use_pallas_extension(self.params)
+        res = jax.device_get(res)
+        from nvbio_tpu.alphabet import _FROM_CODE
+
+        table = _FROM_CODE[Alphabet.DNA]
+        rc_table = table[[3, 2, 1, 0]]
+        codes_np = np.asarray(batch.codes, np.uint8)
+        fwd_ascii = table[codes_np]
+        rc_full = rc_table[codes_np][:, ::-1]
+        q_ascii = np.asarray(batch.quals, np.uint8) + 33
+        qr_ascii = q_ascii[:, ::-1]
+        Lfull = fwd_ascii.shape[1]
+        FLAG_SECONDARY = 0x100
+        out = []
+        for b, name in enumerate(batch.names):
+            L = int(batch.lengths[b])
+            if L == 0:
+                continue
+            kept = np.flatnonzero(res["keep"][b])
+            if not len(kept):
+                out.append(SamRecord(
+                    qname=name, flag=FLAG_UNMAPPED, rname="*", pos=0,
+                    mapq=0, cigar="*",
+                    seq=fwd_ascii[b, :L].tobytes().decode(),
+                    qual=q_ascii[b, :L].tobytes().decode()))
+                continue
+            # primary first
+            order = sorted(kept.tolist(),
+                           key=lambda c: (not res["is_best"][b, c],
+                                          -int(res["scores"][b, c])))
+            for rank, c in enumerate(order):
+                strand = bool(res["strand"][b, c])
+                gpos = int(res["window_start"][b, c]) + int(
+                    res["text_start"][b, c])
+                ci, local = self.contig_of(gpos)
+                flag = (FLAG_REVERSE if strand else 0) | (
+                    FLAG_SECONDARY if rank else 0)
+                if strand:
+                    seq = rc_full[b, Lfull - L:].tobytes().decode()
+                    qual = qr_ascii[b, Lfull - L:].tobytes().decode()
+                else:
+                    seq = fwd_ascii[b, :L].tobytes().decode()
+                    qual = q_ascii[b, :L].tobytes().decode()
+                if rank:  # SAM convention: secondary records omit seq/qual
+                    seq, qual = "*", "*"
+                n_ops = int(res["n_ops"][b, c])
+                cigar = (f"{n_ops}M" if res["simple"][b, c] else
+                         cigar_to_string(res["ops"][b, c], n_ops,
+                                         reverse=rev_ops))
+                out.append(SamRecord(
+                    qname=name, flag=flag, rname=self.ref_names[ci],
+                    pos=local + 1,
+                    mapq=int(res["mapq"][b]) if rank == 0 else 0,
+                    cigar=cigar, seq=seq, qual=qual,
+                    tags={"AS": int(res["scores"][b, c]),
+                          "NM": int(res["nm"][b, c])},
+                ))
+        return out
 
     def format_batch(self, batch, res) -> list[SamRecord]:
         res_dev_ops = res["ops"]  # keep on device for lazy row fetch

@@ -151,3 +151,44 @@ def test_sam_output_wellformed(mapper_and_genome, rng, tmp_path):
         if not flag & 0x4:
             assert 1 <= int(row[3]) <= ref.total_length
             assert row[5] != "*"
+
+
+def test_all_mapping_mode(tmp_path):
+    """align_batch_all reports every above-threshold locus (aligner_all.h)."""
+    import numpy as np
+
+    from nvbio_tpu.alphabet import codes_to_string
+    from nvbio_tpu.bowtie.params import MapParams
+    from nvbio_tpu.bowtie.pipeline import ReadMapper
+    from nvbio_tpu.io.fastq import batch_from_records
+    from nvbio_tpu.io.reference import Reference
+
+    rng = np.random.default_rng(31)
+    seg = codes_to_string(rng.integers(0, 4, 300, np.uint8))
+    filler1 = codes_to_string(rng.integers(0, 4, 500, np.uint8))
+    filler2 = codes_to_string(rng.integers(0, 4, 500, np.uint8))
+    # the segment appears twice -> reads from it must map to both loci
+    genome = filler1 + seg + filler2 + seg
+    ref = Reference.from_records([("c1", genome)])
+    params = MapParams(max_read_len=60, seed_len=16, seed_stride=10,
+                       hits_per_seed=4, max_dist=4, qgram_q=10)
+    mapper = ReadMapper.build(ref, params)
+
+    recs = [("dup", seg[100:160], "I" * 60),
+            ("uniq", filler1[100:160], "I" * 60)]
+    batch = batch_from_records(recs, 60)
+    out = mapper.map_batch_all(batch)
+    by_name = {}
+    for r in out:
+        by_name.setdefault(r.qname, []).append(r)
+    dup = by_name["dup"]
+    assert len(dup) == 2
+    primary = [r for r in dup if not r.flag & 0x100]
+    secondary = [r for r in dup if r.flag & 0x100]
+    assert len(primary) == 1 and len(secondary) == 1
+    want = {500 + 100 + 1, 500 + 300 + 500 + 100 + 1}
+    assert {r.pos for r in dup} == want
+    assert secondary[0].seq == "*"  # SAM: secondary omits seq/qual
+    assert primary[0].cigar == "60M"
+    uniq = by_name["uniq"]
+    assert len(uniq) == 1 and uniq[0].pos == 101
