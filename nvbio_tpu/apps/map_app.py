@@ -31,6 +31,8 @@ def add_parser(sub):
     p.add_argument("--max-dist", type=int, default=8)
     p.add_argument("--seeding", choices=["qgram", "fmi"], default="qgram")
     p.add_argument("--report", help="write an HTML stats report")
+    p.add_argument("--config", help="option file: one key=value per line "
+                                    "(overrides CLI parameter defaults)")
     p.add_argument("-I", "--minins", type=int, default=0)
     p.add_argument("-X", "--maxins", type=int, default=500)
     p.add_argument("--no-rescue", action="store_true")
@@ -90,6 +92,10 @@ def run(args):
         maxins=args.maxins,
         mate_rescue=not args.no_rescue,
     )
+    if args.config:
+        from nvbio_tpu.utils.options import Options, apply_to_params
+
+        params = apply_to_params(Options.load(args.config), params)
     t0 = time.time()
     ref, index = _load_reference(args.reference, params)
     mapper = ReadMapper.build(ref, params, index=index)

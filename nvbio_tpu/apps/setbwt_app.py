@@ -10,6 +10,8 @@ def add_parser(sub):
     p.add_argument("reads", help="FASTQ(.gz)")
     p.add_argument("output", help="output prefix (.setbwt.npz / .txt)")
     p.add_argument("--txt", action="store_true", help="also write ASCII BWT")
+    p.add_argument("--bgz", action="store_true",
+                   help="also write BGZF-compressed ASCII BWT (.txt.bgz)")
     p.set_defaults(func=run)
     return p
 
@@ -28,6 +30,11 @@ def run(args):
     if args.txt:
         with open(args.output + ".setbwt.txt", "w") as f:
             f.write(bwt_to_text(bwt))
+    if args.bgz:
+        from nvbio_tpu.io.bgzf import BgzfWriter
+
+        with BgzfWriter(args.output + ".setbwt.txt.bgz") as f:
+            f.write(bwt_to_text(bwt).encode())
     log_stats(
         f"set-BWT of {len(reads):,} reads ({len(bwt):,} symbols) "
         f"in {time.time()-t0:.1f}s"

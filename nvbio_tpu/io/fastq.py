@@ -87,7 +87,14 @@ def fastq_batches(
     pad_to_full: bool = True,
 ):
     """Yield fixed-shape ReadBatches; the final batch is zero-padded to
-    batch_size (static shapes for jit) with lengths == 0 marking padding."""
+    batch_size (static shapes for jit) with lengths == 0 marking padding.
+
+    Also accepts raw TXT read files (one sequence per line, like the
+    reference's TXT sequence loader) by extension .txt/.txt.gz."""
+    if path.endswith((".txt", ".txt.gz")):
+        yield from txt_batches(path, batch_size, max_len, alphabet,
+                               pad_to_full)
+        return
     with _open_maybe_gz(path) as f:
         data = f.read()
     lines = data.split(b"\n")
@@ -102,6 +109,30 @@ def fastq_batches(
         batch = batch_from_bytes(names, seqs, quals, max_len, alphabet)
         if pad_to_full and (j - i) < batch_size:
             pad = batch_size - (j - i)
+            batch = ReadBatch(
+                batch.names + [""] * pad,
+                np.pad(batch.codes, ((0, pad), (0, 0))),
+                np.pad(batch.quals, ((0, pad), (0, 0))),
+                np.pad(batch.lengths, (0, pad)),
+            )
+        yield batch
+
+
+def txt_batches(
+    path: str, batch_size: int, max_len: int, alphabet: Alphabet = Alphabet.DNA,
+    pad_to_full: bool = True,
+):
+    """Raw text reads (one per line, no names/qualities) -> ReadBatches."""
+    with _open_maybe_gz(path) as f:
+        data = f.read()
+    lines = [ln for ln in data.split(b"\n") if ln]
+    for i in range(0, len(lines), batch_size):
+        chunk = lines[i:i + batch_size]
+        names = [f"read{i + j}" for j in range(len(chunk))]
+        quals = [b"I" * len(s) for s in chunk]
+        batch = batch_from_bytes(names, chunk, quals, max_len, alphabet)
+        if pad_to_full and len(chunk) < batch_size:
+            pad = batch_size - len(chunk)
             batch = ReadBatch(
                 batch.names + [""] * pad,
                 np.pad(batch.codes, ((0, pad), (0, 0))),
