@@ -35,7 +35,7 @@ def main():
 
     # ---- problem setup -----------------------------------------------------
     GENOME = 4_000_000 if platform != "cpu" else 400_000
-    B = 16384 if platform != "cpu" else 512
+    B = 32768 if platform != "cpu" else 512
     L = 100
     genome = rng.integers(0, 4, size=GENOME, dtype=np.uint8)
 
