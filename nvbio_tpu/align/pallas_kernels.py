@@ -235,8 +235,9 @@ def _pad_rows(x, Lp):
 def _banded_tb_kernel(
     pat_ref, plen_ref, txt_ref, tlen_ref, mm_ref,
     score_ref, kbest_ref, ops_ref, nops_ref, kfin_ref, nm_ref,
-    H, E, FINAL, DIRS,
-    *, L, W, W8, MAXS, match, po, pe, to, te,
+    iend_ref, istart_ref,
+    H, E, FINAL, BST, DIRS,
+    *, L, W, W8, MAXS, match, po, pe, to, te, local,
 ):
     """Fused banded Gotoh forward + traceback walk, all VMEM-resident.
 
@@ -294,6 +295,8 @@ def _banded_tb_kernel(
             Erow = jnp.maximum(Ep + pe, Hp + po)
             e_ext = Ep + pe >= Hp + po
             H0r = jnp.maximum(diag, Erow)
+            if local:
+                H0r = jnp.maximum(H0r, 0)
 
             G = H0r + (jnp.int32(to) - jnp.int32(te) * kcol)
             d = 1
@@ -308,6 +311,8 @@ def _banded_tb_kernel(
 
             hdir = jnp.where(Hrow == diag, 0,
                              jnp.where(Hrow == Erow, 1, 2))
+            if local:
+                hdir = jnp.where(Hrow == 0, 3, hdir)  # zero-stop cell
             mism = (p != trow).astype(jnp.int32)  # bit 4: NM during the walk
             byte = (hdir
                     | (e_ext.astype(jnp.int32) << 2)
@@ -319,18 +324,41 @@ def _banded_tb_kernel(
 
             H[:] = Hrow
             E[:] = Erow
-            at_final = (i == plen)[None, :]
-            FINAL[:] = jnp.where(at_final, Hrow, FINAL[:])
+            if local:
+                # track the best in-range cell (the LOCAL sink)
+                row_valid = (i <= plen)[None, :] & (tidx < tlen[None, :])
+                masked = jnp.where(row_valid, Hrow, neg)
+                rb = jnp.max(masked, axis=0)
+                rk = jnp.min(jnp.where(masked == rb[None, :], kcol,
+                                       jnp.int32(W)), axis=0)
+                upd = rb > BST[0, :]
+                BST[0, :] = jnp.where(upd, rb, BST[0, :])
+                BST[1, :] = jnp.where(upd, jnp.int32(i), BST[1, :])
+                BST[2, :] = jnp.where(upd, jnp.minimum(rk, W - 1), BST[2, :])
+            else:
+                at_final = (i == plen)[None, :]
+                FINAL[:] = jnp.where(at_final, Hrow, FINAL[:])
         return 0
 
+    BST[0, :] = jnp.zeros((BLK,), jnp.int32)  # LOCAL scores are >= 0
+    BST[1, :] = jnp.zeros((BLK,), jnp.int32)
+    BST[2, :] = jnp.zeros((BLK,), jnp.int32)
     jax.lax.fori_loop(0, n_blocks, body, 0)
 
-    fin = FINAL[:]
-    smax = jnp.max(fin, axis=0)
+    if local:
+        smax = BST[0, :]
+        i0 = BST[1, :]
+        k0 = BST[2, :]
+    else:
+        fin = FINAL[:]
+        smax = jnp.max(fin, axis=0)
+        k0 = jnp.min(jnp.where(fin == smax[None, :], kcol, jnp.int32(W)),
+                     axis=0)
+        k0 = jnp.minimum(k0, jnp.int32(W - 1))
+        i0 = plen
     score_ref[0, :] = smax
-    k0 = jnp.min(jnp.where(fin == smax[None, :], kcol, jnp.int32(W)), axis=0)
-    k0 = jnp.minimum(k0, jnp.int32(W - 1))
     kbest_ref[0, :] = k0
+    iend_ref[0, :] = i0
 
     # ---- row-synchronous walk, dirs resident in VMEM ----------------------
     ops_rows = jax.lax.broadcasted_iota(jnp.int32, (MAXS, BLK), 0)
@@ -349,6 +377,13 @@ def _banded_tb_kernel(
         e_ext = (cell >> 2) & 1
         f_ext = (cell >> 3) & 1
         mism = (cell >> 4) & 1
+        if local:
+            # zero-stop: only in the H state (a gap chain may pass through)
+            stop = act & (st == 0) & (hdir == 3)
+            istart_ref[0, :] = jnp.where(stop, i, istart_ref[0, :])
+            kfin_ref[0, :] = jnp.where(stop, k, kfin_ref[0, :])
+            i = jnp.where(stop, 0, i)
+            act = act & ~stop
         sel = jnp.where(st == 1, 1, jnp.where(st == 2, 2, hdir))
         op = jnp.where(sel == 0, 1, jnp.where(sel == 1, 2, 3))
         # NM: mismatching M cells + every gap op
@@ -372,23 +407,38 @@ def _banded_tb_kernel(
         return r, i, k, st, cursor, nm
 
     zero_v = jnp.zeros((BLK,), jnp.int32)
+    istart_ref[0, :] = zero_v
+    kfin_ref[0, :] = zero_v
     r0 = jnp.int32(L)
     _, iF, kF, _, cursor, nm = jax.lax.while_loop(
-        walk_cond, walk_step, (r0, plen, k0, zero_v, zero_v, zero_v))
+        walk_cond, walk_step, (r0, i0 if local else plen, k0,
+                               zero_v, zero_v, zero_v))
+    if local:
+        # lanes that ran to row 0 without a zero-stop keep their walk k
+        done_stop = istart_ref[0, :] > 0
+        kfin_ref[0, :] = jnp.where(done_stop, kfin_ref[0, :], kF)
+        istart_ref[0, :] = jnp.where(done_stop, istart_ref[0, :], iF)
+    else:
+        kfin_ref[0, :] = kF
+        istart_ref[0, :] = iF
     nops_ref[0, :] = cursor
-    kfin_ref[0, :] = kF
     nm_ref[0, :] = nm
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scoring", "band", "block", "interpret"))
+    jax.jit,
+    static_argnames=("scoring", "band", "block", "interpret", "local"))
 def banded_traceback_semiglobal_pallas(
     patterns, pattern_lens, texts, text_lens, scoring: GotohScoring,
     band: int, mismatch_scores=None, block: int = 512, interpret: bool = False,
+    local: bool = False,
 ):
     """Fused forward + traceback: returns (score, k_best, ops_rev (B, MAXS),
-    n_ops, k_final, nm) with ops in end->start order (op codes 1/2/3 =
-    M/I/D); nm is the edit-op count (mismatching M cells + gap ops)."""
+    n_ops, k_final, nm, i_end, i_start) with ops in end->start order (op
+    codes 1/2/3 = M/I/D); nm is the edit-op count (mismatching M cells +
+    gap ops). ``local=True`` switches to LOCAL alignment: the sink is the
+    best in-band cell (i_end = its pattern row) and the walk stops at
+    zero-score cells (i_start/k_final = where it stopped)."""
     B, M = patterns.shape
     W = band
     W8 = _round_up(W, _ROWS)
@@ -417,11 +467,11 @@ def banded_traceback_semiglobal_pallas(
         _banded_tb_kernel,
         L=M, W=W, W8=W8, MAXS=MAXS, match=scoring.match,
         po=scoring.pattern_gap_open, pe=scoring.pattern_gap_ext,
-        to=scoring.text_gap_open, te=scoring.text_gap_ext,
+        to=scoring.text_gap_open, te=scoring.text_gap_ext, local=local,
     )
     grid = (Bp // BLK,)
     col = lambda j: (0, j)
-    score, kbest, ops_rev, n_ops, k_fin, nm = pl.pallas_call(
+    score, kbest, ops_rev, n_ops, k_fin, nm, i_end, i_start = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -438,6 +488,8 @@ def banded_traceback_semiglobal_pallas(
             pl.BlockSpec((1, BLK), col, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BLK), col, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BLK), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLK), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLK), col, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, Bp), jnp.int32),
@@ -446,11 +498,14 @@ def banded_traceback_semiglobal_pallas(
             jax.ShapeDtypeStruct((1, Bp), jnp.int32),
             jax.ShapeDtypeStruct((1, Bp), jnp.int32),
             jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((W, BLK), jnp.int32),
             pltpu.VMEM((W, BLK), jnp.int32),
             pltpu.VMEM((W, BLK), jnp.int32),
+            pltpu.VMEM((8, BLK), jnp.int32),
             pltpu.VMEM((Lp * W8, BLK), jnp.int32),
         ],
         interpret=interpret,
@@ -461,7 +516,8 @@ def banded_traceback_semiglobal_pallas(
         ),
     )(patterns_T, plens, texts_T, tlens, mm_T)
     return (score[0, :B], kbest[0, :B], ops_rev[:, :B].T,
-            n_ops[0, :B], k_fin[0, :B], nm[0, :B])
+            n_ops[0, :B], k_fin[0, :B], nm[0, :B],
+            i_end[0, :B], i_start[0, :B])
 
 
 # ---------------------------------------------------------------------------

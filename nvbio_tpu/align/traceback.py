@@ -308,7 +308,7 @@ def ops_to_chars(ops: np.ndarray, n_ops: int) -> str:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("scoring", "band", "interpret"))
+                   static_argnames=("scoring", "band", "interpret", "local"))
 def batch_traceback_banded_fast(
     patterns: jnp.ndarray,
     pattern_lens: jnp.ndarray,
@@ -318,6 +318,7 @@ def batch_traceback_banded_fast(
     band: int,
     mismatch_scores: jnp.ndarray | None = None,
     interpret: bool = False,
+    local: bool = False,
 ):
     """SEMI_GLOBAL Gotoh traceback on the TPU fast path.
 
@@ -348,16 +349,17 @@ def batch_traceback_banded_fast(
     W = band
     pattern_lens = pattern_lens.astype(jnp.int32)
 
-    score, k0, ops_rev, n_ops, k_fin, nm = banded_traceback_semiglobal_pallas(
-        patterns, pattern_lens, texts, text_lens, scoring, W,
-        mismatch_scores, interpret=interpret)
+    score, k0, ops_rev, n_ops, k_fin, nm, i_end, i_start = \
+        banded_traceback_semiglobal_pallas(
+            patterns, pattern_lens, texts, text_lens, scoring, W,
+            mismatch_scores, interpret=interpret, local=local)
 
     return TracebackResult(
         score=score,
         ops=ops_rev,  # end->start order; host formatter reverses
         n_ops=n_ops,
-        pattern_start=jnp.zeros((B,), jnp.int32),
-        pattern_end=pattern_lens,
-        text_start=k_fin,
-        text_end=pattern_lens + k0,
+        pattern_start=i_start,
+        pattern_end=i_end,
+        text_start=i_start + k_fin,
+        text_end=i_end + k0,
     ), nm

@@ -87,8 +87,15 @@ def mem_align_core(fmi_rev, genome_words, n_genome, reads, lens, params: MemPara
     win = packed.extract_window_aligned(genome_words, w0, TW, 2)
     wlens = jnp.clip(n_genome - w0, 0, TW).astype(jnp.int32)
 
-    aligner = GotohAligner(LOCAL, P.scoring)
-    tb = batch_traceback_banded(reads2, lens2, win, wlens, aligner, W)
+    if jax.default_backend() == "tpu":
+        from nvbio_tpu.align.traceback import batch_traceback_banded_fast
+
+        tb, _nm = batch_traceback_banded_fast(
+            reads2, lens2, win, wlens, P.scoring, W, local=True)
+        # NOTE: fast-path ops are end->start (host formatter reverses)
+    else:
+        aligner = GotohAligner(LOCAL, P.scoring)
+        tb = batch_traceback_banded(reads2, lens2, win, wlens, aligner, W)
     score = jnp.where(chain.valid, tb.score, neg)
 
     # pick the better strand per read
@@ -152,6 +159,8 @@ class MemMapper:
             jnp.asarray(batch.codes), jnp.asarray(batch.lengths), self.params,
         )
         res = {k: np.asarray(v) for k, v in res.items()}
+        # the TPU fast-path local traceback emits ops end->start
+        rev_ops = jax.default_backend() == "tpu"
         out = []
         for b, name in enumerate(batch.names):
             if batch.lengths[b] == 0:
@@ -171,7 +180,8 @@ class MemMapper:
             local = gpos - int(self.ref_offsets[ci])
             # soft clips around the local alignment
             ps, pe = int(res["pattern_start"][b]), int(res["pattern_end"][b])
-            core = cigar_to_string(res["ops"][b], res["n_ops"][b])
+            core = cigar_to_string(res["ops"][b], res["n_ops"][b],
+                                   reverse=rev_ops)
             cigar = (f"{ps}S" if ps else "") + core + (f"{L-pe}S" if pe < L else "")
             seq = (codes_to_string(res["rc_reads"][b, :L], Alphabet.DNA)
                    if strand else fwd_seq)

@@ -106,3 +106,42 @@ def test_fused_traceback_parity(rng):
             else:
                 want_nm += 1; tc += 1
         assert int(nm[b]) == want_nm, b
+
+
+def test_fused_traceback_local_parity(rng):
+    """LOCAL mode of the fused kernel vs the generic traceback."""
+    from nvbio_tpu.align.traceback import (
+        batch_traceback_banded,
+        batch_traceback_banded_fast,
+        cigar_to_string,
+    )
+    from nvbio_tpu.align.types import LOCAL
+
+    SCL = GotohScoring(2, -3, -5, -2, -5, -2)
+    B, M, W = 64, 40, 11
+    TW = M + W - 1
+    pats = rng.integers(0, 4, size=(B, M)).astype(np.int32)
+    txts = rng.integers(0, 4, size=(B, TW)).astype(np.int32)
+    for b in range(0, B, 2):  # half have a real local core
+        s = int(rng.integers(0, 5))
+        ln = int(rng.integers(10, M - 5))
+        txts[b, 5:5 + ln] = pats[b, s:s + ln]
+    plens = rng.integers(M // 2, M + 1, size=B).astype(np.int32)
+    tlens = np.full(B, TW, np.int32)
+
+    ref = batch_traceback_banded(
+        jnp.asarray(pats), jnp.asarray(plens), jnp.asarray(txts),
+        jnp.asarray(tlens), GotohAligner(LOCAL, SCL), W)
+    fast, _nm = batch_traceback_banded_fast(
+        jnp.asarray(pats), jnp.asarray(plens), jnp.asarray(txts),
+        jnp.asarray(tlens), SCL, W, interpret=True, local=True)
+    for name in ("score", "n_ops", "pattern_start", "pattern_end",
+                 "text_start", "text_end"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(fast, name)),
+            err_msg=name)
+    for b in range(B):
+        want = cigar_to_string(np.asarray(ref.ops)[b], int(ref.n_ops[b]))
+        got = cigar_to_string(np.asarray(fast.ops)[b], int(fast.n_ops[b]),
+                              reverse=True)
+        assert want == got, (b, want, got)
