@@ -56,8 +56,8 @@ def mem_align_core(fmi_rev, genome_words, n_genome, reads, lens, params: MemPara
     neg = jnp.int32(NEG_INF)
 
     # fold strands into the batch: rows [0, B) fwd, [B, 2B) rc
-    rev_idx = jnp.clip(lens[:, None] - 1 - jnp.arange(L, dtype=jnp.int32), 0, L - 1)
-    rc = 3 - jnp.take_along_axis(reads, rev_idx, axis=1)
+    # packed-domain reversal (see bowtie/pipeline.py): avoids per-lane gathers
+    rc = 3 - packed.reverse_rows(reads, lens, 2)
     reads2 = jnp.concatenate([reads, rc], axis=0)
     lens2 = jnp.concatenate([lens, lens], axis=0)
 
