@@ -132,7 +132,12 @@ def run(args):
                 res = mapper.dispatch(batch)
                 if pending is not None:
                     pb, pres = pending
-                    stats.update_from_result(pres, pb.lengths)
+                    import jax as _jax
+
+                    small = _jax.device_get(
+                        {k: pres[k] for k in
+                         ("mapped", "mapq", "nm", "has_second")})
+                    stats.update_from_result(small, pb.lengths)
                     for rec in mapper.format_batch(pb, pres):
                         w.write(rec)
                         n_reads += 1
@@ -140,7 +145,12 @@ def run(args):
                 pending = (batch, res)
             if pending is not None:
                 pb, pres = pending
-                stats.update_from_result(pres, pb.lengths)
+                import jax as _jax
+
+                small = _jax.device_get(
+                    {k: pres[k] for k in
+                     ("mapped", "mapq", "nm", "has_second")})
+                stats.update_from_result(small, pb.lengths)
                 for rec in mapper.format_batch(pb, pres):
                     w.write(rec)
                     n_reads += 1

@@ -221,6 +221,28 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
     )
 
 
+def _nm_from_ops(tb, bpat, btext):
+    """SAM NM from a forward-ordered traceback (slow/XLA path only)."""
+    L = bpat.shape[1]
+    TW = btext.shape[1]
+    ops = tb.ops  # (B, MAXS) forward order
+    is_m = ops == 1
+    is_i = ops == 2
+    is_d = ops == 3
+    pat_cursor = (
+        jnp.cumsum((is_m | is_i).astype(jnp.int32), axis=1) - 1
+        + tb.pattern_start[:, None]
+    )
+    txt_cursor = (
+        jnp.cumsum((is_m | is_d).astype(jnp.int32), axis=1) - 1
+        + tb.text_start[:, None]
+    )
+    pat_sym = jnp.take_along_axis(bpat, jnp.clip(pat_cursor, 0, L - 1), axis=1)
+    txt_sym = jnp.take_along_axis(btext, jnp.clip(txt_cursor, 0, TW - 1), axis=1)
+    mism = is_m & (pat_sym != txt_sym)
+    return jnp.sum((mism | is_i | is_d).astype(jnp.int32), axis=1)
+
+
 def finalize_best(cands, genome_words, n_genome, best_idx, params: MapParams):
     """Traceback + NM for one chosen candidate per read.
 
@@ -250,24 +272,7 @@ def finalize_best(cands, genome_words, n_genome, best_idx, params: MapParams):
     else:
         aligner = GotohAligner(SEMI_GLOBAL, P.scoring)
         tb = batch_traceback_banded(bpat, lens, btext, btlen, aligner, W, bmm)
-
-        # NM: mismatches within M ops + gap lengths (from the traceback)
-        ops = tb.ops  # (B, MAXS) forward order
-        is_m = ops == 1
-        is_i = ops == 2
-        is_d = ops == 3
-        pat_cursor = (
-            jnp.cumsum((is_m | is_i).astype(jnp.int32), axis=1) - 1
-            + tb.pattern_start[:, None]
-        )
-        txt_cursor = (
-            jnp.cumsum((is_m | is_d).astype(jnp.int32), axis=1) - 1
-            + tb.text_start[:, None]
-        )
-        pat_sym = jnp.take_along_axis(bpat, jnp.clip(pat_cursor, 0, L - 1), axis=1)
-        txt_sym = jnp.take_along_axis(btext, jnp.clip(txt_cursor, 0, TW - 1), axis=1)
-        mism = is_m & (pat_sym != txt_sym)
-        nm = jnp.sum((mism | is_i | is_d).astype(jnp.int32), axis=1)
+        nm = _nm_from_ops(tb, bpat, btext)
 
     # pure-match reads (no I/D): #D == 0 iff n_ops == plen, and then
     # #I == 0 iff the text span equals plen too — their CIGAR is just "{L}M",
@@ -336,7 +341,7 @@ def align_batch_all(index, genome_words, n_genome, reads, lens, quals,
     else:
         aligner = GotohAligner(SEMI_GLOBAL, P.scoring)
         tb = batch_traceback_banded(bpat, blens, btext, btlen, aligner, W, bmm)
-        nm = jnp.zeros(B * C, jnp.int32)  # host recomputes if needed
+        nm = _nm_from_ops(tb, bpat, btext)
 
     simple = (tb.n_ops == blens) & ((tb.text_end - tb.text_start) == blens)
     # per-read mapq for the primary (same reduce as best-only mode)

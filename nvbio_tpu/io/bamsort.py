@@ -16,6 +16,7 @@ from __future__ import annotations
 import heapq
 import itertools
 import os
+import shutil
 import tempfile
 
 import numpy as np
@@ -72,9 +73,12 @@ def sort_alignments(in_path: str, out_path: str, run_size: int = 262_144,
     ref_rank = {n: i for i, n in enumerate(names)}
 
     def sort_key(rec):
-        if rec.flag & 0x4 or rec.rname == "*":
+        # records whose RNAME is missing from the header also sort last:
+        # the spill BAM round-trips them as '*', so any other key would
+        # break the merge phase's sorted-run invariant
+        if rec.flag & 0x4 or rec.rname == "*" or rec.rname not in ref_rank:
             return (UNMAPPED_REF, 0)
-        return (ref_rank.get(rec.rname, UNMAPPED_REF - 1), rec.pos)
+        return (ref_rank[rec.rname], rec.pos)
 
     def device_order(buf):
         if not buf:
@@ -115,27 +119,27 @@ def sort_alignments(in_path: str, out_path: str, run_size: int = 262_144,
 
         # k-way merge of the sorted runs (merge_batches, bam_sort.cu:83-150)
         readers = [BamReader(p) for p in runs]
-        iters = [iter(r) for r in readers]
-        tiebreak = itertools.count()
-        heap = []
-        for idx, it in enumerate(iters):
-            rec = next(it, None)
-            if rec is not None:
-                heapq.heappush(heap, (sort_key(rec), next(tiebreak), idx, rec))
-        with open_alignment_output(out_path, names, lengths,
-                                   sort_order="coordinate") as w:
-            while heap:
-                _, _, idx, rec = heapq.heappop(heap)
-                w.write(rec)
-                nxt = next(iters[idx], None)
-                if nxt is not None:
-                    heapq.heappush(heap, (sort_key(nxt), next(tiebreak),
-                                          idx, nxt))
-        for r in readers:
-            r.close()
+        try:
+            iters = [iter(r) for r in readers]
+            tiebreak = itertools.count()
+            heap = []
+            for idx, it in enumerate(iters):
+                rec = next(it, None)
+                if rec is not None:
+                    heapq.heappush(heap,
+                                   (sort_key(rec), next(tiebreak), idx, rec))
+            with open_alignment_output(out_path, names, lengths,
+                                       sort_order="coordinate") as w:
+                while heap:
+                    _, _, idx, rec = heapq.heappop(heap)
+                    w.write(rec)
+                    nxt = next(iters[idx], None)
+                    if nxt is not None:
+                        heapq.heappush(heap, (sort_key(nxt), next(tiebreak),
+                                              idx, nxt))
+        finally:
+            for r in readers:
+                r.close()
         return n_total
     finally:
-        for p in runs:
-            if os.path.exists(p):
-                os.unlink(p)
-        os.rmdir(tmp)
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -98,9 +98,9 @@ def fastq_batches(
     with _open_maybe_gz(path) as f:
         data = f.read()
     lines = data.split(b"\n")
-    n_reads = (len(lines) + 1) // 4  # trailing newline tolerant
-    while n_reads and len(lines) <= 4 * (n_reads - 1) + 1:
-        n_reads -= 1
+    # only complete 4-line records count: a trailing newline adds one empty
+    # element, and records truncated mid-way are dropped (as read_fastq did)
+    n_reads = len(lines) // 4
     for i in range(0, n_reads, batch_size):
         j = min(i + batch_size, n_reads)
         names = [lines[4 * b][1:].split()[0].decode() for b in range(i, j)]

@@ -23,14 +23,30 @@ def _compile(name: str, sources: list[str], extra_flags=()) -> str:
     os.makedirs(_BUILD, exist_ok=True)
     out = os.path.join(_BUILD, f"lib{name}.so")
     srcs = [os.path.join(_DIR, s) for s in sources]
-    newest_src = max(os.path.getmtime(s) for s in srcs)
-    if os.path.exists(out) and os.path.getmtime(out) >= newest_src:
-        return out
+    # content-hash staleness (mtimes are unreliable across checkouts, and a
+    # copied binary built with -march=native on another machine may SIGILL)
+    import hashlib
+    import platform
+
+    h = hashlib.sha256()
+    for p in srcs:
+        with open(p, "rb") as f:
+            h.update(f.read())
+    h.update(" ".join(extra_flags).encode())
+    h.update(platform.machine().encode() + platform.node().encode())
+    stamp = os.path.join(_BUILD, f"lib{name}.sha")
+    digest = h.hexdigest()
+    if os.path.exists(out) and os.path.exists(stamp):
+        with open(stamp) as f:
+            if f.read().strip() == digest:
+                return out
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
         "-o", out, *srcs, *extra_flags,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    with open(stamp, "w") as f:
+        f.write(digest)
     return out
 
 

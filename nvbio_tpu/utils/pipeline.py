@@ -48,18 +48,33 @@ class Pipeline:
             return []
         qs = [queue.Queue(maxsize=b) for _, b in self._stages[1:]]
         errors: list[BaseException] = []
+        abort = threading.Event()
         results: list = []
+
+        def put_or_abort(q, item) -> bool:
+            while not abort.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def head():
             stage = self._stages[0][0]
             try:
                 for item in stage.source():
-                    qs[0].put(item) if qs else results.append(item)
+                    if qs:
+                        if not put_or_abort(qs[0], item):
+                            break
+                    else:
+                        results.append(item)
             except BaseException as e:  # noqa: BLE001 — relayed to caller
                 errors.append(e)
+                abort.set()
             finally:
                 if qs:
-                    qs[0].put(_DONE)
+                    put_or_abort(qs[0], _DONE) or qs[0].put(_DONE)
 
         def worker(i):
             stage = self._stages[i][0]
@@ -67,19 +82,33 @@ class Pipeline:
             q_out = qs[i] if i < len(qs) else None
             try:
                 while True:
-                    item = q_in.get()
+                    try:
+                        item = q_in.get(timeout=0.1)
+                    except queue.Empty:
+                        if abort.is_set():
+                            break
+                        continue
                     if item is _DONE:
                         break
                     out = stage.process(item)
                     if q_out is not None:
-                        q_out.put(out)
+                        if not put_or_abort(q_out, out):
+                            break
                     else:
                         results.append(out)
             except BaseException as e:  # noqa: BLE001
                 errors.append(e)
+                abort.set()
             finally:
+                # unblock the upstream producer, then signal downstream
+                if abort.is_set():
+                    while True:
+                        try:
+                            q_in.get_nowait()
+                        except queue.Empty:
+                            break
                 if q_out is not None:
-                    q_out.put(_DONE)
+                    put_or_abort(q_out, _DONE) or q_out.put(_DONE)
 
         threads = [threading.Thread(target=head)]
         threads += [threading.Thread(target=worker, args=(i,))

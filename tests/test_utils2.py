@@ -76,6 +76,36 @@ def test_pipeline_propagates_errors():
         pl.run()
 
 
+def test_pipeline_error_does_not_deadlock():
+    # the failing stage stops consuming while the producer streams many more
+    # items than its bounded queue holds — run() must still raise promptly
+    class Src(PipelineStage):
+        def source(self):
+            for i in range(1000):
+                yield i
+
+    class BoomEarly(PipelineStage):
+        def process(self, x):
+            if x >= 3:
+                raise ValueError("boom")
+            return x
+
+    class Sink(PipelineStage):
+        def process(self, x):
+            return x
+
+    pl = Pipeline()
+    pl.append_stage(Src(), buffers=2)
+    pl.append_stage(BoomEarly(), buffers=2)
+    pl.append_sink(Sink(), buffers=2)
+    import time
+
+    t0 = time.time()
+    with pytest.raises(ValueError):
+        pl.run()
+    assert time.time() - t0 < 10
+
+
 def test_priority_queue_push_pop():
     q = BatchPriorityQueue.make(3, 4)
     keys = np.array([[5, 1, 9, 3, 7], [1, 2, 3, 4, 5], [9, 9, 2, 9, 1]])
@@ -114,3 +144,15 @@ def test_txt_read_batches(tmp_path):
     assert b.lengths.tolist() == [4, 6, 1, 0]
     assert b.names[0] == "read0"
     assert b.codes[1, :6].tolist() == [2, 2, 1, 1, 3, 3]
+
+
+def test_fastq_truncated_records(tmp_path):
+    from nvbio_tpu.io.fastq import fastq_batches
+
+    # complete record + record truncated after '+' (no quality line)
+    p = tmp_path / "t.fq"
+    p.write_bytes(b"@r0\nACGT\n+\nIIII\n@r1\nGGGG\n+")
+    batches = list(fastq_batches(str(p), 4, 8))
+    b = batches[0]
+    assert b.names[0] == "r0"
+    assert (b.lengths > 0).sum() == 1  # partial record dropped
