@@ -23,6 +23,9 @@ def add_parser(sub):
     p.add_argument("--no-qgram", action="store_true", help="skip the q-gram table")
     p.add_argument("-q", type=int, default=12, help="q-gram length (default 12)")
     p.add_argument("--sa-interval", type=int, default=8)
+    p.add_argument("--qgroup", type=int, metavar="Q", default=0,
+                   help="also build a Q-Group index with this q "
+                        "(compact for large q, e.g. 16)")
     p.add_argument("--pac", action="store_true",
                    help="also write BWA-compatible .pac/.ann/.amb")
     p.set_defaults(func=run)
@@ -48,6 +51,15 @@ def run(args):
         qg = build_qgram_index(ref.codes, args.q)
         qg.save(args.prefix + ".qgram.npz")
         log_stats(f"q-gram index (q={args.q}) built in {time.time()-t0:.1f}s")
+
+    if args.qgroup:
+        from nvbio_tpu.qgram import build_qgroup_index
+
+        t0 = time.time()
+        qg2 = build_qgroup_index(ref.codes, args.qgroup)
+        qg2.save(args.prefix + ".qgroup.npz")
+        log_stats(f"Q-Group index (q={args.qgroup}, "
+                  f"{len(qg2.SS)-1:,} unique) built in {time.time()-t0:.1f}s")
 
     if args.pac:
         from nvbio_tpu.io.pac import save_reference_pac

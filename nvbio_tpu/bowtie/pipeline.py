@@ -105,15 +105,16 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
     k = jnp.arange(H, dtype=jnp.int32)
     if P.seeding == "qgram":
         # direct-address k-mer lookup: positions come straight from the table
-        from nvbio_tpu.qgram import qgram_locate, qgram_range, seed_keys_from_batch
+        from nvbio_tpu.qgram import (index_locate, index_range,
+                                     seed_keys_from_batch)
 
         keys = seed_keys_from_batch(seeds, index.q)        # (B, 2S1)
-        lo, hi = qgram_range(index, keys)
+        lo, hi = index_range(index, keys)
         range_size = jnp.maximum(hi - lo, 0)
         hit_valid = (
             (k[None, None, :] < range_size[:, :, None]) & seed_valid2[:, :, None]
         )
-        pos = qgram_locate(index, lo[:, :, None], k[None, None, :])  # (B,2S1,H)
+        pos = index_locate(index, lo[:, :, None], k[None, None, :])  # (B,2S1,H)
     else:
         # FM-index backward search + bounded LF locate
         seeds_flat = seeds.reshape(B * 2 * S1, P.seed_len)

@@ -122,3 +122,123 @@ def qgram_count(index: QGramIndex, queries, qlens=None):
     keys = seed_keys_from_batch(queries, index.q)
     lo, hi = qgram_range(index, keys)
     return hi - lo
+
+
+@dataclasses.dataclass
+class QGroupIndex:
+    """Q-Group index: two-level compacted q-gram dictionary.
+
+    Counterpart of the reference's ``qgram/qgroup.h:81-200``
+    (``QGroupIndexDevice``, after Koester & Rahmann's PEANUT): a presence
+    bitvector I over the 4^q key space (1 bit/key instead of a 4-byte
+    offset), per-word popcount prefix sums S, per-unique-qgram slot starts
+    SS, and the position array P — O(1) lookups in 2*4^q bits + O(unique)
+    words, 16x smaller than the direct-address table for large q.
+    """
+
+    q: int
+    I: Any          # uint32[ceil(4^q / 32)] presence bitvector
+    S: Any          # int32[len(I) + 1] exclusive popcount prefix
+    SS: Any         # int32[n_unique + 1] slot start offsets
+    P: Any          # int32[n - q + 1] positions sorted by (qgram, pos)
+    n: int          # text length
+
+    def device(self) -> "QGroupIndex":
+        import jax.numpy as jnp
+
+        return QGroupIndex(self.q, jnp.asarray(self.I), jnp.asarray(self.S),
+                           jnp.asarray(self.SS), jnp.asarray(self.P), self.n)
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path, q=self.q, I=np.asarray(self.I), S=np.asarray(self.S),
+            SS=np.asarray(self.SS), P=np.asarray(self.P), n=self.n)
+
+    @classmethod
+    def load(cls, path: str) -> "QGroupIndex":
+        z = np.load(path)
+        return cls(int(z["q"]), z["I"], z["S"], z["SS"], z["P"], int(z["n"]))
+
+
+jax.tree_util.register_pytree_node(
+    QGroupIndex,
+    lambda s: ((s.I, s.S, s.SS, s.P), (s.q, s.n)),
+    lambda aux, ch: QGroupIndex(q=aux[0], I=ch[0], S=ch[1], SS=ch[2],
+                                P=ch[3], n=aux[1]),
+)
+
+
+def build_qgroup_index(codes: np.ndarray, q: int = 16) -> QGroupIndex:
+    """Host-side Q-Group construction (sort + unique + popcount prefixes)."""
+    if q < 1 or q > 31:
+        raise ValueError("q must be in [1, 31]")
+    keys = qgram_keys(codes, q)
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    uniq_mask = np.ones(len(sk), bool)
+    if len(sk):
+        uniq_mask[1:] = sk[1:] != sk[:-1]
+    uniq_keys = sk[uniq_mask]
+    starts = np.flatnonzero(uniq_mask)
+    SS = np.append(starts, len(sk)).astype(np.int32)
+
+    n_words = ((1 << (2 * q)) + 31) // 32
+    I = np.zeros(n_words, np.uint32)
+    w = (uniq_keys >> 5).astype(np.int64)
+    b = (uniq_keys & 31).astype(np.uint32)
+    np.bitwise_or.at(I, w, np.uint32(1) << b)
+    pop = np.bitwise_count(I).astype(np.int64) if hasattr(np, "bitwise_count") \
+        else np.unpackbits(I.view(np.uint8)).reshape(n_words, 32).sum(1)
+    S = np.zeros(n_words + 1, np.int64)
+    np.cumsum(pop, out=S[1:])
+    return QGroupIndex(q=q, I=I, S=S.astype(np.int32), SS=SS,
+                       P=order.astype(np.int32), n=len(codes))
+
+
+def _popcount32(x):
+    import jax.numpy as jnp
+
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    return (x * 0x01010101) >> 24
+
+
+def qgroup_range(index: QGroupIndex, keys):
+    """Bucket ranges [lo, hi) for q-gram keys (device, batched) — the
+    reference's ``QGroupIndexViewCore::range`` (qgroup.h:120-136)."""
+    import jax.numpy as jnp
+
+    keys = jnp.clip(keys, 0, (1 << (2 * index.q)) - 1).astype(jnp.uint32)
+    i = (keys >> 5).astype(jnp.int32)
+    j = keys & 31
+    word = jnp.take(index.I, i).astype(jnp.uint32)
+    present = (word >> j) & 1
+    j_prime = _popcount32(word & ((jnp.uint32(1) << j) - 1)).astype(jnp.int32)
+    slot = jnp.take(index.S, i) + j_prime
+    slot = jnp.clip(slot, 0, index.SS.shape[0] - 2)
+    lo = jnp.take(index.SS, slot)
+    hi = jnp.take(index.SS, slot + 1)
+    lo = jnp.where(present == 1, lo, 0)
+    hi = jnp.where(present == 1, hi, 0)
+    return lo, hi
+
+
+def qgroup_locate(index: QGroupIndex, lo, slot):
+    import jax.numpy as jnp
+
+    idx = jnp.clip(lo + slot, 0, index.P.shape[0] - 1)
+    return jnp.take(index.P, idx)
+
+
+def index_range(index, keys):
+    """Range lookup dispatching on index flavor (direct-address or qgroup)."""
+    if isinstance(index, QGroupIndex):
+        return qgroup_range(index, keys)
+    return qgram_range(index, keys)
+
+
+def index_locate(index, lo, slot):
+    if isinstance(index, QGroupIndex):
+        return qgroup_locate(index, lo, slot)
+    return qgram_locate(index, lo, slot)

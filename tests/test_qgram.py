@@ -67,3 +67,63 @@ def test_qgram_save_load(tmp_path, rng):
     idx2 = QGramIndex.load(p)
     np.testing.assert_array_equal(idx.offsets, idx2.offsets)
     np.testing.assert_array_equal(idx.positions, idx2.positions)
+
+
+def test_qgroup_matches_direct_address():
+    import numpy as np
+
+    from nvbio_tpu.qgram import (build_qgram_index, build_qgroup_index,
+                                 qgram_keys, qgroup_locate, qgroup_range)
+
+    rng = np.random.default_rng(23)
+    text = rng.integers(0, 4, size=5000, dtype=np.uint8)
+    q = 13  # beyond nothing, but checks the two-level path
+    direct = build_qgram_index(text, 12)
+    grp = build_qgroup_index(text, q)
+    import jax.numpy as jnp
+
+    keys = qgram_keys(text, q)
+    # every present q-gram resolves to its exact position list
+    probe = jnp.asarray(keys[rng.integers(0, len(keys), 200)].astype(np.int64))
+    lo, hi = qgroup_range(grp, probe)
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    assert (hi > lo).all()
+    for t in range(0, 200, 17):
+        g = int(probe[t])
+        want = np.flatnonzero(keys == g)
+        got = np.sort(np.asarray(grp.P)[lo[t]:hi[t]])
+        np.testing.assert_array_equal(got, want)
+    # absent q-grams return empty ranges
+    present = set(keys.tolist())
+    absent = []
+    g = 1
+    while len(absent) < 10:
+        if g not in present:
+            absent.append(g)
+        g += 997
+    lo2, hi2 = qgroup_range(grp, jnp.asarray(np.asarray(absent, np.int64)))
+    assert (np.asarray(hi2) == np.asarray(lo2)).all()
+
+
+def test_qgroup_in_pipeline():
+    import numpy as np
+
+    from nvbio_tpu.alphabet import codes_to_string
+    from nvbio_tpu.bowtie.params import MapParams
+    from nvbio_tpu.bowtie.pipeline import ReadMapper
+    from nvbio_tpu.io.fastq import batch_from_records
+    from nvbio_tpu.io.reference import Reference
+    from nvbio_tpu.qgram import build_qgroup_index
+
+    rng = np.random.default_rng(29)
+    genome = codes_to_string(rng.integers(0, 4, 6000, np.uint8))
+    ref = Reference.from_records([("c1", genome)])
+    params = MapParams(max_read_len=60, seed_len=16, seed_stride=10,
+                       hits_per_seed=4, max_dist=4, qgram_q=14)
+    index = build_qgroup_index(ref.codes, params.qgram_q)
+    mapper = ReadMapper.build(ref, params, index=index)
+    recs = [(f"r{p}", genome[p:p + 60], "I" * 60) for p in (11, 777, 3000)]
+    out = mapper.map_batch(batch_from_records(recs, 60))
+    for r in out:
+        assert not r.flag & 0x4
+        assert r.pos - 1 == int(r.qname[1:])
