@@ -152,21 +152,19 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
     tol = 2 * P.max_dist
 
     def dedup_half(w0h, validh):
+        # tournament select: NCH rounds of (min, mask-out cluster) — one
+        # O(CH) reduce per round instead of the argsort chain, and the
+        # representatives come out ascending like the sorted version
         big = jnp.int32(2**31 - 1)
         key = jnp.where(validh, w0h, big)
-        order = jnp.argsort(key, axis=1)
-        sk = jnp.take_along_axis(key, order, axis=1)
-        # window starts are >= 0, so -(tol+1) guarantees the first valid
-        # element is marked new (and cannot overflow int32)
-        prev = jnp.concatenate(
-            [jnp.full((B, 1), -(tol + 1), jnp.int32), sk[:, :-1]], axis=1
-        )
-        is_new = (sk - prev > tol) & (sk < big)
-        rank = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1
-        slot_key = jnp.where(is_new, rank, CH)
-        sel = jnp.argsort(slot_key, axis=1)[:, :NCH]
-        uw0 = jnp.take_along_axis(sk, sel, axis=1)
-        uvalid = jnp.take_along_axis(is_new, sel, axis=1)
+        reps = []
+        for _ in range(NCH):
+            m = jnp.min(key, axis=1)
+            reps.append(m)
+            # key >= m always, so this masks the representative's cluster
+            key = jnp.where(key - m[:, None] <= tol, big, key)
+        uw0 = jnp.stack(reps, axis=1)          # (B, NCH)
+        uvalid = uw0 < big
         return jnp.where(uvalid, uw0, 0), uvalid
 
     w0f, validf = dedup_half(w0[:, :CH], cand_valid_all[:, :CH])
