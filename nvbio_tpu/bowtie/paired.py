@@ -234,8 +234,9 @@ def align_paired_core(
         return dict(
             mapped=mapped, best_score=score, mapq=mapq,
             strand=fin["strand"], window_start=fin["window_start"],
-            text_start=fin["text_start"], ops=fin["ops"], n_ops=fin["n_ops"],
-            nm=fin["nm"], rc_reads=c["rc"],
+            text_start=fin["text_start"],
+            ops=fin["ops"].astype(jnp.uint8), n_ops=fin["n_ops"],
+            nm=fin["nm"], simple=fin["simple"],
         )
 
     return (
@@ -277,9 +278,37 @@ def map_pair_batch(mapper, batch1, batch2):
         jnp.asarray(batch2.quals),
         mapper.params,
     )
+    import jax
+
+    ops_dev = (res1["ops"], res2["ops"])
+    fetch = jax.device_get((
+        {k: v for k, v in res1.items() if k != "ops"},
+        {k: v for k, v in res2.items() if k != "ops"},
+        pinfo["proper"],
+    ))
+    res1, res2, proper = fetch
     res1 = {k: np.asarray(v) for k, v in res1.items()}
     res2 = {k: np.asarray(v) for k, v in res2.items()}
-    proper = np.asarray(pinfo["proper"])
+    proper = np.asarray(proper)
+
+    # lazy op-row readback: only reads with indels need their op rows
+    from nvbio_tpu.alphabet import _FROM_CODE
+
+    def ops_lookup(res, dev):
+        rows = np.flatnonzero(~res["simple"] & res["mapped"])
+        if not len(rows):
+            return {}
+        if isinstance(dev, np.ndarray):
+            return dict(zip(rows.tolist(), dev[rows]))
+        return dict(zip(rows.tolist(),
+                        np.asarray(dev[jnp.asarray(rows)])))
+
+    ops_of = (ops_lookup(res1, ops_dev[0]), ops_lookup(res2, ops_dev[1]))
+    table = _FROM_CODE[Alphabet.DNA]
+    rc_table = table[[3, 2, 1, 0]]
+    rc_full = (rc_table[np.asarray(batch1.codes, np.uint8)][:, ::-1],
+               rc_table[np.asarray(batch2.codes, np.uint8)][:, ::-1])
+    Lfull = batch1.codes.shape[1]
 
     out = []
     for b, name in enumerate(batch1.names):
@@ -304,12 +333,12 @@ def map_pair_batch(mapper, batch1, batch2):
             if mapped:
                 gpos[m] = int(res["window_start"][b]) + int(res["text_start"][b])
             if strand:
-                seq = codes_to_string(res["rc_reads"][b, :L], Alphabet.DNA)
+                seq = rc_full[m][b, Lfull - L:].tobytes().decode()
                 qual = quals_to_string(batch.quals[b, :L][::-1], L)
             else:
                 seq = codes_to_string(batch.codes[b, :L], Alphabet.DNA)
                 qual = quals_to_string(batch.quals[b], L)
-            recs.append([flag, mapped, strand, seq, qual, L, res])
+            recs.append([flag, mapped, strand, seq, qual, L, res, m])
 
         # cross-mate flags
         for m in range(2):
@@ -320,7 +349,7 @@ def map_pair_batch(mapper, batch1, batch2):
                 recs[m][0] |= FLAG_MATE_REVERSE
 
         for m in range(2):
-            flag, mapped, strand, seq, qual, L, res = recs[m]
+            flag, mapped, strand, seq, qual, L, res, _mi = recs[m]
             o = 1 - m
             if not mapped:
                 out.append(SamRecord(
@@ -346,8 +375,9 @@ def map_pair_batch(mapper, batch1, batch2):
             out.append(SamRecord(
                 qname=name, flag=flag, rname=mapper.ref_names[ci],
                 pos=local + 1, mapq=int(res["mapq"][b]),
-                cigar=cigar_to_string(res["ops"][b], res["n_ops"][b],
-                                      reverse=rev_ops),
+                cigar=(f"{int(res['n_ops'][b])}M" if res["simple"][b] else
+                       cigar_to_string(ops_of[m][b], res["n_ops"][b],
+                                       reverse=rev_ops)),
                 seq=seq, qual=qual, rnext=rnext, pnext=pnext, tlen=tlen,
                 tags=tags,
             ))
