@@ -7,7 +7,7 @@ Dense re-composition of nvBowtie's best-approx state machine
   reference (CUDA)                         this pipeline (TPU)
   ------------------------------------     ---------------------------------
   SeedHitDequeArray priority deques        dense (B, S) SA/bucket ranges
-  select (SumTree-sampled hits)            first-H rows per range (masked)
+  select (SumTree-sampled hits)            stratified slots per range (masked)
   locate (sorted SSA lookups)              q-gram direct lookup / bounded LF
   score_best banded Gotoh kernels          Pallas banded Gotoh (VMEM-resident)
   reduce best-2 w/ bail-out                masked argmax + distinct-locus 2nd
@@ -114,7 +114,16 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
         hit_valid = (
             (k[None, None, :] < range_size[:, :, None]) & seed_valid2[:, :, None]
         )
-        pos = index_locate(index, lo[:, :, None], k[None, None, :])  # (B,2S1,H)
+        # stratified slot sampling across wide ranges (the deterministic
+        # equivalent of the reference's SumTree-CDF hit selection,
+        # select.h:52-80): first-H would only ever see one corner of a
+        # repetitive locus's SA range
+        off = jnp.where(
+            range_size[:, :, None] > H,
+            (k[None, None, :] * range_size[:, :, None]) // H,
+            k[None, None, :],
+        )
+        pos = index_locate(index, lo[:, :, None], off)     # (B,2S1,H)
     else:
         # FM-index backward search + bounded LF locate
         seeds_flat = seeds.reshape(B * 2 * S1, P.seed_len)
@@ -124,9 +133,13 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
         hi = hi.reshape(B, 2 * S1)
         range_size = jnp.maximum(hi - lo, 0)
 
-        # the reference randomizes selection over a SumTree CDF; we take the
-        # first H rows per range (deterministic), masked by range size
-        rows = lo[:, :, None] + k[None, None, :]                   # (B, 2S1, H)
+        # stratified slot sampling (see the q-gram branch above)
+        off = jnp.where(
+            range_size[:, :, None] > H,
+            (k[None, None, :] * range_size[:, :, None]) // H,
+            k[None, None, :],
+        )
+        rows = lo[:, :, None] + off                                # (B, 2S1, H)
         hit_valid = (
             (k[None, None, :] < range_size[:, :, None]) & seed_valid2[:, :, None]
         )
