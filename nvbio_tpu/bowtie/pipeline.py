@@ -116,11 +116,16 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
         )
         # stratified slot sampling across wide ranges (the deterministic
         # equivalent of the reference's SumTree-CDF hit selection,
-        # select.h:52-80): first-H would only ever see one corner of a
-        # repetitive locus's SA range
+        # select.h:52-80), jittered per seed: a read's true occurrence sits
+        # at nearly the SAME rank fraction in every seed's position-sorted
+        # bucket (~p0/|genome|), so an unjittered grid makes all seeds miss
+        # together
+        NS = 2 * S1
+        sidx = jnp.arange(NS, dtype=jnp.int32)[None, :, None]
         off = jnp.where(
             range_size[:, :, None] > H,
-            (k[None, None, :] * range_size[:, :, None]) // H,
+            ((k[None, None, :] * NS + sidx) * range_size[:, :, None])
+            // (H * NS),
             k[None, None, :],
         )
         pos = index_locate(index, lo[:, :, None], off)     # (B,2S1,H)
@@ -133,10 +138,13 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
         hi = hi.reshape(B, 2 * S1)
         range_size = jnp.maximum(hi - lo, 0)
 
-        # stratified slot sampling (see the q-gram branch above)
+        # jittered stratified slot sampling (see the q-gram branch above)
+        NS = 2 * S1
+        sidx = jnp.arange(NS, dtype=jnp.int32)[None, :, None]
         off = jnp.where(
             range_size[:, :, None] > H,
-            (k[None, None, :] * range_size[:, :, None]) // H,
+            ((k[None, None, :] * NS + sidx) * range_size[:, :, None])
+            // (H * NS),
             k[None, None, :],
         )
         rows = lo[:, :, None] + off                                # (B, 2S1, H)
@@ -165,19 +173,33 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
     tol = 2 * P.max_dist
 
     def dedup_half(w0h, validh):
-        # tournament select: NCH rounds of (min, mask-out cluster) — one
-        # O(CH) reduce per round instead of the argsort chain, and the
-        # representatives come out ascending like the sorted version
+        # evidence-ranked tournament: loci supported by more seeds win the
+        # NCH slots (nvBowtie's seed-hit prioritization); a plain positional
+        # cap silently drops true loci once q-gram buckets get busy on large
+        # genomes (mapped rate fell to ~30% on a 100 Mbp reference)
         big = jnp.int32(2**31 - 1)
-        key = jnp.where(validh, w0h, big)
-        reps = []
+        w0v = jnp.where(validh, w0h, big)
+        near = (jnp.abs(w0v[:, :, None] - w0v[:, None, :]) <= tol) & \
+            validh[:, None, :]                       # (B, CH, CH)
+        votes = jnp.where(validh,
+                          jnp.sum(near, axis=2).astype(jnp.int32), -1)
+        reps, valids = [], []
         for _ in range(NCH):
-            m = jnp.min(key, axis=1)
-            reps.append(m)
-            # key >= m always, so this masks the representative's cluster
-            key = jnp.where(key - m[:, None] <= tol, big, key)
+            # pick max votes; break ties toward the smaller window start
+            key = (votes << jnp.int32(26)) | (
+                jnp.int32((1 << 26) - 1) - (w0v >> jnp.int32(5)))
+            m = jnp.max(key, axis=1)
+            any_valid = jnp.max(votes, axis=1) > 0
+            picked = key == m[:, None]
+            # leftmost member of the picked cluster = the representative
+            sel_w0 = jnp.min(jnp.where(picked, w0v, big), axis=1)
+            members = (jnp.abs(w0v - sel_w0[:, None]) <= tol) & (votes >= 0)
+            rep = jnp.min(jnp.where(members, w0v, big), axis=1)
+            reps.append(jnp.where(any_valid, rep, big))
+            valids.append(any_valid)
+            votes = jnp.where(members, -1, votes)
         uw0 = jnp.stack(reps, axis=1)          # (B, NCH)
-        uvalid = uw0 < big
+        uvalid = jnp.stack(valids, axis=1) & (uw0 < big)
         return jnp.where(uvalid, uw0, 0), uvalid
 
     w0f, validf = dedup_half(w0[:, :CH], cand_valid_all[:, :CH])
