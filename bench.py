@@ -161,6 +161,34 @@ def main():
     cells = KB * L * W
     gcups = cells / kdt / 1e9
 
+    # ---- Myers bit-parallel edit-distance kernel GCUPS ----------------------
+    myers_gcups = 0.0
+    if platform == "tpu":
+        from nvbio_tpu.align.pallas_kernels import myers_semiglobal_pallas
+
+        MT = L + W - 1
+        mp = jnp.asarray(rng.integers(0, 4, size=(KB, L), dtype=np.int32))
+        mt = jnp.asarray(rng.integers(0, 4, size=(KB, MT), dtype=np.int32))
+        mpl = jnp.full((KB,), L, jnp.int32)
+        mtl = jnp.full((KB,), MT, jnp.int32)
+
+        @_jax.jit
+        def _mchain(p):
+            acc = jnp.zeros((KB,), jnp.int32)
+            for _ in range(KCHAIN):
+                d, _e = myers_semiglobal_pallas(p, mpl, mt, mtl)
+                acc = acc + d
+                p = p ^ (d[:, None] & 1)
+            return acc
+
+        int(np.asarray(_mchain(mp)[:1])[0])
+        t0 = time.time()
+        mo = [_mchain(mp) for _ in range(KREPS)]
+        for s_ in mo:
+            int(np.asarray(s_[:1])[0])
+        mdt = (time.time() - t0) / (KREPS * KCHAIN)
+        myers_gcups = KB * L * MT / mdt / 1e9
+
     print(
         json.dumps(
             {
@@ -172,6 +200,7 @@ def main():
                     "platform": platform,
                     "banded_gotoh_gcups": round(gcups, 2),
                     "gcups_vs_psa_titan_black": round(gcups / 157.73, 3),
+                    "myers_edit_gcups": round(myers_gcups, 1),
                     "genome_bp": GENOME,
                     "batch": B,
                     "read_len": L,

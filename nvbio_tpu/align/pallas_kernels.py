@@ -802,3 +802,149 @@ def banded_score_cands_regtile(
             transcendentals=0),
     )(fwd_b, rc_b, mmf_b, mmr_b, plen_b, txt_b, tlen_b)
     return score.reshape(C * B), kbest.reshape(C * B)
+
+
+# ---------------------------------------------------------------------------
+# Myers bit-parallel edit distance: 32 DP cells per int32 op. Register-tiled
+# like the Gotoh scorer; the pattern's Peq masks and the PV/MV state live in
+# (n_words x) registers, the text streams row by row.
+# Counterpart of nvbio's Myers aligner (myers_banded_inl.h) at full width.
+# ---------------------------------------------------------------------------
+
+
+def _myers_kernel(pat_ref, plen_ref, txt_ref, tlen_ref, best_ref, bend_ref,
+                  *, M, T, NW, NSYM):
+    zero = jnp.minimum(pat_ref[0, 0], 0).astype(jnp.uint32)
+    ones = zero + jnp.uint32(0xFFFFFFFF)
+    plen = plen_ref[0, 0]
+    tlen = tlen_ref[0, 0]
+
+    # Peq[c][w]: bit i%32 set where pattern[i] == c (disjoint bits -> OR)
+    peq = [[zero for _ in range(NW)] for _ in range(NSYM)]
+    for i in range(M):
+        p = pat_ref[0, i]
+        valid = i < plen
+        for c in range(NSYM):
+            hit = ((p == c) & valid).astype(jnp.uint32) << jnp.uint32(i % 32)
+            peq[c][i // 32] = peq[c][i // 32] | hit
+
+    last = plen - 1
+    last_word = last // 32
+    last_bit = (last % 32).astype(jnp.uint32)
+
+    def step(j, carry):
+        PV, MV, score, best, bend = carry
+        tch = txt_ref[0, j]
+        Eq = []
+        for w in range(NW):
+            e = peq[0][w]
+            for c in range(1, NSYM):
+                e = jnp.where(tch == c, peq[c][w], e)
+            Eq.append(e)
+        # multi-word (Eq & PV) + PV with carry chain
+        summ = []
+        carry_b = None
+        for w in range(NW):
+            a = Eq[w] & PV[w]
+            t = a + PV[w]
+            c1 = t < a
+            if carry_b is None:
+                s = t
+                carry_b = c1
+            else:
+                s = t + carry_b.astype(jnp.uint32)
+                carry_b = c1 | (s < t)
+            summ.append(s)
+        D0 = [(summ[w] ^ PV[w]) | Eq[w] | MV[w] for w in range(NW)]
+        Hp = [MV[w] | ~(D0[w] | PV[w]) for w in range(NW)]
+        Hn = [PV[w] & D0[w] for w in range(NW)]
+
+        phl = Hp[0]
+        mhl = Hn[0]
+        for w in range(1, NW):
+            phl = jnp.where(last_word == w, Hp[w], phl)
+            mhl = jnp.where(last_word == w, Hn[w], mhl)
+        score = (score
+                 + ((phl >> last_bit) & 1).astype(jnp.int32)
+                 - ((mhl >> last_bit) & 1).astype(jnp.int32))
+
+        # shift left by one with zero carry-in (free text prefix)
+        HpS, HnS = [], []
+        cp = zero
+        cn = zero
+        for w in range(NW):
+            HpS.append((Hp[w] << 1) | cp)
+            HnS.append((Hn[w] << 1) | cn)
+            cp = Hp[w] >> 31
+            cn = Hn[w] >> 31
+        PV = [HnS[w] | ~(D0[w] | HpS[w]) for w in range(NW)]
+        MV = [D0[w] & HpS[w] for w in range(NW)]
+
+        upd = (j < tlen) & (score < best)
+        best = jnp.where(upd, score, best)
+        bend = jnp.where(upd, j + 1, bend)
+        return PV, MV, score, best, bend
+
+    PV = [ones] * NW
+    MV = [zero] * NW
+    score0 = plen
+    best0 = plen
+    bend0 = jnp.minimum(plen, 0)  # zeros, concrete layout
+    PV, MV, score, best, bend = jax.lax.fori_loop(
+        0, T, step, (PV, MV, score0, best0, bend0))
+    best_ref[0, 0] = best
+    bend_ref[0, 0] = bend
+
+
+@functools.partial(jax.jit, static_argnames=("n_symbols", "interpret"))
+def myers_semiglobal_pallas(patterns, pattern_lens, texts, text_lens,
+                            n_symbols: int = 4, interpret: bool = False):
+    """Bit-parallel SEMI_GLOBAL edit distance (pattern global, text local).
+
+    Same results as ``myers.myers_semiglobal``; ~32 DP cells per int32 op
+    with all state in registers. Returns (distance (B,), text_end (B,)).
+    """
+    B, M = patterns.shape
+    T = texts.shape[1]
+    NW = (M + 31) // 32
+    G = _round_up(max(B, 1024), 1024) // 1024
+    Bp = G * 1024
+    Lp = _round_up(M, _ROWS)
+    Tp = _round_up(T, _ROWS)
+
+    def to_blocks(x, rows):
+        x = x.astype(jnp.int32)
+        if x.shape[1] < rows:
+            x = jnp.pad(x, ((0, Bp - B), (0, rows - x.shape[1])))
+        else:
+            x = jnp.pad(x[:, :rows], ((0, Bp - B), (0, 0)))
+        return x.reshape(G, 8, 128, rows).transpose(0, 3, 1, 2)
+
+    patsb = to_blocks(patterns, Lp)
+    txtsb = to_blocks(texts, Tp)
+    plb = jnp.pad(pattern_lens.astype(jnp.int32), (0, Bp - B),
+                  constant_values=1).reshape(G, 1, 8, 128)
+    tlb = jnp.pad(text_lens.astype(jnp.int32), (0, Bp - B)).reshape(
+        G, 1, 8, 128)
+
+    kern = functools.partial(_myers_kernel, M=M, T=T, NW=NW, NSYM=n_symbols)
+    blk = lambda g: (g, 0, 0, 0)
+    best, bend = pl.pallas_call(
+        kern, grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, Lp, 8, 128), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, 128), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tp, 8, 128), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, 128), blk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 8, 128), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, 128), blk, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((G, 1, 8, 128), jnp.int32)] * 2,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * M * T, bytes_accessed=4 * Bp * (M + T),
+            transcendentals=0),
+    )(patsb, plb, txtsb, tlb)
+    return best.reshape(Bp)[:B], bend.reshape(Bp)[:B]
