@@ -30,6 +30,9 @@ def add_parser(sub):
     p.add_argument("--hits-per-seed", type=int, default=4)
     p.add_argument("--max-dist", type=int, default=8)
     p.add_argument("--seeding", choices=["qgram", "fmi"], default="qgram")
+    p.add_argument("--mode", choices=["sw", "ed"], default="sw",
+                   help="sw: quality-aware Gotoh (bowtie2-like, default); "
+                        "ed: unit-cost edit distance (nvBowtie --ed)")
     p.add_argument("--report", help="write an HTML stats report")
     p.add_argument("--config", help="option file: one key=value per line "
                                     "(overrides CLI parameter defaults)")
@@ -81,7 +84,7 @@ def run(args):
     if not paired and not args.reads:
         raise SystemExit("provide a reads file (or -1/-2 for paired-end)")
 
-    params = MapParams(
+    common = dict(
         max_read_len=args.max_read_len,
         seed_len=args.seed_len,
         seed_stride=args.seed_stride,
@@ -92,6 +95,8 @@ def run(args):
         maxins=args.maxins,
         mate_rescue=not args.no_rescue,
     )
+    params = (MapParams.edit_distance(**common) if args.mode == "ed"
+              else MapParams(**common))
     if args.config:
         from nvbio_tpu.utils.options import Options, apply_to_params
 

@@ -41,6 +41,23 @@ class MapParams:
     maxins: int = 500
     mate_rescue: bool = True
 
+    @classmethod
+    def edit_distance(cls, **kw) -> "MapParams":
+        """nvBowtie's --ed mode (aligner_best_approx_ed): unit-cost edit
+        distance — Gotoh with open == extend == mismatch == -1 IS the
+        unit-cost DP, so the same fused kernels serve both modes. The
+        threshold becomes "at most max_dist edits"."""
+        max_dist = kw.pop("max_dist", 8)
+        kw.setdefault("scoring", GotohScoring(
+            match=0, mismatch=-1,
+            pattern_gap_open=-1, pattern_gap_ext=-1,
+            text_gap_open=-1, text_gap_ext=-1,
+        ))
+        kw.setdefault("use_quality_penalties", False)
+        kw.setdefault("score_min_const", float(-max_dist))
+        kw.setdefault("score_min_coeff", 0.0)
+        return cls(max_dist=max_dist, **kw)
+
     @property
     def band(self) -> int:
         return 2 * self.max_dist + 1

@@ -192,3 +192,36 @@ def test_all_mapping_mode(tmp_path):
     assert primary[0].cigar == "60M"
     uniq = by_name["uniq"]
     assert len(uniq) == 1 and uniq[0].pos == 101
+
+
+def test_edit_distance_mode():
+    """--ed preset: unit-cost scoring maps clean and 1-indel reads."""
+    import numpy as np
+
+    from nvbio_tpu.alphabet import codes_to_string
+    from nvbio_tpu.bowtie.params import MapParams
+    from nvbio_tpu.bowtie.pipeline import ReadMapper
+    from nvbio_tpu.io.fastq import batch_from_records
+    from nvbio_tpu.io.reference import Reference
+
+    rng = np.random.default_rng(41)
+    genome = codes_to_string(rng.integers(0, 4, 8000, np.uint8))
+    ref = Reference.from_records([("c1", genome)])
+    params = MapParams.edit_distance(
+        max_read_len=60, seed_len=16, seed_stride=10, hits_per_seed=4,
+        max_dist=4, qgram_q=10)
+    mapper = ReadMapper.build(ref, params)
+
+    r_clean = genome[100:160]
+    r_del = genome[700:725] + genome[726:761]  # one deletion
+    r_bad = codes_to_string(rng.integers(0, 4, 60, np.uint8))  # random
+    out = mapper.map_batch(batch_from_records(
+        [("clean", r_clean, "I" * 60), ("del", r_del, "I" * 60),
+         ("bad", r_bad, "I" * 60)], 60))
+    by = {r.qname: r for r in out}
+    assert not by["clean"].flag & 0x4 and by["clean"].pos == 101
+    assert by["clean"].tags["AS"] == 0 and by["clean"].tags["NM"] == 0
+    assert not by["del"].flag & 0x4 and by["del"].pos == 701
+    assert by["del"].tags["AS"] == -1 and by["del"].tags["NM"] == 1
+    assert "D" in by["del"].cigar
+    assert by["bad"].flag & 0x4  # exceeds max_dist edits
