@@ -12,6 +12,9 @@ def add_parser(sub):
     p.add_argument("--txt", action="store_true", help="also write ASCII BWT")
     p.add_argument("--bgz", action="store_true",
                    help="also write BGZF-compressed ASCII BWT (.txt.bgz)")
+    p.add_argument("--incremental", type=int, metavar="BLOCK", default=0,
+                   help="build block-incrementally (BCR multi-string BWT + "
+                        "Holt-McMillan merges) with this block size")
     p.set_defaults(func=run)
     return p
 
@@ -25,7 +28,13 @@ def run(args):
     t0 = time.time()
     recs = read_fastq(args.reads)
     reads = [string_to_codes(s, Alphabet.DNA) for _, s, _ in recs]
-    bwt, primary = set_bwt(reads)
+    if args.incremental:
+        from nvbio_tpu.index.setbwt import mse_bwt_incremental
+
+        bwt = mse_bwt_incremental(reads, args.incremental)
+        primary = -1  # multi-string BWT: one '$' per read, no single primary
+    else:
+        bwt, primary = set_bwt(reads)
     save_set_bwt(args.output + ".setbwt.npz", bwt, primary)
     if args.txt:
         with open(args.output + ".setbwt.txt", "w") as f:

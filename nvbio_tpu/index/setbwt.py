@@ -52,3 +52,114 @@ def bwt_to_text(bwt: np.ndarray) -> str:
     """ASCII dump ('$ACGT' alphabet), the nvSetBWT .txt output format."""
     table = np.frombuffer(b"$ACGT", dtype=np.uint8)
     return table[bwt].tobytes().decode()
+
+
+# ---------------------------------------------------------------------------
+# Incremental (mergeable) multi-string BWT — the BWTE scale-up path
+# (``nvbio/sufsort/bwte.h:57-229``: merge_block over a PagedText). Blocks are
+# built with BCR sentinel semantics ($_i < $_j for i < j, comparisons stop at
+# sentinels, per-string circular BWT symbols), which makes each block's BWT
+# self-contained; blocks then merge by Holt & McMillan interleave refinement
+# ("Merging of multi-string BWTs with applications", 2014): repeat a stable
+# counting-sort (LF) pass over the interleaved symbols until the interleave
+# vector reaches its fixpoint — every pass is one dense vectorized sweep.
+# ---------------------------------------------------------------------------
+
+
+def mse_bwt(reads):
+    """BCR-semantics multi-string BWT.
+
+    Returns (bwt, tags): one entry per symbol incl. one '$' per read
+    (alphabet {0:'$', 1..4}); ``tags[j]`` is the in-set string index of the
+    '$' at row j (and -1 elsewhere). The tags give each sentinel a distinct
+    identity so merges can LF-map '$' symbols to the right sentinel row —
+    collapsed sentinels would resolve ties by cyclic continuation instead
+    of string rank.
+    """
+    from nvbio_tpu.index.sa import _suffix_array_doubling
+
+    S = len(reads)
+    if S == 0:
+        return np.zeros(0, np.uint8), np.zeros(0, np.int64)
+    lens = [len(r) for r in reads]
+    n = sum(lens) + S
+    # linear text with DISTINCT increasing sentinels: suffix comparisons
+    # stop at the first sentinel, so the order is per-string local
+    text = np.zeros(n, np.int64)
+    starts = np.zeros(S, np.int64)
+    off = 0
+    for i, r in enumerate(reads):
+        starts[i] = off
+        text[off:off + len(r)] = np.asarray(r, np.int64) + S
+        text[off + len(r)] = i  # $_i
+        off += len(r) + 1
+    sa = _suffix_array_doubling(text)
+    sa = sa[sa < n]  # drop the sorter's own global terminator row
+    # owner string + circular previous symbol
+    owner = np.searchsorted(starts, sa, side="right") - 1
+    at_start = sa == starts[owner]
+    prev = text[np.maximum(sa - 1, 0)]
+    is_dollar = at_start | (prev < S)
+    bwt = np.where(is_dollar, 0, prev - S + 1).astype(np.uint8)
+    # tag: the string whose sentinel this is — circular wrap gives $_owner;
+    # a mid-text '$' preceding suffix sa is $_{owner-1}'s? no: prev < S means
+    # text[sa-1] is the sentinel of the PREVIOUS string == its own value
+    tags = np.where(at_start, owner,
+                    np.where(prev < S, prev, -1)).astype(np.int64)
+    return bwt, tags
+
+
+def merge_mse_bwts(bwt1, tags1, bwt2, tags2, max_rounds: int | None = None):
+    """Merge two tagged multi-string BWTs (set-1 strings keep lower
+    sentinel ranks). Holt-McMillan interleave refinement: each round is one
+    stable LF redistribution of the interleave bits; sentinel symbols sort
+    by their global string rank so LF sends each '$' to its own row."""
+    n1, n2 = len(bwt1), len(bwt2)
+    S1 = int(tags1.max()) + 1 if n1 else 0
+    S2 = int(tags2.max()) + 1 if n2 else 0
+    if n1 == 0:
+        return bwt2.copy(), tags2.copy()
+    if n2 == 0:
+        return bwt1.copy(), tags1.copy()
+    ST = S1 + S2
+    # sort keys: sentinel rows first ordered by global string rank, then
+    # bases by symbol value
+    key1 = np.where(bwt1 == 0, tags1, ST + bwt1.astype(np.int64))
+    key2 = np.where(bwt2 == 0, tags2 + S1, ST + bwt2.astype(np.int64))
+
+    Z = np.concatenate([np.zeros(n1, bool), np.ones(n2, bool)])
+    merged = np.empty(n1 + n2, np.int64)
+    rounds = 0
+    while True:
+        merged[~Z] = key1
+        merged[Z] = key2
+        order = np.argsort(merged, kind="stable")
+        dest = np.empty_like(order)
+        dest[order] = np.arange(len(order))
+        Znew = np.empty_like(Z)
+        Znew[dest] = Z
+        rounds += 1
+        if np.array_equal(Znew, Z):
+            break
+        Z = Znew
+        if max_rounds is not None and rounds >= max_rounds:
+            break
+    bwt = np.empty(n1 + n2, np.uint8)
+    bwt[~Z] = bwt1
+    bwt[Z] = bwt2
+    tags = np.empty(n1 + n2, np.int64)
+    tags[~Z] = tags1
+    tags[Z] = np.where(tags2 >= 0, tags2 + S1, -1)
+    return bwt, tags
+
+
+def mse_bwt_incremental(reads, block_size: int = 100_000) -> np.ndarray:
+    """Block-incremental multi-string BWT: build each block with SA-IS-class
+    sorting, then fold the blocks together with merge_mse_bwts — the
+    reference's BWTE pipeline shape (nvSetBWT.cu:64-305)."""
+    acc = np.zeros(0, np.uint8)
+    acc_tags = np.zeros(0, np.int64)
+    for i in range(0, len(reads), block_size):
+        bwt, tags = mse_bwt(reads[i:i + block_size])
+        acc, acc_tags = merge_mse_bwts(acc, acc_tags, bwt, tags)
+    return acc

@@ -47,3 +47,65 @@ def test_bwt_text_roundtrip(rng):
     txt = bwt_to_text(bwt)
     assert set(txt) <= set("$ACGT")
     assert txt.count("$") == 2  # one separator + the terminator row
+
+
+def _mse_oracle(reads):
+    """Brute-force BCR multi-string BWT: per-string suffixes with $_i
+    ordered by string index, circular previous symbol."""
+    entries = []  # (key, bwt_symbol)
+    for i, r in enumerate(reads):
+        r = list(r)
+        aug = [int(c) + 1 for c in r] + [None]  # None marks $_i
+        for p in range(len(aug)):
+            # comparison key: symbols until (incl.) the sentinel; sentinel
+            # sorts below everything, ties by string index
+            key = []
+            for c in aug[p:]:
+                if c is None:
+                    key.append((0, i))
+                    break
+                key.append((c + 1, -1))
+            prev = aug[p - 1] if p > 0 else aug[-1]
+            sym = 0 if prev is None else prev
+            entries.append((tuple(key), sym))
+    entries.sort(key=lambda e: e[0])
+    return np.array([e[1] for e in entries], np.uint8)
+
+
+def test_mse_bwt_matches_oracle(rng):
+    from nvbio_tpu.index.setbwt import mse_bwt
+
+    for trial in range(5):
+        reads = [rng.integers(0, 4, size=rng.integers(3, 12)).astype(np.uint8)
+                 for _ in range(rng.integers(2, 8))]
+        got, tags = mse_bwt(reads)
+        want = _mse_oracle(reads)
+        assert sorted(tags[got == 0].tolist()) == list(range(len(reads)))
+        np.testing.assert_array_equal(got, want, err_msg=str(trial))
+
+
+def test_merge_mse_bwts_equals_whole(rng):
+    from nvbio_tpu.index.setbwt import merge_mse_bwts, mse_bwt
+
+    for trial in range(5):
+        A = [rng.integers(0, 4, size=rng.integers(3, 10)).astype(np.uint8)
+             for _ in range(rng.integers(1, 6))]
+        B = [rng.integers(0, 4, size=rng.integers(3, 10)).astype(np.uint8)
+             for _ in range(rng.integers(1, 6))]
+        b1, t1 = mse_bwt(A)
+        b2, t2 = mse_bwt(B)
+        merged, mtags = merge_mse_bwts(b1, t1, b2, t2)
+        want, wtags = mse_bwt(A + B)
+        np.testing.assert_array_equal(merged, want, err_msg=str(trial))
+        np.testing.assert_array_equal(mtags, wtags, err_msg=str(trial))
+
+
+def test_mse_bwt_incremental_blocks(rng):
+    from nvbio_tpu.index.setbwt import mse_bwt, mse_bwt_incremental
+
+    reads = [rng.integers(0, 4, size=20).astype(np.uint8) for _ in range(23)]
+    got = mse_bwt_incremental(reads, block_size=5)
+    np.testing.assert_array_equal(got, mse_bwt(reads)[0])
+    # symbol counts conserved: one '$' per read + all bases
+    assert (got == 0).sum() == 23
+    assert len(got) == 23 * 21
