@@ -63,6 +63,10 @@ def _load_reference(path: str, params):
         from nvbio_tpu.qgram import QGramIndex
 
         index = QGramIndex.load(path + ".qgram.npz")
+    elif params.seeding == "qgram" and os.path.exists(path + ".qgroup.npz"):
+        from nvbio_tpu.qgram import QGroupIndex
+
+        index = QGroupIndex.load(path + ".qgroup.npz")
     elif params.seeding == "fmi" and os.path.exists(path + ".fmi.npz"):
         from nvbio_tpu.fmi.index import FMIndex
 

@@ -291,23 +291,11 @@ def map_pair_batch(mapper, batch1, batch2):
     res2 = {k: np.asarray(v) for k, v in res2.items()}
     proper = np.asarray(proper)
 
-    # lazy op-row readback: only reads with indels need their op rows
-    from nvbio_tpu.alphabet import _FROM_CODE
+    from nvbio_tpu.bowtie.pipeline import host_rc_ascii, lazy_ops_rows
 
-    def ops_lookup(res, dev):
-        rows = np.flatnonzero(~res["simple"] & res["mapped"])
-        if not len(rows):
-            return {}
-        if isinstance(dev, np.ndarray):
-            return dict(zip(rows.tolist(), dev[rows]))
-        return dict(zip(rows.tolist(),
-                        np.asarray(dev[jnp.asarray(rows)])))
-
-    ops_of = (ops_lookup(res1, ops_dev[0]), ops_lookup(res2, ops_dev[1]))
-    table = _FROM_CODE[Alphabet.DNA]
-    rc_table = table[[3, 2, 1, 0]]
-    rc_full = (rc_table[np.asarray(batch1.codes, np.uint8)][:, ::-1],
-               rc_table[np.asarray(batch2.codes, np.uint8)][:, ::-1])
+    ops_of = (lazy_ops_rows(res1["simple"], res1["mapped"], ops_dev[0]),
+              lazy_ops_rows(res2["simple"], res2["mapped"], ops_dev[1]))
+    rc_full = (host_rc_ascii(batch1.codes), host_rc_ascii(batch2.codes))
     Lfull = batch1.codes.shape[1]
 
     out = []
@@ -338,7 +326,7 @@ def map_pair_batch(mapper, batch1, batch2):
             else:
                 seq = codes_to_string(batch.codes[b, :L], Alphabet.DNA)
                 qual = quals_to_string(batch.quals[b], L)
-            recs.append([flag, mapped, strand, seq, qual, L, res, m])
+            recs.append([flag, mapped, strand, seq, qual, L, res])
 
         # cross-mate flags
         for m in range(2):
@@ -349,7 +337,7 @@ def map_pair_batch(mapper, batch1, batch2):
                 recs[m][0] |= FLAG_MATE_REVERSE
 
         for m in range(2):
-            flag, mapped, strand, seq, qual, L, res, _mi = recs[m]
+            flag, mapped, strand, seq, qual, L, res = recs[m]
             o = 1 - m
             if not mapped:
                 out.append(SamRecord(

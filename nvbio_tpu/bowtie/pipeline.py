@@ -45,6 +45,29 @@ from nvbio_tpu.io.sam import (
 from nvbio_tpu.alphabet import Alphabet, codes_to_string
 
 
+def host_rc_ascii(codes_np: np.ndarray) -> np.ndarray:
+    """Reverse-complement ASCII matrix of a batch's codes (host-side);
+    read b's rc occupies the TAIL of row b (slice [Lfull-len:])."""
+    from nvbio_tpu.alphabet import _FROM_CODE
+
+    rc_table = _FROM_CODE[Alphabet.DNA][[3, 2, 1, 0]]
+    return rc_table[np.asarray(codes_np, np.uint8)][:, ::-1]
+
+
+def lazy_ops_rows(simple: np.ndarray, mapped: np.ndarray, ops_dev) -> dict:
+    """Fetch traceback op rows only for mapped reads with indels.
+
+    Returns {row: ops_row}; ``ops_dev`` may still live on device — on the
+    remote relay a full (B, M+W) fetch costs ~1s/batch while gapped reads
+    are typically <1%."""
+    rows = np.flatnonzero(~simple & mapped)
+    if not len(rows):
+        return {}
+    if isinstance(ops_dev, np.ndarray):
+        return dict(zip(rows.tolist(), ops_dev[rows]))
+    return dict(zip(rows.tolist(), np.asarray(ops_dev[jnp.asarray(rows)])))
+
+
 def _mm_penalties(quals, params: MapParams):
     """Bowtie2 quality-dependent mismatch penalty (positive magnitude)."""
     if not params.use_quality_penalties:
@@ -122,10 +145,13 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
         # together
         NS = 2 * S1
         sidx = jnp.arange(NS, dtype=jnp.int32)[None, :, None]
+        # overflow-safe: (k*NS+sidx)*range can exceed int32 for giant
+        # buckets; stride/jitter stay < range so the sum never wraps
+        stride = range_size[:, :, None] // H
+        jitter = (stride // NS) * sidx
         off = jnp.where(
             range_size[:, :, None] > H,
-            ((k[None, None, :] * NS + sidx) * range_size[:, :, None])
-            // (H * NS),
+            k[None, None, :] * stride + jitter,
             k[None, None, :],
         )
         pos = index_locate(index, lo[:, :, None], off)     # (B,2S1,H)
@@ -141,10 +167,13 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
         # jittered stratified slot sampling (see the q-gram branch above)
         NS = 2 * S1
         sidx = jnp.arange(NS, dtype=jnp.int32)[None, :, None]
+        # overflow-safe: (k*NS+sidx)*range can exceed int32 for giant
+        # buckets; stride/jitter stay < range so the sum never wraps
+        stride = range_size[:, :, None] // H
+        jitter = (stride // NS) * sidx
         off = jnp.where(
             range_size[:, :, None] > H,
-            ((k[None, None, :] * NS + sidx) * range_size[:, :, None])
-            // (H * NS),
+            k[None, None, :] * stride + jitter,
             k[None, None, :],
         )
         rows = lo[:, :, None] + off                                # (B, 2S1, H)
@@ -185,12 +214,11 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
                           jnp.sum(near, axis=2).astype(jnp.int32), -1)
         reps, valids = [], []
         for _ in range(NCH):
-            # pick max votes; break ties toward the smaller window start
-            key = (votes << jnp.int32(26)) | (
-                jnp.int32((1 << 26) - 1) - (w0v >> jnp.int32(5)))
-            m = jnp.max(key, axis=1)
-            any_valid = jnp.max(votes, axis=1) > 0
-            picked = key == m[:, None]
+            # lexicographic (max votes, min w0) in two reductions — packing
+            # into one int32 key overflows once a cluster reaches 32 members
+            m_v = jnp.max(votes, axis=1)
+            any_valid = m_v > 0
+            picked = votes == m_v[:, None]
             # leftmost member of the picked cluster = the representative
             sel_w0 = jnp.min(jnp.where(picked, w0v, big), axis=1)
             members = (jnp.abs(w0v - sel_w0[:, None]) <= tol) & (votes >= 0)
@@ -589,13 +617,9 @@ class ReadMapper:
         # handling dominates the naive loop at ~27us/record)
         from nvbio_tpu.alphabet import _FROM_CODE
 
-        table = _FROM_CODE[Alphabet.DNA]
-        rc_table = table[[3, 2, 1, 0]]  # complement in code space
         codes_np = np.asarray(batch.codes, np.uint8)
-        fwd_ascii = table[codes_np]
-        # rc recomputed host-side from the reads we already hold (left-
-        # aligned per read happens at slice time via the length offset)
-        rc_full = rc_table[codes_np][:, ::-1]
+        fwd_ascii = _FROM_CODE[Alphabet.DNA][codes_np]
+        rc_full = host_rc_ascii(codes_np)
         q_ascii = np.asarray(batch.quals, np.uint8) + 33
         qr_ascii = q_ascii[:, ::-1]
         lengths = np.asarray(batch.lengths).tolist()
@@ -614,19 +638,7 @@ class ReadMapper:
         second = res["second_score"].tolist()
         n_ops_l = res["n_ops"].tolist()
         simple = res["simple"]
-        # lazy readback: only reads with indels need their op rows (on the
-        # remote relay a full (B, M+W) ops fetch costs ~1s/batch; gapped
-        # reads are typically <1%)
-        gap_rows = np.flatnonzero(~simple & res["mapped"])
-        if len(gap_rows):
-            ops_dev = res_dev_ops
-            if isinstance(ops_dev, np.ndarray):
-                ops_rows = ops_dev[gap_rows]
-            else:
-                ops_rows = np.asarray(ops_dev[jnp.asarray(gap_rows)])
-            ops_of = dict(zip(gap_rows.tolist(), ops_rows))
-        else:
-            ops_of = {}
+        ops_of = lazy_ops_rows(simple, res["mapped"], res_dev_ops)
         simple = simple.tolist()
         Lfull = fwd_ascii.shape[1]
 

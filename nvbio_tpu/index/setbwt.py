@@ -128,14 +128,23 @@ def merge_mse_bwts(bwt1, tags1, bwt2, tags2, max_rounds: int | None = None):
     key2 = np.where(bwt2 == 0, tags2 + S1, ST + bwt2.astype(np.int64))
 
     Z = np.concatenate([np.zeros(n1, bool), np.ones(n2, bool)])
-    merged = np.empty(n1 + n2, np.int64)
+    n = n1 + n2
+    merged = np.empty(n, np.int64)
     rounds = 0
     while True:
         merged[~Z] = key1
         merged[Z] = key2
-        order = np.argsort(merged, kind="stable")
-        dest = np.empty_like(order)
-        dest[order] = np.arange(len(order))
+        # stable counting-sort destinations in O(n): every sentinel key
+        # (the global string rank) occurs exactly once, so its destination
+        # IS the key; the 4 base symbols distribute by cumulative count
+        dest = merged.copy()  # sentinel rows: dest = tag
+        base_hist = np.bincount(merged, minlength=ST + 5)[ST + 1:ST + 5]
+        start_c = ST + np.concatenate([[0], np.cumsum(base_hist[:-1])])
+        for c in range(1, 5):
+            m = merged == ST + c
+            if m.any():
+                occ = np.cumsum(m) - 1
+                dest[m] = start_c[c - 1] + occ[m]
         Znew = np.empty_like(Z)
         Znew[dest] = Z
         rounds += 1

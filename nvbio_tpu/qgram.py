@@ -169,9 +169,11 @@ jax.tree_util.register_pytree_node(
 
 
 def build_qgroup_index(codes: np.ndarray, q: int = 16) -> QGroupIndex:
-    """Host-side Q-Group construction (sort + unique + popcount prefixes)."""
-    if q < 1 or q > 31:
-        raise ValueError("q must be in [1, 31]")
+    """Host-side Q-Group construction (sort + unique + popcount prefixes).
+
+    q up to 16 (32-bit keys; the device lookup works in uint32)."""
+    if q < 1 or q > 16:
+        raise ValueError("q must be in [1, 16] (32-bit keys)")
     keys = qgram_keys(codes, q)
     order = np.argsort(keys, kind="stable")
     sk = keys[order]
@@ -206,10 +208,14 @@ def _popcount32(x):
 
 def qgroup_range(index: QGroupIndex, keys):
     """Bucket ranges [lo, hi) for q-gram keys (device, batched) — the
-    reference's ``QGroupIndexViewCore::range`` (qgroup.h:120-136)."""
+    reference's ``QGroupIndexViewCore::range`` (qgroup.h:120-136).
+
+    Keys are taken modulo 2^(2q) in uint32 space, so q=16 works even though
+    packed int32 seed keys wrap negative."""
     import jax.numpy as jnp
 
-    keys = jnp.clip(keys, 0, (1 << (2 * index.q)) - 1).astype(jnp.uint32)
+    mask32 = np.uint32(((1 << (2 * index.q)) - 1) & 0xFFFFFFFF)
+    keys = keys.astype(jnp.uint32) & mask32
     i = (keys >> 5).astype(jnp.int32)
     j = keys & 31
     word = jnp.take(index.I, i).astype(jnp.uint32)

@@ -127,3 +127,29 @@ def test_qgroup_in_pipeline():
     for r in out:
         assert not r.flag & 0x4
         assert r.pos - 1 == int(r.qname[1:])
+
+
+def test_qgroup_q16_lookup():
+    """q=16: packed int32 seed keys wrap negative but lookups still work."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from nvbio_tpu.qgram import (build_qgroup_index, qgram_keys,
+                                 qgroup_range, seed_keys_from_batch)
+
+    rng = np.random.default_rng(77)
+    text = rng.integers(0, 4, size=3000, dtype=np.uint8)
+    grp = build_qgroup_index(text, 16)
+    # probe via the device-side packer (int32, wraps for q=16)
+    P = 50
+    starts = rng.integers(0, len(text) - 16, size=P)
+    seeds = np.stack([text[s:s + 16] for s in starts]).astype(np.int32)
+    keys = seed_keys_from_batch(jnp.asarray(seeds)[None], 16)[0]
+    lo, hi = qgroup_range(grp, keys)
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    assert (hi > lo).all()
+    full_keys = qgram_keys(text, 16)
+    for t in range(P):
+        want = np.flatnonzero(full_keys == full_keys[starts[t]])
+        got = np.sort(np.asarray(grp.P)[lo[t]:hi[t]])
+        np.testing.assert_array_equal(got, want)
