@@ -144,14 +144,15 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
         # bucket (~p0/|genome|), so an unjittered grid makes all seeds miss
         # together
         NS = 2 * S1
-        sidx = jnp.arange(NS, dtype=jnp.int32)[None, :, None]
-        # overflow-safe: (k*NS+sidx)*range can exceed int32 for giant
-        # buckets; stride/jitter stay < range so the sum never wraps
-        stride = range_size[:, :, None] // H
-        jitter = (stride // NS) * sidx
+        D = H * NS
+        m_sl = (k[None, None, :] * NS
+                + jnp.arange(NS, dtype=jnp.int32)[None, :, None])  # < D
+        # exact floor(m*r/D) without the int32 overflow of m*r:
+        # m*(r//D) + (m*(r%D))//D  — both products stay < 2^31
+        r3 = range_size[:, :, None]
         off = jnp.where(
-            range_size[:, :, None] > H,
-            k[None, None, :] * stride + jitter,
+            r3 > H,
+            m_sl * (r3 // D) + (m_sl * (r3 % D)) // D,
             k[None, None, :],
         )
         pos = index_locate(index, lo[:, :, None], off)     # (B,2S1,H)
@@ -166,14 +167,15 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
 
         # jittered stratified slot sampling (see the q-gram branch above)
         NS = 2 * S1
-        sidx = jnp.arange(NS, dtype=jnp.int32)[None, :, None]
-        # overflow-safe: (k*NS+sidx)*range can exceed int32 for giant
-        # buckets; stride/jitter stay < range so the sum never wraps
-        stride = range_size[:, :, None] // H
-        jitter = (stride // NS) * sidx
+        D = H * NS
+        m_sl = (k[None, None, :] * NS
+                + jnp.arange(NS, dtype=jnp.int32)[None, :, None])  # < D
+        # exact floor(m*r/D) without the int32 overflow of m*r:
+        # m*(r//D) + (m*(r%D))//D  — both products stay < 2^31
+        r3 = range_size[:, :, None]
         off = jnp.where(
-            range_size[:, :, None] > H,
-            k[None, None, :] * stride + jitter,
+            r3 > H,
+            m_sl * (r3 // D) + (m_sl * (r3 % D)) // D,
             k[None, None, :],
         )
         rows = lo[:, :, None] + off                                # (B, 2S1, H)
