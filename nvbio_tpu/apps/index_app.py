@@ -28,6 +28,8 @@ def add_parser(sub):
                         "(compact for large q, e.g. 16)")
     p.add_argument("--pac", action="store_true",
                    help="also write BWA-compatible .pac/.ann/.amb")
+    p.add_argument("--bwt", action="store_true",
+                   help="with --fmi: also write the nvBWT-format .bwt file")
     p.set_defaults(func=run)
     return p
 
@@ -77,4 +79,11 @@ def run(args):
             f"FM-index built in {time.time()-t0:.1f}s "
             f"(primary={fmi.primary}, SA interval={fmi.sa_interval})"
         )
+        if args.bwt:
+            from nvbio_tpu import packed as _packed
+            from nvbio_tpu.io.pac import save_bwt
+
+            codes = _packed.unpack(fmi.bwt_words, fmi.n, 2)
+            save_bwt(codes, fmi.primary, args.prefix + ".bwt")
+            log_info(f"wrote {args.prefix}.bwt (nvBWT format)")
     return 0

@@ -157,3 +157,58 @@ def build_fmindex(
         ssa_cum=cum.astype(np.int32),
         ssa_vals=vals.astype(np.int32),
     )
+
+
+def fmindex_from_bwt(bwt_codes: np.ndarray, primary: int,
+                     sa_interval: int = 8) -> FMIndex:
+    """Rebuild a complete FM-index (occ + sampled SA) from a BWT alone —
+    the nvSSA job (``nvSSA/nvSSA.cpp:42-119``: SSA from .bwt files).
+
+    The suffix array comes back via Wyllie list-ranking over the LF
+    permutation: SA[i] equals the hop count from row i to the cycle's end
+    node, so ~log2(n) rounds of dense gathers (r += r[nxt]; nxt = nxt[nxt])
+    reconstruct every SA entry without a sequential LF walk.
+    """
+    bwt_codes = np.asarray(bwt_codes, np.uint8)
+    n = len(bwt_codes)
+    n_rows = n + 1
+
+    # LF over the full (sentinel-included) BWT: the sentinel occupies row
+    # `primary` and maps to row 0
+    counts = np.bincount(bwt_codes, minlength=4)[:4]
+    count = np.zeros(5, np.int64)
+    count[1:] = np.cumsum(counts)
+    count += 1
+    count[0] = 1
+
+    full = np.empty(n_rows, np.int8)
+    full[:primary] = bwt_codes[:primary]
+    full[primary] = -1  # sentinel
+    full[primary + 1:] = bwt_codes[primary:]
+    lf = np.zeros(n_rows, np.int64)
+    for c in range(4):
+        m = full == c
+        occ = np.cumsum(m) - m  # exclusive
+        lf[m] = count[c] + occ[m]
+    lf[primary] = 0
+
+    # Wyllie list ranking: SA[i] = #hops from i to the end node (the row
+    # whose LF wraps back to row 0, i.e. the primary row itself)
+    end = primary
+    nxt = lf.copy()
+    r = np.ones(n_rows, np.int64)
+    nxt[end] = end
+    r[end] = 0
+    steps = max(1, int(np.ceil(np.log2(n_rows))))
+    for _ in range(steps):
+        r = r + r[nxt]
+        nxt = nxt[nxt]
+    sa = r  # (n+1,) with sa[0] == n
+
+    # text from the F column: text[sa[i]] = first symbol of suffix i
+    text = np.empty(n, np.uint8)
+    rows = np.arange(1, n_rows)
+    sym = np.searchsorted(count[1:], rows, side="right")
+    text[sa[rows]] = sym.astype(np.uint8)
+
+    return build_fmindex(text, sa=sa, sa_interval=sa_interval)

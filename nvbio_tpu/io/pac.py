@@ -128,3 +128,39 @@ def load_reference_pac(prefix: str):
         np.bitwise_or.at(mask, idx // 32,
                          np.uint32(1) << (idx % 32).astype(np.uint32))
     return Reference(names, offsets, codes, mask)
+
+
+def save_bwt(bwt_codes: np.ndarray, primary: int, path: str) -> None:
+    """Write an nvBWT-format .bwt file (``nvBWT/nvBWT.cu:314-330``):
+    uint32 primary, uint32 cumFreq[4], then the 2-bit packed BWT words
+    (MSB-first within each word, the nvbio/BWA stream convention)."""
+    import struct
+
+    bwt_codes = np.asarray(bwt_codes, np.uint8)
+    counts = np.bincount(bwt_codes, minlength=4)[:4]
+    cum = np.cumsum(counts).astype(np.uint32)
+    n = len(bwt_codes)
+    n_words = (n + 15) // 16
+    padded = np.zeros(n_words * 16, np.uint32)
+    padded[:n] = bwt_codes
+    grouped = padded.reshape(n_words, 16)
+    shifts = (30 - 2 * np.arange(16, dtype=np.uint32)).astype(np.uint32)
+    words = np.bitwise_or.reduce(grouped << shifts, axis=1).astype(np.uint32)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<I", primary))
+        f.write(cum.astype("<u4").tobytes())
+        f.write(words.astype("<u4").tobytes())
+
+
+def load_bwt(path: str):
+    """Read an nvBWT .bwt file -> (bwt_codes, primary, cumFreq)."""
+    import struct
+
+    with open(path, "rb") as f:
+        primary = struct.unpack("<I", f.read(4))[0]
+        cum = np.frombuffer(f.read(16), "<u4").astype(np.int64)
+        words = np.frombuffer(f.read(), "<u4").astype(np.uint32)
+    n = int(cum[3])
+    shifts = (30 - 2 * np.arange(16, dtype=np.uint32)).astype(np.uint32)
+    codes = ((words[:, None] >> shifts) & 3).reshape(-1)[:n]
+    return codes.astype(np.uint8), int(primary), cum
