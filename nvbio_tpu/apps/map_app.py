@@ -81,6 +81,7 @@ def run(args):
     from nvbio_tpu.io.output import open_alignment_output
     from nvbio_tpu.utils.console import log_info, log_stats
     from nvbio_tpu.utils.stats import AlignmentStats, html_report
+    from nvbio_tpu.utils.timers import StageStats, Timer
 
     paired = args.mate1 is not None
     if paired and not args.mate2:
@@ -114,6 +115,7 @@ def run(args):
     lengths = (ref.offsets[1:] - ref.offsets[:-1]).tolist()
     n_reads = n_mapped = 0
     stats = AlignmentStats()
+    stage_stats = []
     t0 = time.time()
     with open_alignment_output(args.output, ref.names, lengths) as w:
         if paired:
@@ -135,14 +137,26 @@ def run(args):
                         n_mapped += 0 if rec.flag & 0x4 else 1
         else:
             # software pipelining: device compute of batch i+1 overlaps the
-            # host-side formatting/writing of batch i (async jax dispatch)
+            # host-side formatting/writing of batch i (async jax dispatch);
+            # per-stage host timers = the reference's KernelStats
+            # (nvBowtie/bowtie2/cuda/stats.h:45-174)
+            st_parse = StageStats("parse")
+            st_fmt = StageStats("fetch+format")
             pending = None
-            for batch in fastq_batches(args.reads, args.batch, args.max_read_len):
+            it = fastq_batches(args.reads, args.batch, args.max_read_len)
+            while True:
+                with Timer() as tp:
+                    batch = next(it, None)
+                if batch is not None:
+                    st_parse.add(tp.seconds, len(batch.names))
+                if batch is None:
+                    break
                 res = mapper.dispatch(batch)
                 if pending is not None:
                     pb, pres = pending
                     import jax as _jax
 
+                    tf = Timer().start()
                     small = _jax.device_get(
                         {k: pres[k] for k in
                          ("mapped", "mapq", "nm", "has_second")})
@@ -151,6 +165,7 @@ def run(args):
                         w.write(rec)
                         n_reads += 1
                         n_mapped += 0 if rec.flag & 0x4 else 1
+                    st_fmt.add(tf.stop(), len(pb.names))
                 pending = (batch, res)
             if pending is not None:
                 pb, pres = pending
@@ -164,6 +179,7 @@ def run(args):
                     w.write(rec)
                     n_reads += 1
                     n_mapped += 0 if rec.flag & 0x4 else 1
+            stage_stats = [st_parse, st_fmt]
     dt = time.time() - t0
     log_stats(
         f"{n_reads:,} reads in {dt:.1f}s ({n_reads/max(dt,1e-9):,.0f} reads/s); "
@@ -173,7 +189,9 @@ def run(args):
         stats.wall_s = dt
         if paired:
             stats.n_reads, stats.n_mapped = n_reads, n_mapped
+        for st in stage_stats:
+            log_stats(st.summary())
         with open(args.report, "w") as f:
-            f.write(html_report(stats))
+            f.write(html_report(stats, stage_stats=stage_stats))
         log_info(f"HTML report written to {args.report}")
     return 0
