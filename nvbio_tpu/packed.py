@@ -240,14 +240,19 @@ def reverse_rows(x, lens, bits: int):
     # reverse word order: full row now reversed with Ls-len leading junk
     w = w[:, ::-1]
 
-    # align: drop s = Ls - len leading symbols
+    # align: drop s = Ls - len leading symbols. The word-level shift is a
+    # select over Lw static variants instead of a per-lane gather (traced
+    # gathers lower to scalar loads on TPU; Lw is small)
     s = (Ls - lens.astype(jnp.int32))
     s_words = s // spw
     s_sub = (s % spw).astype(jnp.uint32) * bits
-    widx = jnp.arange(Lw, dtype=jnp.int32)[None, :] + s_words[:, None]
-    wlo = jnp.take_along_axis(w, jnp.clip(widx, 0, Lw - 1), axis=1)
-    whi = jnp.take_along_axis(w, jnp.clip(widx + 1, 0, Lw - 1), axis=1)
-    whi = jnp.where((widx + 1) <= Lw - 1, whi, 0)
+    variants = [jnp.pad(w[:, k:], ((0, 0), (0, k))) for k in range(Lw + 1)]
+    wlo = variants[0]
+    whi = variants[1]
+    for k in range(1, Lw):
+        m = (s_words == k)[:, None]
+        wlo = jnp.where(m, variants[k], wlo)
+        whi = jnp.where(m, variants[k + 1], whi)
     sh = s_sub[:, None]
     aligned = jnp.where(sh == 0, wlo, (wlo >> sh) | (whi << (32 - sh)))
 
