@@ -66,3 +66,33 @@ def shard_batch(mesh: Mesh, arr):
 def replicate(mesh: Mesh, tree):
     """Replicate a pytree (index/reference) over the mesh."""
     return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def _paired_step(fmi, genome_words, n_genome, r1, l1, q1, r2, l2, q2, params):
+    """Per-shard paired-end step + psum'd pairing stats."""
+    from nvbio_tpu.bowtie.paired import align_paired_core
+
+    res1, res2, pinfo = align_paired_core(
+        fmi, genome_words, n_genome, r1, l1, q1, r2, l2, q2, params)
+    stats = dict(
+        n_pairs=jnp.sum((l1 > 0).astype(jnp.int32)),
+        n_proper=jnp.sum(pinfo["proper"].astype(jnp.int32)),
+        n_mapped=jnp.sum((res1["mapped"] | res2["mapped"]).astype(jnp.int32)),
+    )
+    stats = {k: jax.lax.psum(v, READS_AXIS) for k, v in stats.items()}
+    return res1, res2, pinfo, stats
+
+
+def sharded_paired_step(mesh: Mesh, params: MapParams):
+    """Jitted SPMD paired-end alignment step over ``mesh`` (both mates'
+    batches sharded over READS_AXIS; index replicated; pair stats psum'd)."""
+    repl = P()
+    shard = P(READS_AXIS)
+    fn = jax.shard_map(
+        functools.partial(_paired_step, params=params),
+        mesh=mesh,
+        in_specs=(repl, repl, repl, shard, shard, shard, shard, shard, shard),
+        out_specs=(shard, shard, shard, repl),
+        check_vma=False,
+    )
+    return jax.jit(fn)
