@@ -127,19 +127,19 @@ def main():
         KCHAIN = 8  # amortize per-dispatch relay overhead over 8 chained runs
 
         @_jax.jit
-        def _kchain(p0):
+        def _kchain(p0, plb_, txtsb_, tlb_, mmb_):
             acc = jnp.zeros((G_blk, 1, 8, 128), jnp.int32)
             p = p0
             for _ in range(KCHAIN):
                 sc, _ = regtile_score_blocked(
-                    p, plb, txtsb, tlb, mmb,
+                    p, plb_, txtsb_, tlb_, mmb_,
                     scoring=params.scoring, band=W, length=L)
                 acc = acc + sc
                 p = p ^ (sc & 1)  # data dependency: no CSE between runs
             return acc.reshape(-1)
 
         def krun():
-            return _kchain(patsb)
+            return _kchain(patsb, plb, txtsb, tlb, mmb)
 
     else:
         KCHAIN = 1
@@ -173,17 +173,17 @@ def main():
         mtl = jnp.full((KB,), MT, jnp.int32)
 
         @_jax.jit
-        def _mchain(p):
+        def _mchain(p, mpl_, mt_, mtl_):
             acc = jnp.zeros((KB,), jnp.int32)
             for _ in range(KCHAIN):
-                d, _e = myers_semiglobal_pallas(p, mpl, mt, mtl)
+                d, _e = myers_semiglobal_pallas(p, mpl_, mt_, mtl_)
                 acc = acc + d
                 p = p ^ (d[:, None] & 1)
             return acc
 
-        int(np.asarray(_mchain(mp)[:1])[0])
+        int(np.asarray(_mchain(mp, mpl, mt, mtl)[:1])[0])
         t0 = time.time()
-        mo = [_mchain(mp) for _ in range(KREPS)]
+        mo = [_mchain(mp, mpl, mt, mtl) for _ in range(KREPS)]
         for s_ in mo:
             int(np.asarray(s_[:1])[0])
         mdt = (time.time() - t0) / (KREPS * KCHAIN)
