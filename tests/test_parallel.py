@@ -49,3 +49,44 @@ def test_sharded_matches_single_device():
         np.asarray(single["window_start"]), np.asarray(res["window_start"])
     )
     assert int(stats["n_mapped"]) == int(np.asarray(single["mapped"]).sum())
+
+
+def test_sharded_paired_matches_single_device():
+    """PE SPMD step over 8 devices == unsharded align_paired_core."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nvbio_tpu.bowtie.paired import align_paired_core
+    from nvbio_tpu.parallel.mesh import (
+        make_reads_mesh,
+        replicate,
+        shard_batch,
+        sharded_paired_step,
+    )
+    from __graft_entry__ import _tiny_problem
+
+    B = 32
+    fmi, gwords, n, reads, lens, quals, params = _tiny_problem(batch=B)
+    rc = (3 - np.asarray(reads))[:, ::-1].astype(np.int32)
+
+    args_np = (jnp.asarray(reads), jnp.asarray(lens), jnp.asarray(quals),
+               jnp.asarray(rc), jnp.asarray(lens), jnp.asarray(quals))
+    ref1, ref2, refp = jax.jit(functools.partial(
+        align_paired_core, params=params))(fmi, gwords, jnp.int32(n), *args_np)
+
+    mesh = make_reads_mesh(8)
+    step = sharded_paired_step(mesh, params)
+    sh = [shard_batch(mesh, a) for a in args_np]
+    got1, got2, gotp, stats = step(replicate(mesh, fmi),
+                                   replicate(mesh, gwords),
+                                   jnp.int32(n), *sh)
+    assert int(stats["n_pairs"]) == B
+    assert int(stats["n_proper"]) == int(np.asarray(refp["proper"]).sum())
+    for k in ("mapped", "best_score", "mapq", "window_start", "nm"):
+        np.testing.assert_array_equal(np.asarray(ref1[k]), np.asarray(got1[k]),
+                                      err_msg=f"mate1 {k}")
+        np.testing.assert_array_equal(np.asarray(ref2[k]), np.asarray(got2[k]),
+                                      err_msg=f"mate2 {k}")
