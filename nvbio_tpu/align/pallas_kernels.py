@@ -314,10 +314,13 @@ def _banded_tb_kernel(
             if local:
                 hdir = jnp.where(Hrow == 0, 3, hdir)  # zero-stop cell
             mism = (p != trow).astype(jnp.int32)  # bit 4: NM during the walk
+            # bits 5-8: the cell's text symbol (4 bits so genome-N codes
+            # 8..11 fit) — lets the walk emit MD ref bases with no gathers
             byte = (hdir
                     | (e_ext.astype(jnp.int32) << 2)
                     | (f_ext.astype(jnp.int32) << 3)
-                    | (mism << 4))
+                    | (mism << 4)
+                    | ((trow & 15) << 5))
             pad = jnp.zeros((W8 - W, BLK), jnp.int32)
             DIRS[pl.ds((i - 1) * W8, W8), :] = jnp.concatenate(
                 [byte, pad], axis=0)
@@ -377,6 +380,7 @@ def _banded_tb_kernel(
         e_ext = (cell >> 2) & 1
         f_ext = (cell >> 3) & 1
         mism = (cell >> 4) & 1
+        sym = (cell >> 5) & 15
         if local:
             # zero-stop: only in the H state (a gap chain may pass through)
             stop = act & (st == 0) & (hdir == 3)
@@ -396,8 +400,13 @@ def _banded_tb_kernel(
             jnp.where(sel == 1,
                       jnp.where(e_ext == 1, 1, 0),
                       jnp.where(f_ext == 1, 2, 0)))
+        # packed op entry: op(2b) | mism(1b, M cells only) | ref-sym(4b) —
+        # everything the host MD/CIGAR formatter needs, no symbol gathers
+        entry = (op
+                 | (jnp.where(sel == 0, mism, 0) << 2)
+                 | (sym << 3))
         ops_ref[:] = ops_ref[:] + jnp.where(
-            act[None, :] & (ops_rows == cursor[None, :]), op[None, :], 0)
+            act[None, :] & (ops_rows == cursor[None, :]), entry[None, :], 0)
         cursor = jnp.where(act, cursor + 1, cursor)
         i = jnp.where(act, i - di, i)
         k = jnp.where(act, jnp.clip(k + dk, 0, W - 1), k)

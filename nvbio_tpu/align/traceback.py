@@ -284,11 +284,12 @@ def batch_traceback_banded(
 def cigar_to_string(ops: np.ndarray, n_ops: int, reverse: bool = False) -> str:
     """Run-length encode a forward op array into a CIGAR string (host-side,
     vectorized: boundary detection via one nonzero instead of a char loop).
-    ``reverse=True`` consumes end->start op arrays (the TPU fast path)."""
+    ``reverse=True`` consumes end->start op arrays (the TPU fast path).
+    Accepts packed MD entries (op in bits 0-1) as well as plain op codes."""
     n = int(n_ops)
     if n == 0:
         return "*"
-    ops = np.asarray(ops)[:n]
+    ops = np.asarray(ops)[:n] & 3
     if reverse:
         ops = ops[::-1]
     bounds = np.nonzero(ops[1:] != ops[:-1])[0]
@@ -304,7 +305,72 @@ def cigar_to_string(ops: np.ndarray, n_ops: int, reverse: bool = False) -> str:
 
 def ops_to_chars(ops: np.ndarray, n_ops: int) -> str:
     """Expand a forward op array to an 'MID' character string."""
-    return "".join("?MID"[o] for o in np.asarray(ops)[:int(n_ops)])
+    return "".join("?MID"[o & 3] for o in np.asarray(ops)[:int(n_ops)])
+
+
+# MD entry layout (packed by the fused traceback walk and by
+# ``_md_pack_entries``): bits 0-1 op (1/2/3 = M/I/D), bit 2 mismatch
+# (M cells only), bits 3-6 the reference symbol under the cell.
+_MD_BASES = "ACGTNNNNNNNNNNNN"  # codes >= 4 are genome-N variants
+
+
+def md_from_entries(entries: np.ndarray, n_ops: int, reverse: bool = False):
+    """(MD, XM, XO, XG) from packed traceback entries.
+
+    The SAM MD tag + bowtie2's XM (mismatches) / XO (gap opens) / XG (gap
+    extensions) aux tags, rendered host-side exactly as the reference does at
+    output time (``nvbio/io/output/output_sam.cpp:233-270`` generate_md_string,
+    fed by the MDS vectors traceback builds, ``nvBowtie/bowtie2/cuda/
+    traceback.h:134-190``)."""
+    n = int(n_ops)
+    e = np.asarray(entries)[:n]
+    if reverse:
+        e = e[::-1]
+    ops = e & 3
+    mism = (e >> 2) & 1
+    sym = (e >> 3) & 15
+    is_gap = ops != OP_M
+    if not is_gap.any():
+        # mismatch-only fast path (vectorized): runs between mismatch sites
+        mm_pos = np.flatnonzero(mism)
+        if not len(mm_pos):
+            return str(n), 0, 0, 0
+        runs = np.diff(np.concatenate([[-1], mm_pos])) - 1
+        md = "".join(
+            f"{r}{_MD_BASES[sym[p]]}" for r, p in zip(runs.tolist(), mm_pos)
+        ) + str(n - int(mm_pos[-1]) - 1)
+        return md, len(mm_pos), 0, 0
+    parts = []
+    run = xm = xo = xg = 0
+    i = 0
+    while i < n:
+        op = ops[i]
+        if op == OP_M:
+            if mism[i]:
+                parts.append(f"{run}{_MD_BASES[sym[i]]}")
+                run = 0
+                xm += 1
+            else:
+                run += 1
+            i += 1
+        elif op == OP_D:
+            j = i
+            while j < n and ops[j] == OP_D:
+                j += 1
+            parts.append(f"{run}^" + "".join(_MD_BASES[s] for s in sym[i:j]))
+            run = 0
+            xo += 1
+            xg += j - i
+            i = j
+        else:  # insertion: MD skips read-only bases
+            j = i
+            while j < n and ops[j] == OP_I:
+                j += 1
+            xo += 1
+            xg += j - i
+            i = j
+    parts.append(str(run))
+    return "".join(parts), xm, xo, xg
 
 
 @functools.partial(jax.jit,

@@ -124,7 +124,7 @@ def run(args):
             it1 = fastq_batches(args.mate1, args.batch, args.max_read_len)
             it2 = fastq_batches(args.mate2, args.batch, args.max_read_len)
             for b1, b2 in zip(it1, it2):
-                for rec in map_pair_batch(mapper, b1, b2):
+                for rec in map_pair_batch(mapper, b1, b2, stats=stats):
                     w.write(rec)
                     n_reads += 1
                     n_mapped += 0 if rec.flag & 0x4 else 1
@@ -187,8 +187,6 @@ def run(args):
     )
     if args.report:
         stats.wall_s = dt
-        if paired:
-            stats.n_reads, stats.n_mapped = n_reads, n_mapped
         for st in stage_stats:
             log_stats(st.summary())
         with open(args.report, "w") as f:

@@ -230,9 +230,10 @@ def align_paired_core(
     mapq1 = jnp.where(has_pair, mapq_pair, jnp.where(mapped1, mapq1_se, 0))
     mapq2 = jnp.where(has_pair, mapq_pair, jnp.where(mapped2, mapq2_se, 0))
 
-    def pack_mate(fin, mapped, score, mapq, c):
+    def pack_mate(fin, mapped, score, mapq, sec, smin):
         return dict(
             mapped=mapped, best_score=score, mapq=mapq,
+            has_second=sec >= smin,
             strand=fin["strand"], window_start=fin["window_start"],
             text_start=fin["text_start"],
             ops=fin["ops"].astype(jnp.uint8), n_ops=fin["n_ops"],
@@ -240,17 +241,20 @@ def align_paired_core(
         )
 
     return (
-        pack_mate(fin1, mapped1, fin1_score, mapq1, c1),
-        pack_mate(fin2, mapped2, fin2_score, mapq2, c2),
+        pack_mate(fin1, mapped1, fin1_score, mapq1, sec1, score_min1),
+        pack_mate(fin2, mapped2, fin2_score, mapq2, sec2, score_min2),
         dict(proper=has_pair, rescued1=resc1, rescued2=resc2,
              pair_score=pair_best),
     )
 
 
-def map_pair_batch(mapper, batch1, batch2):
+def map_pair_batch(mapper, batch1, batch2, stats=None):
     """Map paired ReadBatches -> interleaved SAM records (host formatting).
 
-    ``mapper`` is a nvbio_tpu.bowtie.pipeline.ReadMapper.
+    ``mapper`` is a nvbio_tpu.bowtie.pipeline.ReadMapper; ``stats`` (an
+    optional utils.stats.AlignmentStats) accumulates per-mate mapping stats
+    plus the proper-pair count (nvBowtie's paired AlignmentStats,
+    ``nvBowtie/bowtie2/cuda/stats.h:45-174``).
     """
     from nvbio_tpu.align.traceback import cigar_to_string
     from nvbio_tpu.alphabet import Alphabet, codes_to_string
@@ -293,8 +297,16 @@ def map_pair_batch(mapper, batch1, batch2):
 
     from nvbio_tpu.bowtie.pipeline import host_rc_ascii, lazy_ops_rows
 
-    ops_of = (lazy_ops_rows(res1["simple"], res1["mapped"], ops_dev[0]),
-              lazy_ops_rows(res2["simple"], res2["mapped"], ops_dev[1]))
+    if stats is not None:
+        stats.update_from_result(res1, batch1.lengths)
+        stats.update_from_result(res2, batch2.lengths)
+        real = np.asarray(batch1.lengths) > 0
+        stats.n_proper_pairs += int((proper & real).sum())
+
+    need1 = res1["mapped"] & (res1["nm"] > 0)
+    need2 = res2["mapped"] & (res2["nm"] > 0)
+    ops_of = (lazy_ops_rows(need1, ops_dev[0]),
+              lazy_ops_rows(need2, ops_dev[1]))
     rc_full = (host_rc_ascii(batch1.codes), host_rc_ascii(batch2.codes))
     Lfull = batch1.codes.shape[1]
 
@@ -360,6 +372,15 @@ def map_pair_batch(mapper, batch1, batch2):
                     if gpos[m] > gpos[o] or (gpos[m] == gpos[o] and m == 1):
                         tlen = -tlen
             tags = {"AS": int(res["best_score"][b]), "NM": int(res["nm"][b])}
+            n_ops_b = int(res["n_ops"][b])
+            if int(res["nm"][b]) > 0:
+                from nvbio_tpu.align.traceback import md_from_entries
+
+                md, xm, xo, xg = md_from_entries(
+                    ops_of[m][b], n_ops_b, reverse=rev_ops)
+            else:
+                md, xm, xo, xg = str(n_ops_b), 0, 0, 0
+            tags.update(MD=md, XM=xm, XO=xo, XG=xg)
             out.append(SamRecord(
                 qname=name, flag=flag, rname=mapper.ref_names[ci],
                 pos=local + 1, mapq=int(res["mapq"][b]),

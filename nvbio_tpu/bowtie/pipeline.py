@@ -54,13 +54,14 @@ def host_rc_ascii(codes_np: np.ndarray) -> np.ndarray:
     return rc_table[np.asarray(codes_np, np.uint8)][:, ::-1]
 
 
-def lazy_ops_rows(simple: np.ndarray, mapped: np.ndarray, ops_dev) -> dict:
-    """Fetch traceback op rows only for mapped reads with indels.
+def lazy_ops_rows(need: np.ndarray, ops_dev) -> dict:
+    """Fetch traceback op rows only where ``need`` (mapped reads whose
+    MD/CIGAR requires entries: any mismatch or indel, i.e. NM > 0).
 
     Returns {row: ops_row}; ``ops_dev`` may still live on device — on the
-    remote relay a full (B, M+W) fetch costs ~1s/batch while gapped reads
-    are typically <1%."""
-    rows = np.flatnonzero(~simple & mapped)
+    remote relay a full (B, M+W) fetch costs ~1s/batch while the needed
+    rows are typically a fraction of the batch."""
+    rows = np.flatnonzero(need)
     if not len(rows):
         return {}
     if isinstance(ops_dev, np.ndarray):
@@ -82,6 +83,23 @@ def score_min_of(lens, params: MapParams):
     return jnp.ceil(
         params.score_min_const + params.score_min_coeff * lens.astype(jnp.float32)
     ).astype(jnp.int32)
+
+
+# ---- position arithmetic, dtype-generic -----------------------------------
+# Genome positions are int32 for texts < 2^31 and uint32 up to 2^32 (human
+# scale). All position math below must therefore avoid negative
+# intermediates: subtraction clips at zero, distances via max-min.
+
+
+def _sub_clip0(a, b):
+    """max(a - b, 0) without signed underflow; b is small and non-negative."""
+    b = jnp.asarray(b).astype(a.dtype) if hasattr(b, "dtype") else b
+    return jnp.where(a > b, a - b, jnp.zeros((), a.dtype))
+
+
+def _absdiff(a, b):
+    """|a - b| for matching (possibly unsigned) dtypes."""
+    return jnp.maximum(a, b) - jnp.minimum(a, b)
 
 
 def use_pallas_extension(params: MapParams) -> bool:
@@ -285,8 +303,11 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
     )
 
 
-def _nm_from_ops(tb, bpat, btext):
-    """SAM NM from a forward-ordered traceback (slow/XLA path only)."""
+def _md_pack_entries(tb, bpat, btext):
+    """(packed MD entries forward-ordered, NM) for the slow/XLA path.
+
+    Entry layout matches the fused kernel's: op | mism<<2 | ref_sym<<3 (see
+    ``align.traceback.md_from_entries``)."""
     L = bpat.shape[1]
     TW = btext.shape[1]
     ops = tb.ops  # (B, MAXS) forward order
@@ -304,7 +325,13 @@ def _nm_from_ops(tb, bpat, btext):
     pat_sym = jnp.take_along_axis(bpat, jnp.clip(pat_cursor, 0, L - 1), axis=1)
     txt_sym = jnp.take_along_axis(btext, jnp.clip(txt_cursor, 0, TW - 1), axis=1)
     mism = is_m & (pat_sym != txt_sym)
-    return jnp.sum((mism | is_i | is_d).astype(jnp.int32), axis=1)
+    nm = jnp.sum((mism | is_i | is_d).astype(jnp.int32), axis=1)
+    entries = jnp.where(
+        ops != 0,
+        ops | (mism.astype(jnp.int32) << 2) | ((txt_sym & 15) << 3),
+        0,
+    )
+    return entries, nm
 
 
 def finalize_best(cands, genome_words, n_genome, best_idx, params: MapParams):
@@ -336,11 +363,12 @@ def finalize_best(cands, genome_words, n_genome, best_idx, params: MapParams):
     else:
         aligner = GotohAligner(SEMI_GLOBAL, P.scoring)
         tb = batch_traceback_banded(bpat, lens, btext, btlen, aligner, W, bmm)
-        nm = _nm_from_ops(tb, bpat, btext)
+        entries, nm = _md_pack_entries(tb, bpat, btext)
+        tb = tb._replace(ops=entries)
 
     # pure-match reads (no I/D): #D == 0 iff n_ops == plen, and then
-    # #I == 0 iff the text span equals plen too — their CIGAR is just "{L}M",
-    # so the host never needs their op rows (lazy readback in format_batch)
+    # #I == 0 iff the text span equals plen too — their CIGAR is just "{L}M";
+    # the host only needs their op rows when NM > 0 (for the MD tag)
     simple = (tb.n_ops == lens) & ((tb.text_end - tb.text_start) == lens)
     return dict(
         strand=best_strand,
@@ -405,7 +433,8 @@ def align_batch_all(index, genome_words, n_genome, reads, lens, quals,
     else:
         aligner = GotohAligner(SEMI_GLOBAL, P.scoring)
         tb = batch_traceback_banded(bpat, blens, btext, btlen, aligner, W, bmm)
-        nm = _nm_from_ops(tb, bpat, btext)
+        entries, nm = _md_pack_entries(tb, bpat, btext)
+        tb = tb._replace(ops=entries)
 
     simple = (tb.n_ops == blens) & ((tb.text_end - tb.text_start) == blens)
     # per-read mapq for the primary (same reduce as best-only mode)
@@ -594,13 +623,21 @@ class ReadMapper:
                 cigar = (f"{n_ops}M" if res["simple"][b, c] else
                          cigar_to_string(res["ops"][b, c], n_ops,
                                          reverse=rev_ops))
+                nm = int(res["nm"][b, c])
+                if nm > 0:
+                    from nvbio_tpu.align.traceback import md_from_entries
+
+                    md, xm, xo, xg = md_from_entries(
+                        res["ops"][b, c], n_ops, reverse=rev_ops)
+                else:
+                    md, xm, xo, xg = str(n_ops), 0, 0, 0
                 out.append(SamRecord(
                     qname=name, flag=flag, rname=self.ref_names[ci],
                     pos=local + 1,
                     mapq=int(res["mapq"][b]) if rank == 0 else 0,
                     cigar=cigar, seq=seq, qual=qual,
-                    tags={"AS": int(res["scores"][b, c]),
-                          "NM": int(res["nm"][b, c])},
+                    tags={"AS": int(res["scores"][b, c]), "NM": nm,
+                          "MD": md, "XM": xm, "XO": xo, "XG": xg},
                 ))
         return out
 
@@ -640,7 +677,9 @@ class ReadMapper:
         second = res["second_score"].tolist()
         n_ops_l = res["n_ops"].tolist()
         simple = res["simple"]
-        ops_of = lazy_ops_rows(simple, res["mapped"], res_dev_ops)
+        need_ops = res["mapped"] & (res["nm"] > 0)
+        ops_of = lazy_ops_rows(need_ops, res_dev_ops)
+        need_ops = need_ops.tolist()
         simple = simple.tolist()
         Lfull = fwd_ascii.shape[1]
 
@@ -670,6 +709,14 @@ class ReadMapper:
             tags = {"AS": scores[b], "NM": nms[b]}
             if has2[b]:
                 tags["XS"] = second[b]
+            if need_ops[b]:
+                from nvbio_tpu.align.traceback import md_from_entries
+
+                md, xm, xo, xg = md_from_entries(
+                    ops_of[b], n_ops_l[b], reverse=rev_ops)
+            else:
+                md, xm, xo, xg = str(n_ops_l[b]), 0, 0, 0
+            tags.update(MD=md, XM=xm, XO=xo, XG=xg)
             out.append(
                 SamRecord(
                     qname=name,

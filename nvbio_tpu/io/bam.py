@@ -82,11 +82,26 @@ def _encode_tags(tags) -> bytes:
     out = bytearray()
     if not tags:
         return bytes(out)
+    from nvbio_tpu.io.sam import TypedTag
+
     for k, v in tags.items():
         kb = k.encode()[:2]
-        if isinstance(v, (int, np.integer)):
+        if isinstance(v, TypedTag):
+            if v.code == "A":
+                out += kb + b"A" + str(v.value).encode()[:1]
+            elif v.code == "H":
+                out += kb + b"H" + str(v.value).encode() + b"\x00"
+            elif v.code == "B":
+                sub, vals = v.value
+                fmt, _ = _TAG_FMT[sub.encode()]
+                out += kb + b"B" + sub.encode() + struct.pack("<I", len(vals))
+                for x in vals:
+                    out += struct.pack(fmt, x)
+            else:
+                out += kb + b"Z" + str(v.value).encode() + b"\x00"
+        elif isinstance(v, (int, np.integer)):
             out += kb + b"i" + struct.pack("<i", int(v))
-        elif isinstance(v, float):
+        elif isinstance(v, (float, np.floating)):
             out += kb + b"f" + struct.pack("<f", v)
         else:
             out += kb + b"Z" + str(v).encode() + b"\x00"
@@ -100,6 +115,8 @@ _TAG_FMT = {
 
 
 def _decode_tags(data: bytes) -> dict:
+    from nvbio_tpu.io.sam import TypedTag
+
     tags, i = {}, 0
     while i + 3 <= len(data):
         key = data[i:i + 2].decode()
@@ -109,18 +126,24 @@ def _decode_tags(data: bytes) -> dict:
             fmt, size = _TAG_FMT[typ]
             (val,) = struct.unpack(fmt, data[i:i + size])
             if typ == b"A":
-                val = val.decode()
+                val = TypedTag("A", val.decode())
             i += size
-        elif typ in (b"Z", b"H"):
+        elif typ == b"Z":
             end = data.index(b"\x00", i)
             val = data[i:end].decode()
+            i = end + 1
+        elif typ == b"H":
+            end = data.index(b"\x00", i)
+            val = TypedTag("H", data[i:end].decode())
             i = end + 1
         elif typ == b"B":
             sub = data[i:i + 1]
             (count,) = struct.unpack("<I", data[i + 1:i + 5])
             fmt, size = _TAG_FMT[sub]
-            val = [struct.unpack(fmt, data[i + 5 + j * size:i + 5 + (j + 1) * size])[0]
-                   for j in range(count)]
+            vals = tuple(
+                struct.unpack(fmt, data[i + 5 + j * size:i + 5 + (j + 1) * size])[0]
+                for j in range(count))
+            val = TypedTag("B", (sub.decode(), vals))
             i += 5 + count * size
         else:
             raise ValueError(f"unknown BAM tag type {typ!r}")

@@ -41,7 +41,7 @@ def _iter_alignment_file(path: str):
 
         br = BamReader(path)
         return br.ref_names, br.ref_lengths, iter(br)
-    from nvbio_tpu.io.sam import SamRecord, read_sam
+    from nvbio_tpu.io.sam import SamRecord, parse_tag_value, read_sam
 
     header, rows = read_sam(path)
     names, lengths = [], []
@@ -56,7 +56,7 @@ def _iter_alignment_file(path: str):
             tags = {}
             for t in f[11:]:
                 k, typ, v = t.split(":", 2)
-                tags[k] = int(v) if typ == "i" else v
+                tags[k] = parse_tag_value(typ, v)
             yield SamRecord(f[0], int(f[1]), f[2], int(f[3]), int(f[4]),
                             f[5], f[9], f[10], f[6], int(f[7]), int(f[8]),
                             tags or None)

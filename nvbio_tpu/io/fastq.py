@@ -40,7 +40,7 @@ def read_fastq(path: str) -> list[tuple[str, str, str]]:
     lines = data.split(b"\n")
     out = []
     for i in range(0, len(lines) - 3, 4):
-        name = lines[i][1:].split()[0].decode()
+        name = (lines[i][1:].split() or [b""])[0].decode()
         out.append((name, lines[i + 1].decode(), lines[i + 3].decode()))
     return out
 
@@ -54,6 +54,8 @@ def _fill_padded(chunks, max_len: int):
     starts = np.zeros(B, np.int64)
     np.cumsum(np.fromiter((len(c) for c in chunks), np.int64, count=B)[:-1],
               out=starts[1:])
+    if len(flat) == 0:  # every chunk empty: no symbols to gather
+        return np.zeros((B, max_len), np.uint8), lens.astype(np.int32)
     idx = starts[:, None] + np.arange(max_len)
     valid = np.arange(max_len)[None, :] < lens[:, None]
     mat = flat[np.minimum(idx, max(len(flat) - 1, 0))] * valid
@@ -103,7 +105,8 @@ def fastq_batches(
     n_reads = len(lines) // 4
     for i in range(0, n_reads, batch_size):
         j = min(i + batch_size, n_reads)
-        names = [lines[4 * b][1:].split()[0].decode() for b in range(i, j)]
+        names = [(lines[4 * b][1:].split() or [b""])[0].decode()
+                 for b in range(i, j)]
         seqs = [lines[4 * b + 1] for b in range(i, j)]
         quals = [lines[4 * b + 3] for b in range(i, j)]
         batch = batch_from_bytes(names, seqs, quals, max_len, alphabet)

@@ -61,7 +61,18 @@ def _amb_runs(reference):
         starts = np.insert(starts, 0, 0)
     if amb[-1]:
         ends = np.append(ends, n)
-    return list(zip(starts.tolist(), (ends - starts).tolist()))
+    runs = list(zip(starts.tolist(), (ends - starts).tolist()))
+    # split runs at contig boundaries: BWA's .ann per-contig n_amb counts
+    # holes per contig, so a run straddling an offset must become two holes
+    cuts = np.asarray(reference.offsets[1:-1], np.int64)
+    out = []
+    for s, l in runs:
+        e = s + l
+        for c in cuts[(cuts > s) & (cuts < e)].tolist():
+            out.append((s, c - s))
+            s = c
+        out.append((s, e - s))
+    return out
 
 
 def save_bns(reference, prefix: str, seed: int = 11) -> None:

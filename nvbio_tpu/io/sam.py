@@ -25,6 +25,39 @@ FLAG_SECOND_IN_PAIR = 0x80
 FLAG_SECONDARY = 0x100
 
 
+@dataclasses.dataclass(frozen=True)
+class TypedTag:
+    """Aux tag value whose SAM type code can't be inferred from the Python
+    type: 'A' (single char), 'H' (hex string), 'B' (numeric array).
+    Preserves the code through SAM<->BAM round-trips (the reference keeps
+    raw typed aux blobs, ``io/output/output_databuffer.h``)."""
+
+    code: str      # 'A', 'H', or 'B'
+    value: object  # A/H: str; B: (subtype_char, tuple_of_numbers)
+
+    def sam_str(self) -> str:
+        if self.code == "B":
+            sub, vals = self.value
+            return ",".join([sub] + [str(v) for v in vals])
+        return str(self.value)
+
+
+def parse_tag_value(typ: str, v: str):
+    """SAM text aux value -> typed Python value (round-trip-safe)."""
+    if typ == "i":
+        return int(v)
+    if typ == "f":
+        return float(v)
+    if typ in ("A", "H"):
+        return TypedTag(typ, v)
+    if typ == "B":
+        parts = v.split(",")
+        sub = parts[0]
+        conv = float if sub == "f" else int
+        return TypedTag("B", (sub, tuple(conv(x) for x in parts[1:])))
+    return v  # Z
+
+
 @dataclasses.dataclass
 class SamRecord:
     qname: str
@@ -48,8 +81,14 @@ class SamRecord:
         ]
         if self.tags:
             for k, v in self.tags.items():
-                t = "i" if isinstance(v, (int, np.integer)) else "Z"
-                cols.append(f"{k}:{t}:{v}")
+                if isinstance(v, TypedTag):
+                    cols.append(f"{k}:{v.code}:{v.sam_str()}")
+                elif isinstance(v, (int, np.integer)):
+                    cols.append(f"{k}:i:{v}")
+                elif isinstance(v, (float, np.floating)):
+                    cols.append(f"{k}:f:{v:g}")
+                else:
+                    cols.append(f"{k}:Z:{v}")
         return "\t".join(cols)
 
 

@@ -139,9 +139,11 @@ def extract_window_aligned(words, start, win_len: int, bits: int):
 
     spw = symbols_per_word(bits)
     n_words_needed = (win_len + spw - 1) // spw + 1
-    start = jnp.asarray(start, jnp.int32)
-    word0 = start // spw
-    off = start % spw
+    start = jnp.asarray(start)
+    if start.dtype != jnp.uint32:  # uint32 = large-genome positions (>2^31)
+        start = start.astype(jnp.int32)
+    word0 = (start // spw).astype(jnp.int32)  # word index always < 2^28
+    off = (start % spw).astype(jnp.int32)
 
     widx = word0[:, None] + jnp.arange(n_words_needed, dtype=jnp.int32)[None, :]
     wds = jnp.take(words, jnp.clip(widx, 0, words.shape[0] - 1), axis=0)  # (B, NW)
@@ -179,10 +181,12 @@ def extract_window_blocked(words, start_blocked, win_rows: int, bits: int):
 
     spw = symbols_per_word(bits)
     n_words = (win_rows + spw - 1) // spw + 1
-    start = jnp.asarray(start_blocked, jnp.int32)
+    start = jnp.asarray(start_blocked)
+    if start.dtype != jnp.uint32:  # uint32 = large-genome positions (>2^31)
+        start = start.astype(jnp.int32)
     G = start.shape[0]
-    word0 = start // spw
-    off = start % spw
+    word0 = (start // spw).astype(jnp.int32)
+    off = (start % spw).astype(jnp.int32)
 
     widx = word0[:, None] + jnp.arange(n_words, dtype=jnp.int32)[None, :, None, None]
     wds = jnp.take(words, jnp.clip(widx, 0, words.shape[0] - 1),

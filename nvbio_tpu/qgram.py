@@ -22,11 +22,17 @@ import numpy as np
 
 @dataclasses.dataclass
 class QGramIndex:
-    """Direct-address q-gram index of a 2-bit text."""
+    """Direct-address q-gram index of a 2-bit text.
+
+    ``offsets``/``positions`` are int32 for texts < 2^31 symbols and uint32
+    up to 2^32 (human-genome scale; the reference reaches whole-human via
+    device suffix sorting, ``nvbio/sufsort/sufsort.h:45-60`` — here the
+    same reach comes from unsigned positions + the blocked counting-sort
+    builder ``build_qgram_index_large``)."""
 
     q: int
-    offsets: Any    # int32[4^q + 1] bucket start offsets
-    positions: Any  # int32[n - q + 1] text positions sorted by (qgram, pos)
+    offsets: Any    # (u)int32[4^q + 1] bucket start offsets
+    positions: Any  # (u)int32[n - q + 1] text positions sorted by (qgram, pos)
     n: int          # text length
 
     def device(self) -> "QGramIndex":
@@ -68,23 +74,86 @@ def qgram_keys(codes: np.ndarray, q: int) -> np.ndarray:
     return keys
 
 
+def position_dtype(n: int):
+    """int32 below 2^31 symbols, uint32 up to 2^32 (large-genome mode)."""
+    if n >= 2**32:
+        raise ValueError("texts >= 2^32 symbols must be sharded (see "
+                         "nvbio_tpu.parallel.sharded_index)")
+    return np.uint32 if n >= 2**31 else np.int32
+
+
 def build_qgram_index(codes: np.ndarray, q: int = 12) -> QGramIndex:
     """Host-side construction (counting sort over buckets)."""
     if q < 1 or q > 15:
         raise ValueError("q must be in [1, 15] for int32 keys")
+    if len(codes) >= 2**28:  # blocked builder: bounded peak memory
+        return build_qgram_index_large(codes, q)
     keys = qgram_keys(codes, q)
     n_buckets = 1 << (2 * q)
     counts = np.bincount(keys, minlength=n_buckets)
     offsets = np.zeros(n_buckets + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
     order = np.argsort(keys, kind="stable")  # positions sorted by key, then pos
-    if len(keys) >= 2**31:
-        raise ValueError("text too long for int32 q-gram positions")
+    dt = position_dtype(len(codes))
     return QGramIndex(
         q=q,
-        offsets=offsets.astype(np.int32),
-        positions=order.astype(np.int32),
+        offsets=offsets.astype(dt),
+        positions=order.astype(dt),
         n=len(codes),
+    )
+
+
+def build_qgram_index_large(codes: np.ndarray, q: int = 12,
+                            chunk: int = 1 << 27) -> QGramIndex:
+    """Blocked counting-sort builder for multi-Gbp texts.
+
+    Two passes over ``chunk``-sized slices: (1) per-chunk bucket histograms
+    -> global bucket bases, (2) per-chunk stable radix argsort + vectorized
+    scatter into the final position table. Peak extra memory is
+    O(chunk + n_chunks * 4^q) instead of O(n) int64 sort state, so a
+    3.1 Gbp (human NCBI36-scale) genome indexes in bounded RAM — the
+    host-side counterpart of the reference's blockwise device suffix sorting
+    (``nvbio/sufsort/sufsort.h:55-60``; q-gram flavor ``qgram/qgram.h:414``).
+    """
+    n = len(codes)
+    npos = max(n - q + 1, 0)
+    dt = position_dtype(n)
+    n_buckets = 1 << (2 * q)
+    n_chunks = (npos + chunk - 1) // chunk
+
+    # pass 1: global bucket histogram (keys recomputed per chunk: cheaper
+    # than materializing 8n bytes of int64 keys)
+    totals = np.zeros(n_buckets, np.int64)
+    for c in range(n_chunks):
+        s, e = c * chunk, min((c + 1) * chunk, npos)
+        totals += np.bincount(qgram_keys(codes[s:e + q - 1], q),
+                              minlength=n_buckets)
+    bucket_starts = np.zeros(n_buckets + 1, np.int64)
+    np.cumsum(totals, out=bucket_starts[1:])
+
+    # pass 2: per chunk, stable radix argsort + vectorized scatter at each
+    # bucket's running cursor (chunks are processed in position order, so
+    # within a bucket positions land sorted)
+    positions = np.empty(npos, dt)
+    cur = bucket_starts[:-1].copy()
+    for c in range(n_chunks):
+        s, e = c * chunk, min((c + 1) * chunk, npos)
+        k = qgram_keys(codes[s:e + q - 1], q).astype(np.uint32)
+        order = np.argsort(k, kind="stable")  # radix sort on uint32 keys
+        sk = k[order]
+        # within-bucket rank of each sorted element (vectorized run ranks)
+        run_start = np.zeros(len(sk), np.int64)
+        new_run = np.flatnonzero(sk[1:] != sk[:-1]) + 1
+        run_start[new_run] = new_run
+        np.maximum.accumulate(run_start, out=run_start)
+        within = np.arange(len(sk), dtype=np.int64) - run_start
+        positions[cur[sk] + within] = (order + s).astype(dt)
+        cur += np.bincount(k, minlength=n_buckets)
+    return QGramIndex(
+        q=q,
+        offsets=bucket_starts.astype(dt),
+        positions=positions,
+        n=n,
     )
 
 

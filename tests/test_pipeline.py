@@ -103,6 +103,100 @@ def test_indel_read(mapper_and_genome):
     assert rec.cigar == "40M3D40M"
 
 
+def _golden_md(seq_codes, cigar, genome, pos0):
+    """Scalar MD/NM/XM/XO/XG recompute from SAM fields (samtools calmd
+    semantics) — the oracle for the device-packed MD entries."""
+    import re
+
+    md_parts = []
+    run = qi = nm = xm = xo = xg = 0
+    gi = pos0
+    for cnt, op in re.findall(r"(\d+)([MIDS])", cigar):
+        cnt = int(cnt)
+        if op == "M":
+            for _ in range(cnt):
+                if seq_codes[qi] == genome[gi]:
+                    run += 1
+                else:
+                    md_parts.append(f"{run}{'ACGT'[genome[gi]]}")
+                    run = 0
+                    nm += 1
+                    xm += 1
+                qi += 1
+                gi += 1
+        elif op == "I":
+            qi += cnt
+            nm += cnt
+            xo += 1
+            xg += cnt
+        elif op == "D":
+            md_parts.append(
+                f"{run}^" + "".join("ACGT"[genome[gi + j]] for j in range(cnt)))
+            run = 0
+            gi += cnt
+            nm += cnt
+            xo += 1
+            xg += cnt
+        else:  # S
+            qi += cnt
+    md_parts.append(str(run))
+    return "".join(md_parts), nm, xm, xo, xg
+
+
+def test_md_tags_match_golden(mapper_and_genome, rng):
+    """MD/XM/XO/XG emitted by the mapper must equal a scalar recompute from
+    (seq, CIGAR, reference) for mismatch-heavy reads."""
+    from nvbio_tpu.alphabet import string_to_codes
+
+    mapper, ref, codes = mapper_and_genome
+    batch, positions, strands = sample_reads(rng, codes, n_reads=48,
+                                             mut_rate=0.04)
+    recs = mapper.map_batch(batch)
+    checked = 0
+    for rec in recs:
+        if rec.flag & 0x4:
+            continue
+        seq_codes = string_to_codes(rec.seq)
+        md, nm, xm, xo, xg = _golden_md(seq_codes, rec.cigar, codes,
+                                        rec.pos - 1)
+        assert rec.tags["MD"] == md, (rec.qname, rec.cigar, rec.tags["MD"], md)
+        assert rec.tags["NM"] == nm
+        assert (rec.tags["XM"], rec.tags["XO"], rec.tags["XG"]) == (xm, xo, xg)
+        checked += 1
+    assert checked >= 40
+
+
+def test_md_with_indels(mapper_and_genome, rng):
+    """MD must interleave deletions (^bases) and mismatches correctly."""
+    from nvbio_tpu.alphabet import string_to_codes
+
+    mapper, ref, codes = mapper_and_genome
+    L = 80
+    rows = []
+    for i, p in enumerate((2000, 4000, 6000, 9000)):
+        r = codes[p:p + L + 3].copy()
+        r = np.delete(r, [37, 38, 39])     # 3bp deletion
+        r[10] = (r[10] + 1) % 4            # plus a mismatch
+        rows.append(r[:L])
+    batch = ReadBatch(
+        names=[f"mix{i}" for i in range(len(rows))],
+        codes=np.stack(rows).astype(np.uint8),
+        quals=np.full((len(rows), L), 30, np.uint8),
+        lengths=np.full(len(rows), L, np.int32),
+    )
+    recs = mapper.map_batch(batch)
+    for rec in recs:
+        assert not rec.flag & 0x4
+        assert "D" in rec.cigar
+        assert "^" in rec.tags["MD"]
+        seq_codes = string_to_codes(rec.seq)
+        md, nm, xm, xo, xg = _golden_md(seq_codes, rec.cigar, codes,
+                                        rec.pos - 1)
+        assert rec.tags["MD"] == md, (rec.cigar, rec.tags["MD"], md)
+        assert (rec.tags["NM"], rec.tags["XM"], rec.tags["XO"],
+                rec.tags["XG"]) == (nm, xm, xo, xg)
+
+
 def test_random_reads_unmapped(mapper_and_genome, rng):
     mapper, ref, codes = mapper_and_genome
     B, L = 16, 80
