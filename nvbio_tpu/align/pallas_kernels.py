@@ -778,7 +778,7 @@ def banded_score_cands_regtile(
         mmr_b = to_blocks(mm_rc, Lp)
     plen_b = lens.astype(jnp.int32).reshape(RB, 1, 8, 128)
 
-    w0_b = w0_slotmajor.astype(jnp.int32).reshape(Gc, 8, 128)
+    w0_b = w0_slotmajor.reshape(Gc, 8, 128)  # int32 or uint32 (large genome)
     txt_b = _packed.extract_window_blocked(genome_words, w0_b, TWp, 2)
     tlen_b = wlens_slotmajor.astype(jnp.int32).reshape(Gc, 1, 8, 128)
 

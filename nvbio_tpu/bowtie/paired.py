@@ -54,17 +54,23 @@ def align_paired_core(
     C = s1.shape[1]
 
     # ---- concordance matrix (B, C, C) ---------------------------------------
+    # positions may be uint32 (genomes past 2^31): the fragment-window test
+    # `minins - slack <= frag <= maxins + slack` is rearranged into pure
+    # additions so no intermediate goes negative
+    pdt = c1["w0"].dtype
     w1 = c1["w0"][:, :, None]       # (B, C, 1)
     w2 = c2["w0"][:, None, :]       # (B, 1, C)
     st1 = c1["strand"][:, :, None]
     st2 = c2["strand"][:, None, :]
     slack = P.band
     # case A: mate1 fwd, mate2 rev => frag = w2 + L2 - w1
-    fragA = w2 + c2["lens"][:, None, None] - w1
-    okA = (~st1) & st2 & (fragA >= P.minins - slack) & (fragA <= P.maxins + slack)
+    endA = w2 + c2["lens"].astype(pdt)[:, None, None]
+    okA = ((~st1) & st2 & (endA + slack >= w1 + P.minins)
+           & (endA <= w1 + (P.maxins + slack)))
     # case B: mate2 fwd, mate1 rev => frag = w1 + L1 - w2
-    fragB = w1 + c1["lens"][:, None, None] - w2
-    okB = st1 & (~st2) & (fragB >= P.minins - slack) & (fragB <= P.maxins + slack)
+    endB = w1 + c1["lens"].astype(pdt)[:, None, None]
+    okB = (st1 & (~st2) & (endB + slack >= w2 + P.minins)
+           & (endB <= w2 + (P.maxins + slack)))
     conc = okA | okB
 
     pair_scores = jnp.where(conc, s1[:, :, None] + s2[:, None, :], neg)
@@ -79,9 +85,11 @@ def align_paired_core(
     bw1 = jnp.take_along_axis(c1["w0"], i1[:, None], axis=1)[:, 0]
     bw2 = jnp.take_along_axis(c2["w0"], i2[:, None], axis=1)[:, 0]
     tol = 2 * P.max_dist
+    from nvbio_tpu.bowtie.pipeline import _absdiff, _sub_clip0
+
     same = (
-        (jnp.abs(c1["w0"][:, :, None] - bw1[:, None, None]) <= tol)
-        & (jnp.abs(c2["w0"][:, None, :] - bw2[:, None, None]) <= tol)
+        (_absdiff(c1["w0"][:, :, None], bw1[:, None, None]) <= tol)
+        & (_absdiff(c2["w0"][:, None, :], bw2[:, None, None]) <= tol)
     )
     pair_second = jnp.max(
         jnp.where(same, neg, pair_scores).reshape(B, C * C), axis=1
@@ -102,27 +110,27 @@ def align_paired_core(
     if P.mate_rescue:
         RW = P.maxins + P.band  # rescue window length (static)
 
+        nmax = jnp.asarray(n_genome).astype(pdt)
+
         def rescue(anchor_w0, anchor_strand, anchor_len, other, other_len,
                    other_mm):
             # window: anchor fwd -> [w0, w0 + RW); anchor rev -> ending at
-            # anchor end: [w0 + len - RW, ...)
+            # anchor end: [w0 + len - RW, ...). Unsigned-safe via clip-at-0.
+            rev_end = anchor_w0 + (anchor_len + P.band).astype(pdt)
             wstart = jnp.where(
-                anchor_strand,
-                anchor_w0 + anchor_len + P.band - RW,
-                anchor_w0,
+                anchor_strand, _sub_clip0(rev_end, RW), anchor_w0,
             )
-            wstart = jnp.clip(wstart, 0, jnp.maximum(n_genome - 1, 0))
+            wstart = jnp.minimum(wstart, _sub_clip0(nmax, 1))
             win = packed.extract_window_aligned(genome_words, wstart, RW, 2)
-            wlen = jnp.clip(n_genome - wstart, 0, RW).astype(jnp.int32)
+            wlen = jnp.minimum(_sub_clip0(nmax, wstart), RW).astype(jnp.int32)
             aligner = GotohAligner(SEMI_GLOBAL, P.scoring)
             sunk = batch_score_full(
                 other, other_len, win, wlen, aligner, mismatch_scores=other_mm
             )
             # candidate window start for the rescued mate (banded re-align)
-            rw0 = jnp.clip(
-                wstart + sunk.sink_text - other_len - P.max_dist,
-                0, jnp.maximum(n_genome - 1, 0),
-            )
+            rw0 = _sub_clip0(wstart + sunk.sink_text.astype(pdt),
+                             (other_len + P.max_dist).astype(pdt))
+            rw0 = jnp.minimum(rw0, _sub_clip0(nmax, 1))
             return sunk.score, rw0
 
         # rescue mate2 from mate1 anchor (mate2 on opposite strand of mate1)
@@ -219,10 +227,10 @@ def align_paired_core(
         pair_second >= pair_min, pair_min,
     )
     # unpaired mates: SE mapq against their own second-best
-    same1 = (jnp.abs(c1["w0"] - fin1_w0[:, None]) <= tol) & (
+    same1 = (_absdiff(c1["w0"], fin1_w0[:, None]) <= tol) & (
         c1["strand"] == fin1_st[:, None])
     sec1 = jnp.max(jnp.where(same1, neg, s1), axis=1)
-    same2 = (jnp.abs(c2["w0"] - fin2_w0[:, None]) <= tol) & (
+    same2 = (_absdiff(c2["w0"], fin2_w0[:, None]) <= tol) & (
         c2["strand"] == fin2_st[:, None])
     sec2 = jnp.max(jnp.where(same2, neg, s2), axis=1)
     mapq1_se = mapq_v2_end_to_end(fin1_score, sec1, sec1 >= score_min1, score_min1)
@@ -275,7 +283,7 @@ def map_pair_batch(mapper, batch1, batch2, stats=None):
 
     rev_ops = use_pallas_extension(mapper.params)
     res1, res2, pinfo = align_paired_core(
-        mapper.index, mapper.genome_words, jnp.int32(mapper.n_genome),
+        mapper.index, mapper.genome_words, mapper.n_genome_dev,
         jnp.asarray(batch1.codes), jnp.asarray(batch1.lengths),
         jnp.asarray(batch1.quals),
         jnp.asarray(batch2.codes), jnp.asarray(batch2.lengths),

@@ -36,6 +36,7 @@ from nvbio_tpu.align.types import NEG_INF, SEMI_GLOBAL, GotohAligner
 from nvbio_tpu.bowtie.mapq import mapq_v2_end_to_end
 from nvbio_tpu.bowtie.params import MapParams
 from nvbio_tpu.fmi.search import backward_search_core, locate_core
+from nvbio_tpu.qgram import stratified_offsets
 from nvbio_tpu.io.sam import (
     FLAG_REVERSE,
     FLAG_UNMAPPED,
@@ -143,36 +144,37 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
     seed_valid = (starts[None, :] + P.seed_len) <= lens[:, None]  # (B, S1)
     seed_valid2 = jnp.concatenate([seed_valid, seed_valid], axis=1)
 
+    from nvbio_tpu.parallel.sharded_index import ShardedQGramIndex
+
     k = jnp.arange(H, dtype=jnp.int32)
-    if P.seeding == "qgram":
+    if isinstance(index, ShardedQGramIndex):
+        # bucket-range-sharded index served over ICI (inside shard_map):
+        # same hit contract as the replicated q-gram path, bitwise
+        from nvbio_tpu.parallel.sharded_index import sharded_seed_hits
+        from nvbio_tpu.qgram import seed_keys_from_batch
+
+        keys = seed_keys_from_batch(seeds, index.q)        # (B, 2S1)
+        pos, range_size = sharded_seed_hits(index, keys, H)
+        hit_valid = (
+            (k.astype(range_size.dtype)[None, None, :]
+             < range_size[:, :, None]) & seed_valid2[:, :, None]
+        )
+    elif P.seeding == "qgram":
         # direct-address k-mer lookup: positions come straight from the table
         from nvbio_tpu.qgram import (index_locate, index_range,
                                      seed_keys_from_batch)
 
         keys = seed_keys_from_batch(seeds, index.q)        # (B, 2S1)
         lo, hi = index_range(index, keys)
-        range_size = jnp.maximum(hi - lo, 0)
+        rdt = lo.dtype  # int32, or uint32 for large genomes
+        range_size = jnp.maximum(hi - lo, jnp.zeros((), rdt))
         hit_valid = (
-            (k[None, None, :] < range_size[:, :, None]) & seed_valid2[:, :, None]
+            (k.astype(rdt)[None, None, :] < range_size[:, :, None])
+            & seed_valid2[:, :, None]
         )
-        # stratified slot sampling across wide ranges (the deterministic
-        # equivalent of the reference's SumTree-CDF hit selection,
-        # select.h:52-80), jittered per seed: a read's true occurrence sits
-        # at nearly the SAME rank fraction in every seed's position-sorted
-        # bucket (~p0/|genome|), so an unjittered grid makes all seeds miss
-        # together
-        NS = 2 * S1
-        D = H * NS
-        m_sl = (k[None, None, :] * NS
-                + jnp.arange(NS, dtype=jnp.int32)[None, :, None])  # < D
-        # exact floor(m*r/D) without the int32 overflow of m*r:
-        # m*(r//D) + (m*(r%D))//D  — both products stay < 2^31
-        r3 = range_size[:, :, None]
-        off = jnp.where(
-            r3 > H,
-            m_sl * (r3 // D) + (m_sl * (r3 % D)) // D,
-            k[None, None, :],
-        )
+        # stratified slot sampling across wide ranges, jittered per seed
+        # (see qgram.stratified_offsets)
+        off = stratified_offsets(range_size, H, 2 * S1)
         pos = index_locate(index, lo[:, :, None], off)     # (B,2S1,H)
     else:
         # FM-index backward search + bounded LF locate
@@ -183,19 +185,8 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
         hi = hi.reshape(B, 2 * S1)
         range_size = jnp.maximum(hi - lo, 0)
 
-        # jittered stratified slot sampling (see the q-gram branch above)
-        NS = 2 * S1
-        D = H * NS
-        m_sl = (k[None, None, :] * NS
-                + jnp.arange(NS, dtype=jnp.int32)[None, :, None])  # < D
-        # exact floor(m*r/D) without the int32 overflow of m*r:
-        # m*(r//D) + (m*(r%D))//D  — both products stay < 2^31
-        r3 = range_size[:, :, None]
-        off = jnp.where(
-            r3 > H,
-            m_sl * (r3 // D) + (m_sl * (r3 % D)) // D,
-            k[None, None, :],
-        )
+        # jittered stratified slot sampling (see qgram.stratified_offsets)
+        off = stratified_offsets(range_size, H, 2 * S1)
         rows = lo[:, :, None] + off                                # (B, 2S1, H)
         hit_valid = (
             (k[None, None, :] < range_size[:, :, None]) & seed_valid2[:, :, None]
@@ -205,10 +196,13 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
         pos = pos.reshape(B, 2 * S1, H)
 
     # candidate genome window start: seed offset within the (strand) read,
-    # slack of max_dist on each side
+    # slack of max_dist on each side. Positions may be uint32 (genomes past
+    # 2^31 symbols) — all math via the clip-at-zero helpers.
+    pdt = pos.dtype
+    nmax = jnp.asarray(n_genome).astype(pdt)
     seed_off = jnp.concatenate([starts, starts])                    # (2*S1,)
-    w0 = pos - seed_off[None, :, None] - P.max_dist
-    w0 = jnp.clip(w0, 0, jnp.maximum(n_genome - 1, 0))
+    w0 = _sub_clip0(pos, (seed_off[None, :, None] + P.max_dist).astype(pdt))
+    w0 = jnp.minimum(w0, _sub_clip0(nmax, 1))
 
     CH = S1 * H  # candidates per strand half
     w0 = w0.reshape(B, 2 * CH)
@@ -226,9 +220,9 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
         # NCH slots (nvBowtie's seed-hit prioritization); a plain positional
         # cap silently drops true loci once q-gram buckets get busy on large
         # genomes (mapped rate fell to ~30% on a 100 Mbp reference)
-        big = jnp.int32(2**31 - 1)
+        big = jnp.asarray(np.iinfo(np.dtype(pdt.name)).max, pdt)
         w0v = jnp.where(validh, w0h, big)
-        near = (jnp.abs(w0v[:, :, None] - w0v[:, None, :]) <= tol) & \
+        near = (_absdiff(w0v[:, :, None], w0v[:, None, :]) <= tol) & \
             validh[:, None, :]                       # (B, CH, CH)
         votes = jnp.where(validh,
                           jnp.sum(near, axis=2).astype(jnp.int32), -1)
@@ -241,14 +235,14 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
             picked = votes == m_v[:, None]
             # leftmost member of the picked cluster = the representative
             sel_w0 = jnp.min(jnp.where(picked, w0v, big), axis=1)
-            members = (jnp.abs(w0v - sel_w0[:, None]) <= tol) & (votes >= 0)
+            members = (_absdiff(w0v, sel_w0[:, None]) <= tol) & (votes >= 0)
             rep = jnp.min(jnp.where(members, w0v, big), axis=1)
             reps.append(jnp.where(any_valid, rep, big))
             valids.append(any_valid)
             votes = jnp.where(members, -1, votes)
         uw0 = jnp.stack(reps, axis=1)          # (B, NCH)
         uvalid = jnp.stack(valids, axis=1) & (uw0 < big)
-        return jnp.where(uvalid, uw0, 0), uvalid
+        return jnp.where(uvalid, uw0, jnp.zeros((), pdt)), uvalid
 
     w0f, validf = dedup_half(w0[:, :CH], cand_valid_all[:, :CH])
     w0r, validr = dedup_half(w0[:, CH:], cand_valid_all[:, CH:])
@@ -265,7 +259,7 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
         from nvbio_tpu.align.pallas_kernels import banded_score_cands_regtile
 
         w0_sm = w0.T.reshape(C * B)
-        wlens_sm = jnp.clip(n_genome - w0_sm, 0, TW).astype(jnp.int32)
+        wlens_sm = jnp.minimum(_sub_clip0(nmax, w0_sm), TW).astype(jnp.int32)
         sc_sm, _ = banded_score_cands_regtile(
             reads, rc, lens, w0_sm, wlens_sm, genome_words,
             P.scoring, W, C, NCH, mm, mm_rc,
@@ -273,7 +267,8 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
         sc = sc_sm.reshape(C, B).T.reshape(B * C)
     else:
         win = packed.extract_window_aligned(genome_words, w0.reshape(B * C), TW, 2)
-        wlens = jnp.clip(n_genome - w0.reshape(B * C), 0, TW).astype(jnp.int32)
+        wlens = jnp.minimum(_sub_clip0(nmax, w0.reshape(B * C)),
+                            TW).astype(jnp.int32)
 
         pat_sel = jnp.where(cand_strand[:, :, None], rc[:, None, :], reads[:, None, :])
         pats = pat_sel.reshape(B * C, L)
@@ -350,8 +345,9 @@ def finalize_best(cands, genome_words, n_genome, best_idx, params: MapParams):
     best_pos = jnp.take_along_axis(cands["w0"], best_idx[:, None], axis=1)[:, 0]
     best_strand = jnp.take_along_axis(cands["strand"], best_idx[:, None], axis=1)[:, 0]
 
+    nmax = jnp.asarray(n_genome).astype(best_pos.dtype)
     btext = packed.extract_window_aligned(genome_words, best_pos, TW, 2)
-    btlen = jnp.clip(n_genome - best_pos, 0, TW).astype(jnp.int32)
+    btlen = jnp.minimum(_sub_clip0(nmax, best_pos), TW).astype(jnp.int32)
     bpat = jnp.where(best_strand[:, None], rc, reads)
     bmm = None if mm is None else jnp.where(best_strand[:, None], mm_rc, mm)
     if use_pallas_extension(P):
@@ -413,8 +409,9 @@ def align_batch_all(index, genome_words, n_genome, reads, lens, quals,
 
     # flatten every candidate into one traceback batch
     w0f = w0.reshape(B * C)
+    nmax = jnp.asarray(n_genome).astype(w0f.dtype)
     btext = packed.extract_window_aligned(genome_words, w0f, TW, 2)
-    btlen = jnp.clip(n_genome - w0f, 0, TW).astype(jnp.int32)
+    btlen = jnp.minimum(_sub_clip0(nmax, w0f), TW).astype(jnp.int32)
     strand = jnp.broadcast_to(strand, (B, C))
     strand_f = strand.reshape(B * C)
     bpat = jnp.where(strand_f[:, None],
@@ -441,7 +438,7 @@ def align_batch_all(index, genome_words, n_genome, reads, lens, quals,
     best_score = jnp.take_along_axis(scores, best_idx[:, None], axis=1)[:, 0]
     best_pos = jnp.take_along_axis(w0, best_idx[:, None], axis=1)[:, 0]
     best_strand = jnp.take_along_axis(strand, best_idx[:, None], axis=1)[:, 0]
-    same_locus = (jnp.abs(w0 - best_pos[:, None]) <= 2 * P.max_dist) & (
+    same_locus = (_absdiff(w0, best_pos[:, None]) <= 2 * P.max_dist) & (
         strand == best_strand[:, None])
     second_score = jnp.max(
         jnp.where(same_locus, jnp.int32(NEG_INF), scores), axis=1)
@@ -479,7 +476,7 @@ def align_batch_core(index, genome_words, n_genome, reads, lens, quals,
     best_pos = jnp.take_along_axis(w0, best_idx[:, None], axis=1)[:, 0]
     best_strand = jnp.take_along_axis(strand, best_idx[:, None], axis=1)[:, 0]
 
-    same_locus = (jnp.abs(w0 - best_pos[:, None]) <= 2 * P.max_dist) & (
+    same_locus = (_absdiff(w0, best_pos[:, None]) <= 2 * P.max_dist) & (
         strand == best_strand[:, None]
     )
     second_masked = jnp.where(same_locus, neg, scores)
@@ -546,6 +543,15 @@ class ReadMapper:
         ci = int(np.searchsorted(self.ref_offsets, gpos, side="right") - 1)
         return ci, gpos - int(self.ref_offsets[ci])
 
+    @property
+    def n_genome_dev(self):
+        """Genome length as a device scalar in the index's position dtype
+        (uint32 past 2^31 symbols — int32 would wrap)."""
+        pos = getattr(self.index, "positions", None)
+        dt = jnp.uint32 if (pos is not None and
+                            np.dtype(pos.dtype) == np.uint32) else jnp.int32
+        return jnp.asarray(self.n_genome, dt)
+
     def dispatch(self, batch):
         """Enqueue device work for a batch (async; returns device arrays).
 
@@ -555,7 +561,7 @@ class ReadMapper:
         return align_batch_core(
             self.index,
             self.genome_words,
-            jnp.int32(self.n_genome),
+            self.n_genome_dev,
             jnp.asarray(batch.codes),
             jnp.asarray(batch.lengths),
             jnp.asarray(batch.quals),
@@ -569,7 +575,7 @@ class ReadMapper:
     def map_batch_all(self, batch) -> list[SamRecord]:
         """All-mapping: every above-threshold locus as primary+secondary."""
         res = align_batch_all(
-            self.index, self.genome_words, jnp.int32(self.n_genome),
+            self.index, self.genome_words, self.n_genome_dev,
             jnp.asarray(batch.codes.astype(np.int32)),
             jnp.asarray(batch.lengths), jnp.asarray(batch.quals),
             self.params,

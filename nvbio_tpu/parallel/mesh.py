@@ -38,20 +38,28 @@ def _align_step(fmi, genome_words, n_genome, reads, lens, quals, params):
     return res, stats
 
 
-def sharded_align_step(mesh: Mesh, params: MapParams):
+def sharded_align_step(mesh: Mesh, params: MapParams,
+                       index_sharded: bool = False):
     """Build a jitted SPMD alignment step over ``mesh``.
 
-    The read batch is sharded over the READS_AXIS; index/reference replicated;
+    The read batch is sharded over the READS_AXIS; reference replicated;
     per-read outputs come back sharded, scalar stats fully replicated (psum).
     Batch size must be divisible by the mesh size.
+
+    ``index_sharded=True`` expects a ``ShardedQGramIndex`` whose (D, ...)
+    arrays are range-partitioned over the mesh (one bucket-range shard per
+    device, served over ICI inside the step — see
+    ``parallel.sharded_index.sharded_seed_hits``); ``False`` replicates a
+    regular index, the reference's per-GPU model (``compute_thread.cu:95``).
     """
     repl = P()
     shard = P(READS_AXIS)
+    idx_spec = shard if index_sharded else repl
 
     fn = jax.shard_map(
         functools.partial(_align_step, params=params),
         mesh=mesh,
-        in_specs=(repl, repl, repl, shard, shard, shard),
+        in_specs=(idx_spec, repl, repl, shard, shard, shard),
         out_specs=(shard, repl),
         check_vma=False,
     )

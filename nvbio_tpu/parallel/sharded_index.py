@@ -32,7 +32,13 @@ class ShardedQGramIndex:
 
     Inside ``shard_map`` each device sees its own (1/D) rows of ``offsets``
     and ``positions`` plus replicated scalars. Built by
-    ``shard_qgram_index``; queried with ``sharded_range``/``sharded_locate``.
+    ``shard_qgram_index``; queried with ``sharded_range``/``sharded_locate``
+    or — inside the mapping pipeline — ``sharded_seed_hits`` (the pipeline
+    dispatches on this type in ``bowtie.pipeline.read_candidates``).
+
+    Positions hold GLOBAL text coordinates (uint32 past 2^31 symbols), so a
+    genome whose position table outgrows one chip's HBM — e.g. whole human,
+    ~12.4 GB at 3.1 Gbp — is served at 1/D per chip over ICI.
     """
 
     q: int
@@ -40,8 +46,18 @@ class ShardedQGramIndex:
     keys_per_shard: int        # bucket keys owned per device
     pos_per_shard: int         # padded positions rows per device
     offsets: Any               # int32[D, keys_per_shard + 1] local offsets
-    positions: Any             # int32[D, pos_per_shard]
+    positions: Any             # (u)int32[D, pos_per_shard] global positions
     n: int
+
+
+jax.tree_util.register_pytree_node(
+    ShardedQGramIndex,
+    lambda s: ((s.offsets, s.positions),
+               (s.q, s.n_shards, s.keys_per_shard, s.pos_per_shard, s.n)),
+    lambda aux, ch: ShardedQGramIndex(
+        q=aux[0], n_shards=aux[1], keys_per_shard=aux[2],
+        pos_per_shard=aux[3], offsets=ch[0], positions=ch[1], n=aux[4]),
+)
 
 
 def shard_qgram_index(index, n_shards: int) -> ShardedQGramIndex:
@@ -49,25 +65,31 @@ def shard_qgram_index(index, n_shards: int) -> ShardedQGramIndex:
 
     Each shard's offsets are rebased to its own position slice and padded to
     a common length so the result is one dense (D, ...) array pair that can
-    be placed with a ``PartitionSpec('reads')`` sharding.
+    be placed with a ``PartitionSpec('reads')`` sharding. The key space is
+    ceil-divided, so any shard count works.
     """
     n_keys = (1 << (2 * index.q))
-    if n_keys % n_shards:
-        raise ValueError("4^q must divide by the shard count")
-    kps = n_keys // n_shards
+    kps = (n_keys + n_shards - 1) // n_shards
     offsets = np.asarray(index.offsets, np.int64)
-    positions = np.asarray(index.positions, np.int32)
+    pdt = np.asarray(index.positions).dtype
+    positions = np.asarray(index.positions)
 
     slices = []
     local_offsets = []
     for d in range(n_shards):
-        lo = int(offsets[d * kps])
-        hi = int(offsets[(d + 1) * kps])
+        a = min(d * kps, n_keys)
+        b = min((d + 1) * kps, n_keys)
+        lo = int(offsets[a])
+        hi = int(offsets[b])
         slices.append(positions[lo:hi])
-        local_offsets.append((offsets[d * kps:(d + 1) * kps + 1] - lo)
-                             .astype(np.int32))
+        loc = (offsets[a:b + 1] - lo).astype(np.int32)
+        if len(loc) < kps + 1:  # ragged tail shard: repeat the end offset
+            loc = np.concatenate(
+                [loc, np.full(kps + 1 - len(loc), loc[-1] if len(loc) else 0,
+                              np.int32)])
+        local_offsets.append(loc)
     pos_per_shard = max(max(len(s) for s in slices), 1)
-    pos = np.zeros((n_shards, pos_per_shard), np.int32)
+    pos = np.zeros((n_shards, pos_per_shard), pdt)
     for d, s in enumerate(slices):
         pos[d, :len(s)] = s
     offs = np.stack(local_offsets).astype(np.int32)
@@ -124,3 +146,49 @@ def sharded_lookup(sidx_offsets, sidx_positions, keys, slots,
     shape = all_keys.shape
     my = jnp.reshape(p, shape)[d], jnp.reshape(rs, shape)[d]
     return my[0].reshape(keys.shape), my[1].reshape(keys.shape)
+
+
+def sharded_seed_hits(sidx: ShardedQGramIndex, keys, H: int):
+    """Pipeline seeding against the bucket-sharded index (inside shard_map).
+
+    keys: (B_local, NS) q-gram seed keys of this device's read block.
+    Returns (pos (B_local, NS, H) global positions, range_size (B_local, NS))
+    — the same contract as the replicated ``index_range``+``index_locate``
+    path in ``read_candidates``, including the jittered stratified slot
+    sampling, so sharded and replicated pipelines are bitwise identical.
+
+    Pattern: all_gather the (small) query keys over ICI; each device answers
+    the key range it owns from its local offset/position rows; psum combines
+    the disjoint masked answers (replicated-query / sharded-data — no ragged
+    all_to_all routing, every transfer dense and fixed-shape).
+    """
+    from nvbio_tpu.qgram import stratified_offsets
+
+    axis = READS_AXIS
+    d = jax.lax.axis_index(axis)
+    kps = sidx.keys_per_shard
+    all_keys = jax.lax.all_gather(keys, axis)        # (D, b, NS)
+    Dn, b, NS = all_keys.shape
+    flat = all_keys.reshape(Dn * b, NS)
+    n_keys = 1 << (2 * sidx.q)
+    flat = jnp.clip(flat, 0, n_keys - 1)
+
+    local_key = flat - d * kps
+    mine = (local_key >= 0) & (local_key < kps)
+    lk = jnp.clip(local_key, 0, kps - 1)
+    offs = sidx.offsets[0]                           # (kps + 1,)
+    poss = sidx.positions[0]                         # (pps,)
+    lo = jnp.take(offs, lk)
+    hi = jnp.take(offs, lk + 1)
+    rs = jnp.maximum(hi - lo, 0)                     # (DB, NS) local counts
+    off = stratified_offsets(rs, H, NS)              # (DB, NS, H)
+    idx = jnp.minimum(lo[..., None] + off, offs[-1] - 1)
+    idx = jnp.clip(idx, 0, poss.shape[0] - 1)
+    p = jnp.take(poss, idx)                          # (DB, NS, H) global pos
+    p = jnp.where(mine[..., None], p, jnp.zeros((), p.dtype))
+    rs = jnp.where(mine, rs, 0)
+    p = jax.lax.psum(p, axis)
+    rs = jax.lax.psum(rs, axis)
+    p = p.reshape(Dn, b, NS, H)[d]
+    rs = rs.reshape(Dn, b, NS)[d]
+    return p, rs

@@ -182,7 +182,9 @@ def qgram_locate(index: QGramIndex, lo, slot):
     """Text positions for hit slots within bucket ranges: positions[lo+slot]."""
     import jax.numpy as jnp
 
-    idx = jnp.clip(lo + slot, 0, index.positions.shape[0] - 1)
+    lo = jnp.asarray(lo)
+    idx = jnp.minimum(lo + jnp.asarray(slot).astype(lo.dtype),
+                      jnp.asarray(index.positions.shape[0] - 1, lo.dtype))
     return jnp.take(index.positions, idx)
 
 
@@ -304,6 +306,32 @@ def qgroup_locate(index: QGroupIndex, lo, slot):
 
     idx = jnp.clip(lo + slot, 0, index.P.shape[0] - 1)
     return jnp.take(index.P, idx)
+
+
+def stratified_offsets(range_size, H: int, NS: int):
+    """Jittered stratified slot offsets into position-sorted buckets.
+
+    range_size: (..., NS) bucket sizes; returns (..., NS, H) offsets.
+    The deterministic equivalent of nvBowtie's SumTree-CDF hit selection
+    (``nvBowtie/bowtie2/cuda/select.h:52-80``): H slots strided across the
+    range, phase-jittered per seed index so correlated bucket ranks (a
+    read's true occurrence sits at ~the same rank fraction in every seed's
+    bucket) don't make all seeds miss together. Exact floor(m*r/D) without
+    32-bit overflow: m*(r//D) + (m*(r%D))//D (m < D).
+    """
+    import jax.numpy as jnp
+
+    rdt = range_size.dtype
+    k = jnp.arange(H, dtype=jnp.int32)
+    D = H * NS
+    m_sl = (k[None, :] * NS
+            + jnp.arange(NS, dtype=jnp.int32)[:, None]).astype(rdt)  # (NS, H)
+    r3 = range_size[..., None]
+    return jnp.where(
+        r3 > H,
+        m_sl * (r3 // D) + (m_sl * (r3 % D)) // D,
+        k.astype(rdt),
+    )
 
 
 def index_range(index, keys):
