@@ -96,6 +96,48 @@ def main():
     dt = (time.time() - t0) / REPS
     reads_per_sec = B / dt
 
+    # ---- paired-end throughput ---------------------------------------------
+    # FR pairs sampled from the genome (mate2 = RC at fragment distance);
+    # full pairing + Pallas mate rescue (Myers locate + banded re-score)
+    from nvbio_tpu.bowtie.paired import align_paired_core
+
+    def make_pair_batch(seed):
+        r = np.random.default_rng(seed)
+        frag = r.integers(2 * L, params.maxins, size=B)
+        starts = r.integers(0, GENOME - params.maxins - 1, size=B)
+        m1 = genome[starts[:, None] + np.arange(L)].astype(np.int32)
+        s2 = starts + frag - L
+        m2f = genome[s2[:, None] + np.arange(L)].astype(np.int32)
+        m2 = (3 - m2f)[:, ::-1]
+        nmut = max(1, L // 100)
+        for m in (m1, m2):
+            pos = r.integers(0, L, size=(B, nmut))
+            val = r.integers(1, 4, size=(B, nmut))
+            np.put_along_axis(
+                m, pos, (np.take_along_axis(m, pos, 1) + val) % 4, 1)
+        lens = np.full(B, L, np.int32)
+        quals = np.full((B, L), 30, np.uint8)
+        arrs = tuple(jnp.asarray(a) for a in
+                     (m1, lens, quals, m2, lens, quals))
+        np.asarray(arrs[0][:1])
+        return arrs
+
+    def pdispatch(pb):
+        return align_paired_core(fmi, gwords, n_genome, *pb, params)
+
+    p0 = make_pair_batch(101)
+    r1_, r2_, pinfo, = pdispatch(p0)[:3]
+    int(np.asarray(r1_["best_score"][:1])[0])
+    proper_frac = float(np.asarray(pinfo["proper"]).mean())
+    PREPS = 4 if platform != "cpu" else 1
+    pbatches = [make_pair_batch(102 + i) for i in range(PREPS)]
+    t0 = time.time()
+    pouts = [pdispatch(pb) for pb in pbatches]
+    for o in pouts:
+        int(np.asarray(o[0]["best_score"][:1])[0])
+    pdt = (time.time() - t0) / PREPS
+    pe_reads_per_sec = 2 * B / pdt
+
     # ---- banded extension kernel GCUPS --------------------------------------
     # measured on the production path: candidate-blocked register-tiled
     # kernel reading text windows straight from the packed genome
@@ -198,6 +240,9 @@ def main():
                 "vs_baseline": round(reads_per_sec / 62500.0, 4),
                 "extras": {
                     "platform": platform,
+                    "pe_reads_per_sec": round(pe_reads_per_sec, 1),
+                    "pe_vs_se": round(pe_reads_per_sec / reads_per_sec, 3),
+                    "proper_pair_frac": round(proper_frac, 4),
                     "banded_gotoh_gcups": round(gcups, 2),
                     "gcups_vs_psa_titan_black": round(gcups / 157.73, 3),
                     "myers_edit_gcups": round(myers_gcups, 1),

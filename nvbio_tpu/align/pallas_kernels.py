@@ -814,6 +814,158 @@ def banded_score_cands_regtile(
 
 
 # ---------------------------------------------------------------------------
+# int16 register tiling: 2048 alignments per (16, 128) vreg tile — double
+# the ALU density of the int32 kernel (the TPU analogue of the reference's
+# PSA mixed 8-bit video-instruction kernels, prototypes/psa/README.md:30-36).
+# Score range analysis: real banded scores satisfy |s| <= L*max|penalty|
+# (~1.5k at L=128); the NEG sentinel is -8192 and H is re-clamped to >= -8192
+# each row, which bounds every intermediate above -16448 — no int16 wrap.
+# Bit-exact vs the int32 kernels whenever true scores stay above -8192.
+# ---------------------------------------------------------------------------
+
+NEG16 = -8192
+
+
+def _regtile16_kernel(pat_ref, plen_ref, txt_ref, tlen_ref, mm_ref,
+                      score_ref, kbest_ref, *, L, W, match, po, pe, to, te):
+    # int16-pure kernel: every ref and register is i16 (mixed-width ops
+    # force Mosaic relayouts of the packed (16,128) tiles, and i16 vector
+    # minsi doesn't legalize — inits derive from a load via `& 0`)
+    zero = pat_ref[0, 0] & jnp.int16(0)                  # int16 (16,128)
+    neg = zero + jnp.int16(NEG16)
+    plen = plen_ref[0, 0]                                # int16 (16,128)
+    tlen = tlen_ref[0, 0]
+
+    H = [zero] * W
+    E = [neg] * W
+    FIN = [neg] * W
+    T = [txt_ref[0, k] for k in range(W)]
+    n16 = jnp.int16(NEG16)
+
+    def body(im1, carry):
+        # irow: vector row counter (the scalar core is i32-only, so the row
+        # index must ride as an i16 VECTOR to compare against i16 lens)
+        H, E, FIN, T, irow = carry
+        p = pat_ref[0, im1]
+        mmrow = mm_ref[0, im1]
+        sub = [jnp.where(p == T[k], jnp.int16(match), mmrow)
+               for k in range(W)]
+        sub = [jnp.where(irow + jnp.int16(k) < tlen, sub[k], n16)
+               for k in range(W)]
+        diag = [H[k] + sub[k] for k in range(W)]
+        Erow = [jnp.maximum(E[k + 1] + jnp.int16(pe), H[k + 1] + jnp.int16(po))
+                if k + 1 < W else neg                    # band edge
+                for k in range(W)]
+        H0 = [jnp.maximum(diag[k], Erow[k]) for k in range(W)]
+        G = [H0[k] + jnp.int16(to - te * k) for k in range(W)]
+        d = 1
+        while d < W:
+            G = [jnp.maximum(G[k], G[k - d]) if k - d >= 0 else G[k]
+                 for k in range(W)]
+            d *= 2
+        F = [G[k - 1] + jnp.int16(te * (k - 1)) if k >= 1
+             else neg
+             for k in range(W)]
+        # re-clamp at the sentinel so out-of-band cells can't ratchet toward
+        # int16 wrap (see range analysis above)
+        Hrow = [jnp.maximum(jnp.maximum(H0[k], F[k]), n16) for k in range(W)]
+        at_fin = (irow + jnp.int16(1)) == plen
+        FIN = [jnp.where(at_fin, Hrow[k], FIN[k]) for k in range(W)]
+        T = T[1:] + [txt_ref[0, im1 + W]]
+        return Hrow, Erow, FIN, T, irow + jnp.int16(1)
+
+    H, E, FIN, T, _ = jax.lax.fori_loop(0, L, body, (H, E, FIN, T, zero))
+    smax = FIN[0]
+    for k in range(1, W):
+        smax = jnp.maximum(smax, FIN[k])
+    kb = zero + jnp.int16(W)
+    for k in range(W - 1, -1, -1):
+        kb = jnp.where(FIN[k] == smax, jnp.int16(k), kb)
+    score_ref[0, 0] = smax
+    kbest_ref[0, 0] = kb
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scoring", "band", "interpret"))
+def banded_score_semiglobal_regtile16(
+    patterns, pattern_lens, texts, text_lens, scoring: GotohScoring,
+    band: int, mismatch_scores=None, interpret: bool = False,
+):
+    """int16 register-tiled SEMI_GLOBAL banded Gotoh scores.
+
+    Same results as ``banded_score_semiglobal_regtile`` for scores above
+    -8192 (all real alignments); 2048 alignments per vreg tile.
+    """
+    B, M = patterns.shape
+    W = band
+    Lp = _round_up(M, _ROWS)
+    TWp = Lp + W
+    G = _round_up(max(B, 2048), 2048) // 2048
+    Bp = G * 2048
+
+    def to_blocks16(x, rows):
+        x = x.astype(jnp.int16)
+        if x.shape[1] < rows:
+            x = jnp.pad(x, ((0, Bp - B), (0, rows - x.shape[1])))
+        else:
+            x = jnp.pad(x[:, :rows], ((0, Bp - B), (0, 0)))
+        return x.reshape(G, 16, 128, rows).transpose(0, 3, 1, 2)
+
+    patsb = to_blocks16(patterns, Lp)
+    txtsb = to_blocks16(texts, TWp)
+    if mismatch_scores is None:
+        mmb = jnp.full((G, Lp, 16, 128), scoring.mismatch, jnp.int16)
+    else:
+        mmb = to_blocks16(mismatch_scores, Lp)
+    plb = jnp.pad(pattern_lens.astype(jnp.int16), (0, Bp - B)).reshape(
+        G, 1, 16, 128)
+    tlb = jnp.pad(text_lens.astype(jnp.int16), (0, Bp - B)).reshape(
+        G, 1, 16, 128)
+
+    score, kbest = regtile16_score_blocked(
+        patsb, plb, txtsb, tlb, mmb, scoring=scoring, band=W, length=M,
+        interpret=interpret)
+    return score.reshape(Bp)[:B], kbest.reshape(Bp)[:B]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scoring", "band", "length", "interpret"))
+def regtile16_score_blocked(patsb, plb, txtsb, tlb, mmb, *, scoring,
+                            band, length, interpret=False):
+    """int16 register-tiled scorer over pre-blocked (G, rows, 16, 128)
+    operands (the resident-operand GCUPS benchmark engine)."""
+    G, Lp = patsb.shape[0], patsb.shape[1]
+    TWp = txtsb.shape[1]
+    M, W = length, band
+    kern = functools.partial(
+        _regtile16_kernel, L=M, W=W, match=scoring.match,
+        po=scoring.pattern_gap_open, pe=scoring.pattern_gap_ext,
+        to=scoring.text_gap_open, te=scoring.text_gap_ext)
+    blk = lambda g: (g, 0, 0, 0)
+    score16, kbest16 = pl.pallas_call(
+        kern, grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, Lp, 16, 128), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 16, 128), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TWp, 16, 128), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 16, 128), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lp, 16, 128), blk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 16, 128), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 16, 128), blk, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((G, 1, 16, 128), jnp.int16)] * 2,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=12 * G * 2048 * M * W,
+            bytes_accessed=2 * G * 2048 * (2 * M + M + W),
+            transcendentals=0),
+    )(patsb, plb, txtsb, tlb, mmb)
+    return score16.astype(jnp.int32), kbest16.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
 # Myers bit-parallel edit distance: 32 DP cells per int32 op. Register-tiled
 # like the Gotoh scorer; the pattern's Peq masks and the PV/MV state live in
 # (n_words x) registers, the text streams row by row.

@@ -39,6 +39,16 @@ def add_parser(sub):
     p.add_argument("-I", "--minins", type=int, default=0)
     p.add_argument("-X", "--maxins", type=int, default=500)
     p.add_argument("--no-rescue", action="store_true")
+    p.add_argument("--pe-policy", choices=["fr", "rf", "ff"], default="fr",
+                   help="mate orientation (bowtie2 --fr/--rf/--ff)")
+    p.add_argument("--no-discordant", action="store_true",
+                   help="do not classify discordant pairs")
+    p.add_argument("--max-reseed", type=int, default=1,
+                   help="extra seeding passes for unaligned reads")
+    p.add_argument("--reseed-frac", type=float, default=0.25,
+                   help="reseed queue capacity as a fraction of the batch")
+    p.add_argument("--no-1mm-seeding", action="store_true",
+                   help="disable 1-mismatch seeding in reseed passes")
     p.add_argument("--all", action="store_true", dest="all_mode",
                    help="report ALL alignments above threshold "
                         "(secondary records), not just the best")
@@ -99,6 +109,11 @@ def run(args):
         minins=args.minins,
         maxins=args.maxins,
         mate_rescue=not args.no_rescue,
+        pe_policy=args.pe_policy,
+        pe_discordant=not args.no_discordant,
+        max_reseed=args.max_reseed,
+        reseed_frac=args.reseed_frac,
+        seeding_1mm=not args.no_1mm_seeding,
     )
     params = (MapParams.edit_distance(**common) if args.mode == "ed"
               else MapParams(**common))

@@ -63,13 +63,21 @@ def align_paired_core(
     st1 = c1["strand"][:, :, None]
     st2 = c2["strand"][:, None, :]
     slack = P.band
-    # case A: mate1 fwd, mate2 rev => frag = w2 + L2 - w1
+    # orientation policy (params.h:115 pe policies): case A = mate1
+    # upstream (frag = end2 - w1), case B = mate2 upstream (frag = end1 - w2)
+    if P.pe_policy == "fr":
+        condA, condB = (~st1) & st2, st1 & (~st2)
+    elif P.pe_policy == "rf":
+        condA, condB = st1 & (~st2), st2 & (~st1)
+    elif P.pe_policy == "ff":
+        condA, condB = (~st1) & (~st2), st1 & st2
+    else:
+        raise ValueError(f"unknown pe_policy {P.pe_policy!r}")
     endA = w2 + c2["lens"].astype(pdt)[:, None, None]
-    okA = ((~st1) & st2 & (endA + slack >= w1 + P.minins)
+    okA = (condA & (endA + slack >= w1 + P.minins)
            & (endA <= w1 + (P.maxins + slack)))
-    # case B: mate2 fwd, mate1 rev => frag = w1 + L1 - w2
     endB = w1 + c1["lens"].astype(pdt)[:, None, None]
-    okB = (st1 & (~st2) & (endB + slack >= w2 + P.minins)
+    okB = (condB & (endB + slack >= w2 + P.minins)
            & (endB <= w2 + (P.maxins + slack)))
     conc = okA | okB
 
@@ -111,18 +119,47 @@ def align_paired_core(
         RW = P.maxins + P.band  # rescue window length (static)
 
         nmax = jnp.asarray(n_genome).astype(pdt)
+        from nvbio_tpu.bowtie.pipeline import use_pallas_extension
 
         def rescue(anchor_w0, anchor_strand, anchor_len, other, other_len,
                    other_mm):
-            # window: anchor fwd -> [w0, w0 + RW); anchor rev -> ending at
-            # anchor end: [w0 + len - RW, ...). Unsigned-safe via clip-at-0.
+            # window side by policy: the missing mate sits downstream of an
+            # "upstream-oriented" anchor. fr/ff: fwd anchors are upstream;
+            # rf: reversed anchors are upstream. Unsigned-safe clip-at-0.
+            upstream_window = (anchor_strand if P.pe_policy != "rf"
+                               else ~anchor_strand)
             rev_end = anchor_w0 + (anchor_len + P.band).astype(pdt)
             wstart = jnp.where(
-                anchor_strand, _sub_clip0(rev_end, RW), anchor_w0,
+                upstream_window, _sub_clip0(rev_end, RW), anchor_w0,
             )
             wstart = jnp.minimum(wstart, _sub_clip0(nmax, 1))
             win = packed.extract_window_aligned(genome_words, wstart, RW, 2)
             wlen = jnp.minimum(_sub_clip0(nmax, wstart), RW).astype(jnp.int32)
+            if use_pallas_extension(P):
+                # TPU fast path (score.h:149-199 opposite-mate scoring): the
+                # Myers bit-parallel kernel locates the best end position in
+                # the fragment window at ~32 cells/op, then one banded Gotoh
+                # pass at that locus produces the quality-aware score — no
+                # (B, M+1)-per-step XLA wavefront over a 500+-wide window.
+                from nvbio_tpu.align.pallas_kernels import (
+                    banded_score_semiglobal_pallas,
+                    myers_semiglobal_pallas,
+                )
+
+                _dist, tend = myers_semiglobal_pallas(
+                    other, other_len, win, wlen)
+                rw0 = _sub_clip0(wstart + tend.astype(pdt),
+                                 (other_len + P.max_dist).astype(pdt))
+                rw0 = jnp.minimum(rw0, _sub_clip0(nmax, 1))
+                TWr = other.shape[1] + P.band - 1
+                rwin = packed.extract_window_aligned(
+                    genome_words, rw0, TWr, 2)
+                rwlen = jnp.minimum(_sub_clip0(nmax, rw0),
+                                    TWr).astype(jnp.int32)
+                score, _k = banded_score_semiglobal_pallas(
+                    other, other_len, rwin, rwlen, P.scoring, P.band,
+                    other_mm)
+                return score, rw0
             aligner = GotohAligner(SEMI_GLOBAL, P.scoring)
             sunk = batch_score_full(
                 other, other_len, win, wlen, aligner, mismatch_scores=other_mm
@@ -133,12 +170,15 @@ def align_paired_core(
             rw0 = jnp.minimum(rw0, _sub_clip0(nmax, 1))
             return sunk.score, rw0
 
-        # rescue mate2 from mate1 anchor (mate2 on opposite strand of mate1)
+        # rescue mate2 from mate1 anchor; the rescued mate's strand follows
+        # the policy (opposite for fr/rf, same for ff)
+        same_strand = P.pe_policy == "ff"
         a1_w0 = jnp.take_along_axis(c1["w0"], se1_idx[:, None], axis=1)[:, 0]
         a1_st = jnp.take_along_axis(c1["strand"], se1_idx[:, None], axis=1)[:, 0]
-        other2 = jnp.where(a1_st[:, None], c2["reads"], c2["rc"])
+        m2_rev = a1_st if same_strand else ~a1_st
+        other2 = jnp.where(m2_rev[:, None], c2["rc"], c2["reads"])
         omm2 = None if c2["mm"] is None else jnp.where(
-            a1_st[:, None], c2["mm"], c2["mm_rc"]
+            m2_rev[:, None], c2["mm_rc"], c2["mm"]
         )
         r2_score, r2_w0 = rescue(a1_w0, a1_st, c1["lens"], other2, c2["lens"], omm2)
         r2_score = jnp.where(se1_ok & (r2_score >= score_min2), r2_score, neg)
@@ -146,9 +186,10 @@ def align_paired_core(
         # rescue mate1 from mate2 anchor
         a2_w0 = jnp.take_along_axis(c2["w0"], se2_idx[:, None], axis=1)[:, 0]
         a2_st = jnp.take_along_axis(c2["strand"], se2_idx[:, None], axis=1)[:, 0]
-        other1 = jnp.where(a2_st[:, None], c1["reads"], c1["rc"])
+        m1_rev = a2_st if same_strand else ~a2_st
+        other1 = jnp.where(m1_rev[:, None], c1["rc"], c1["reads"])
         omm1 = None if c1["mm"] is None else jnp.where(
-            a2_st[:, None], c1["mm"], c1["mm_rc"]
+            m1_rev[:, None], c1["mm_rc"], c1["mm"]
         )
         r1_score, r1_w0 = rescue(a2_w0, a2_st, c2["lens"], other1, c1["lens"], omm1)
         r1_score = jnp.where(se2_ok & (r1_score >= score_min1), r1_score, neg)
@@ -167,11 +208,11 @@ def align_paired_core(
             resc2, r2_w0, jnp.take_along_axis(c2["w0"], i2[:, None], axis=1)[:, 0]
         )
         pair1_strand = jnp.where(
-            resc1, ~a2_st,
+            resc1, m1_rev,
             jnp.take_along_axis(c1["strand"], i1[:, None], axis=1)[:, 0],
         )
         pair2_strand = jnp.where(
-            resc2, ~a1_st,
+            resc2, m2_rev,
             jnp.take_along_axis(c2["strand"], i2[:, None], axis=1)[:, 0],
         )
         pair1_score = jnp.where(
@@ -238,6 +279,15 @@ def align_paired_core(
     mapq1 = jnp.where(has_pair, mapq_pair, jnp.where(mapped1, mapq1_se, 0))
     mapq2 = jnp.where(has_pair, mapq_pair, jnp.where(mapped2, mapq2_se, 0))
 
+    # discordant pairs: both mates aligned uniquely, just not concordantly
+    # (``aligner_best_approx_paired.h:280-286`` mark_discordant)
+    if P.pe_discordant:
+        unique1 = mapped1 & ~(sec1 >= score_min1)
+        unique2 = mapped2 & ~(sec2 >= score_min2)
+        discordant = (~has_pair) & unique1 & unique2
+    else:
+        discordant = jnp.zeros_like(has_pair)
+
     def pack_mate(fin, mapped, score, mapq, sec, smin):
         return dict(
             mapped=mapped, best_score=score, mapq=mapq,
@@ -251,8 +301,8 @@ def align_paired_core(
     return (
         pack_mate(fin1, mapped1, fin1_score, mapq1, sec1, score_min1),
         pack_mate(fin2, mapped2, fin2_score, mapq2, sec2, score_min2),
-        dict(proper=has_pair, rescued1=resc1, rescued2=resc2,
-             pair_score=pair_best),
+        dict(proper=has_pair, discordant=discordant,
+             rescued1=resc1, rescued2=resc2, pair_score=pair_best),
     )
 
 
@@ -296,12 +346,13 @@ def map_pair_batch(mapper, batch1, batch2, stats=None):
     fetch = jax.device_get((
         {k: v for k, v in res1.items() if k != "ops"},
         {k: v for k, v in res2.items() if k != "ops"},
-        pinfo["proper"],
+        pinfo["proper"], pinfo["discordant"],
     ))
-    res1, res2, proper = fetch
+    res1, res2, proper, discordant = fetch
     res1 = {k: np.asarray(v) for k, v in res1.items()}
     res2 = {k: np.asarray(v) for k, v in res2.items()}
     proper = np.asarray(proper)
+    discordant = np.asarray(discordant)
 
     from nvbio_tpu.bowtie.pipeline import host_rc_ascii, lazy_ops_rows
 
@@ -310,6 +361,7 @@ def map_pair_batch(mapper, batch1, batch2, stats=None):
         stats.update_from_result(res2, batch2.lengths)
         real = np.asarray(batch1.lengths) > 0
         stats.n_proper_pairs += int((proper & real).sum())
+        stats.n_discordant += int((discordant & real).sum())
 
     need1 = res1["mapped"] & (res1["nm"] > 0)
     need2 = res2["mapped"] & (res2["nm"] > 0)
@@ -379,7 +431,12 @@ def map_pair_batch(mapper, batch1, batch2, stats=None):
                     tlen = right - left
                     if gpos[m] > gpos[o] or (gpos[m] == gpos[o] and m == 1):
                         tlen = -tlen
-            tags = {"AS": int(res["best_score"][b]), "NM": int(res["nm"][b])}
+            # YT: bowtie2 pair-class tag (CP concordant / DP discordant /
+            # UP mates aligned separately)
+            yt = ("CP" if proper[b] else
+                  "DP" if discordant[b] else "UP")
+            tags = {"AS": int(res["best_score"][b]), "NM": int(res["nm"][b]),
+                    "YT": yt}
             n_ops_b = int(res["n_ops"][b])
             if int(res["nm"][b]) > 0:
                 from nvbio_tpu.align.traceback import md_from_entries

@@ -40,6 +40,25 @@ class MapParams:
     minins: int = 0
     maxins: int = 500
     mate_rescue: bool = True
+    # mate orientation policy (bowtie2 --fr/--rf/--ff; reference pe policies
+    # params.h:115, aligner_best_approx_paired.h concordance tests)
+    pe_policy: str = "fr"
+    # report discordant pairs (both mates unique but not concordant;
+    # aligner_best_approx_paired.h:280-286 mark_discordant)
+    pe_discordant: bool = True
+    # multi-pass reseeding (the reference's `seeding_pass <= max_reseed`
+    # loop with a reseed queue of unaligned reads,
+    # aligner_best_approx.h:206,274-282). TPU re-expression: still-unaligned
+    # reads are compacted to the front and re-seeded on a shifted seed grid
+    # in a fixed-capacity sub-batch (ceil(B * reseed_frac) rows) — the
+    # capacity-bounded queue semantics at static shapes.
+    max_reseed: int = 1
+    reseed_frac: float = 0.25
+    # 1-mismatch approximate seeding in reseed passes (q-gram key mutation;
+    # the analogue of the reference's approx-hybrid seeding,
+    # mapping.h:132-163). Reads whose every exact seed covers a SNP become
+    # mappable through the mutated-key buckets.
+    seeding_1mm: bool = True
 
     @classmethod
     def edit_distance(cls, **kw) -> "MapParams":

@@ -110,11 +110,20 @@ def use_pallas_extension(params: MapParams) -> bool:
 
 
 def read_candidates(index, genome_words, n_genome, reads, lens, quals,
-                    params: MapParams):
+                    params: MapParams, seed_phase: int = 0,
+                    approx_1mm: bool = False):
     """Seed + locate + dedup + extension-score candidates for one batch.
 
     Returns a dict with per-candidate arrays of shape (B, C):
     scores / w0 / strand / valid, plus per-read rc reads and penalty planes.
+
+    ``seed_phase`` shifts the whole seed grid (reseeding passes use a
+    different phase so previously-missed loci get fresh seed windows,
+    matching the reference's per-pass seed re-placement,
+    ``aligner_best_approx.h:206``). ``approx_1mm`` additionally seeds
+    through all 1-mismatch mutations of each q-gram key (``mapping.h:
+    132-163`` approximate seeding), consolidated to the 2 best-supported
+    extra loci per seed by a within-seed voting tournament.
     """
     P = params
     B, L = reads.shape
@@ -136,7 +145,8 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
     mm_rc = None if pen is None else -packed.reverse_rows(pen, lens, 8)
 
     # ---- seeding ----------------------------------------------------------
-    starts = (jnp.arange(S1, dtype=jnp.int32) * P.seed_stride)  # (S1,)
+    starts = (seed_phase
+              + jnp.arange(S1, dtype=jnp.int32) * P.seed_stride)  # (S1,)
     seed_gather = starts[:, None] + jnp.arange(P.seed_len, dtype=jnp.int32)[None, :]
     fwd_seeds = reads[:, seed_gather]          # (B, S1, s)
     rc_seeds = rc[:, seed_gather]
@@ -194,6 +204,63 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
         rows_flat = jnp.clip(rows, 0, index.n).reshape(B * 2 * S1 * H)
         pos, _ = locate_core(index, rows_flat)
         pos = pos.reshape(B, 2 * S1, H)
+
+    if approx_1mm and P.seeding == "qgram":
+        # ---- 1-mismatch seeding (reseed passes) ---------------------------
+        # every single-symbol mutation of each seed key is looked up (one
+        # sampled slot per mutated bucket), then a within-seed voting
+        # tournament keeps the NK best-supported extra loci — a SNP inside
+        # every exact seed window no longer makes a read unmappable.
+        qq = index.q
+        jj = jnp.arange(qq, dtype=jnp.int32)
+        shift = 2 * (qq - 1 - jj)                       # symbol j bit offset
+        dd = jnp.arange(1, 4, dtype=jnp.int32)
+        xor = (dd[None, :] << shift[:, None]).reshape(3 * qq)       # (3q,)
+        NM3 = 3 * qq
+        NSdim = keys.shape[1]
+        mut_keys = keys[:, :, None] ^ xor[None, None, :]  # (B, NS, 3q)
+        if isinstance(index, ShardedQGramIndex):
+            from nvbio_tpu.parallel.sharded_index import sharded_seed_hits
+
+            p1, rs1 = sharded_seed_hits(
+                index, mut_keys.reshape(B, NSdim * NM3), 1)
+            pos1 = p1.reshape(B, NSdim, NM3)
+            rs1 = rs1.reshape(B, NSdim, NM3)
+        else:
+            from nvbio_tpu.qgram import index_locate as _iloc, \
+                index_range as _irng
+
+            lo1, hi1 = _irng(index, mut_keys)
+            rs1 = jnp.maximum(hi1 - lo1, jnp.zeros((), lo1.dtype))
+            pos1 = _iloc(index, lo1, rs1 // 2)          # middle slot
+        valid1 = (rs1 > 0) & seed_valid2[:, :, None]
+
+        NK = 2
+        tol1 = 2 * P.max_dist
+        mdt = pos1.dtype
+        big1 = jnp.asarray(np.iinfo(np.dtype(mdt.name)).max, mdt)
+        pv = jnp.where(valid1, pos1, big1)
+        near1 = (_absdiff(pv[..., :, None], pv[..., None, :]) <= tol1) & \
+            valid1[..., None, :]                        # (B, NS, 3q, 3q)
+        votes1 = jnp.where(valid1, jnp.sum(near1, axis=-1).astype(jnp.int32),
+                           -1)
+        reps1, valids1 = [], []
+        for _ in range(NK):
+            m_v = jnp.max(votes1, axis=-1)
+            any_v = m_v > 0
+            picked = votes1 == m_v[..., None]
+            sel1 = jnp.min(jnp.where(picked, pv, big1), axis=-1)
+            members = (_absdiff(pv, sel1[..., None]) <= tol1) & (votes1 >= 0)
+            rep = jnp.min(jnp.where(members, pv, big1), axis=-1)
+            reps1.append(jnp.where(any_v, rep, big1))
+            valids1.append(any_v)
+            votes1 = jnp.where(members, -1, votes1)
+        pos_extra = jnp.stack(reps1, axis=-1)           # (B, NS, NK)
+        valid_extra = jnp.stack(valids1, axis=-1) & (pos_extra < big1)
+        pos_extra = jnp.where(valid_extra, pos_extra, jnp.zeros((), mdt))
+        pos = jnp.concatenate([pos, pos_extra], axis=-1)
+        hit_valid = jnp.concatenate([hit_valid, valid_extra], axis=-1)
+        H = H + NK
 
     # candidate genome window start: seed offset within the (strand) read,
     # slack of max_dist on each side. Positions may be uint32 (genomes past
@@ -457,35 +524,96 @@ def align_batch_all(index, genome_words, n_genome, reads, lens, quals,
     )
 
 
+def _reduce_best2(cands, params: MapParams):
+    """(best_score, best_pos, best_strand, second_score) from a candidate set
+    (best + best distinct-locus second, reduce.h:45-64 analogue)."""
+    neg = jnp.int32(NEG_INF)
+    scores, w0, strand = cands["scores"], cands["w0"], cands["strand"]
+    best_idx = jnp.argmax(scores, axis=1).astype(jnp.int32)
+    best_score = jnp.take_along_axis(scores, best_idx[:, None], axis=1)[:, 0]
+    best_pos = jnp.take_along_axis(w0, best_idx[:, None], axis=1)[:, 0]
+    best_strand = jnp.take_along_axis(strand, best_idx[:, None], axis=1)[:, 0]
+    same_locus = (_absdiff(w0, best_pos[:, None]) <= 2 * params.max_dist) & (
+        strand == best_strand[:, None]
+    )
+    second_score = jnp.max(jnp.where(same_locus, neg, scores), axis=1)
+    return best_score, best_pos, best_strand, second_score
+
+
 @functools.partial(jax.jit, static_argnames=("params",))
 def align_batch_core(index, genome_words, n_genome, reads, lens, quals,
                      params: MapParams):
     """Map one dense batch of reads (single-end). Returns per-read results.
 
-    ``index`` is an FMIndex or a QGramIndex, matching ``params.seeding``.
+    ``index`` is an FMIndex / QGramIndex / ShardedQGramIndex, matching
+    ``params.seeding``.
+
+    Multi-pass state machine (``aligner_best_approx.h:206-282``): after the
+    first seeding+extension pass, still-unaligned reads are compacted into a
+    fixed-capacity sub-batch (the reseed queue at static shapes), re-seeded
+    on a shifted grid with 1-mismatch approximate seeding, re-scored, and
+    scattered back where they improved. The fixed capacity IS the per-read
+    effort bound: a read gets at most ``1 + max_reseed`` seeding passes and
+    each pass's extension work is capped by the sub-batch size (the
+    bail-out economics of ``reduce.h:45-64``).
     """
     P = params
     neg = jnp.int32(NEG_INF)
+    B = reads.shape[0]
     cands = read_candidates(index, genome_words, n_genome, reads, lens, quals, P)
-    scores, w0, strand = cands["scores"], cands["w0"], cands["strand"]
     lens = cands["lens"]
+    best_score, best_pos, best_strand, second_score = _reduce_best2(cands, P)
+    score_min = score_min_of(lens, P)
 
-    # ---- reduce: best + distinct-locus second best -------------------------
-    best_idx = jnp.argmax(scores, axis=1).astype(jnp.int32)
-    best_score = jnp.take_along_axis(scores, best_idx[:, None], axis=1)[:, 0]
-    best_pos = jnp.take_along_axis(w0, best_idx[:, None], axis=1)[:, 0]
-    best_strand = jnp.take_along_axis(strand, best_idx[:, None], axis=1)[:, 0]
+    if P.max_reseed > 0 and B > 1:
+        tol = 2 * P.max_dist
+        B2 = max(8, min(B, int(round(B * P.reseed_frac / 8)) * 8))
+        for p in range(1, P.max_reseed + 1):
+            phase = (p * P.seed_stride) // (P.max_reseed + 1)
+            needs = (best_score < score_min) & (lens >= P.seed_len)
+            # compact the reseed queue: unaligned reads to the front,
+            # capacity B2 (excess reads wait — capacity-bounded multi-pass)
+            order = jnp.argsort(
+                jnp.where(needs, 0, 1).astype(jnp.int32), stable=True
+            ).astype(jnp.int32)
+            sel = order[:B2]
+            c2 = read_candidates(
+                index, genome_words, n_genome,
+                jnp.take(cands["reads"], sel, axis=0),
+                jnp.take(lens, sel), jnp.take(quals, sel, axis=0),
+                P, seed_phase=phase, approx_1mm=P.seeding_1mm)
+            bs2, bp2, bstr2, sec2 = _reduce_best2(c2, P)
+            old_b = jnp.take(best_score, sel)
+            old_p = jnp.take(best_pos, sel)
+            old_st = jnp.take(best_strand, sel)
+            old_sec = jnp.take(second_score, sel)
+            sm2 = jnp.take(score_min, sel)
+            sub_needs = jnp.take(needs, sel)
+            improved = (bs2 > old_b) & sub_needs
+            diff_locus = (_absdiff(bp2, old_p) > tol) | (bstr2 != old_st)
+            # the displaced old best becomes a distinct-locus second
+            new_sec = jnp.maximum(sec2, jnp.where(diff_locus, old_b, old_sec))
+            # a non-improving distinct hit still informs the second-best
+            sec_keep = jnp.maximum(
+                old_sec, jnp.where(diff_locus & (bs2 >= sm2), bs2, neg))
+            best_score = best_score.at[sel].set(
+                jnp.where(improved, bs2, old_b))
+            best_pos = best_pos.at[sel].set(jnp.where(improved, bp2, old_p))
+            best_strand = best_strand.at[sel].set(
+                jnp.where(improved, bstr2, old_st))
+            second_score = second_score.at[sel].set(
+                jnp.where(improved, new_sec,
+                          jnp.where(sub_needs, sec_keep, old_sec)))
 
-    same_locus = (_absdiff(w0, best_pos[:, None]) <= 2 * P.max_dist) & (
-        strand == best_strand[:, None]
-    )
-    second_masked = jnp.where(same_locus, neg, scores)
-    second_score = jnp.max(second_masked, axis=1)
-
-    fin = finalize_best(cands, genome_words, n_genome, best_idx, P)
+    # finalize the per-read winner (possibly from a reseed pass): traceback
+    # re-gathers the window from (w0, strand) directly
+    fin_c = dict(cands)
+    fin_c["w0"] = best_pos[:, None]
+    fin_c["strand"] = best_strand[:, None]
+    fin = finalize_best(fin_c, genome_words, n_genome,
+                        jnp.zeros((B,), jnp.int32), P)
 
     # ---- mapq + thresholds --------------------------------------------------
-    score_min = score_min_of(lens, P)
     mapped = (best_score >= score_min) & (lens >= P.seed_len)
     has_second = second_score >= score_min
     mapq = mapq_v2_end_to_end(best_score, second_score, has_second, score_min)

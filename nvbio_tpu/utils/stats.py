@@ -20,6 +20,7 @@ class AlignmentStats:
     n_unique: int = 0
     n_multiple: int = 0
     n_proper_pairs: int = 0
+    n_discordant: int = 0
     mapq_hist: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(61, dtype=np.int64)
     )
@@ -47,7 +48,7 @@ class AlignmentStats:
     def merge(self, other: "AlignmentStats") -> "AlignmentStats":
         out = AlignmentStats()
         for f in ("n_reads", "n_mapped", "n_unique", "n_multiple",
-                  "n_proper_pairs"):
+                  "n_proper_pairs", "n_discordant"):
             setattr(out, f, getattr(self, f) + getattr(other, f))
         out.mapq_hist = self.mapq_hist + other.mapq_hist
         out.nm_hist = self.nm_hist + other.nm_hist
@@ -64,6 +65,8 @@ class AlignmentStats:
         ]
         if self.n_proper_pairs:
             lines.append(f"proper pairs: {self.n_proper_pairs:,}")
+        if self.n_discordant:
+            lines.append(f"discordant pairs: {self.n_discordant:,}")
         if self.wall_s > 0:
             lines.append(f"throughput: {self.n_reads/self.wall_s:,.0f} reads/s")
         return "\n".join(lines)
@@ -109,6 +112,7 @@ def html_report(stats: AlignmentStats, stage_stats=(), title="nvbio_tpu report")
 <tr><td>unique</td><td>{stats.n_unique:,}</td><td>{100.0*stats.n_unique/n:.2f}%</td></tr>
 <tr><td>multiple</td><td>{stats.n_multiple:,}</td><td>{100.0*stats.n_multiple/n:.2f}%</td></tr>
 <tr><td>proper pairs</td><td>{stats.n_proper_pairs:,}</td><td></td></tr>
+<tr><td>discordant pairs</td><td>{stats.n_discordant:,}</td><td></td></tr>
 </table>
 <h2>MAPQ histogram</h2>
 <table><tr><th>bin</th><th>count</th><th>%</th><th></th></tr>

@@ -109,3 +109,72 @@ def test_half_mapped_pair(pe_setup, rng):
         assert not r1.flag & 0x4  # mate1 still maps
         if r2.flag & 0x4:
             assert r1.flag & 0x8  # mate-unmapped set on mate1
+
+
+def test_discordant_pairs(pe_setup, rng):
+    """Both mates unique but fragment far beyond maxins -> discordant
+    classification (mark_discordant, aligner_best_approx_paired.h:280-286):
+    mapped, not PROPER, YT:Z:DP."""
+    mapper, codes = pe_setup
+    b1, b2, pos1, pos2 = make_pairs(rng, codes, n_pairs=8, mut_rate=0.0,
+                                    frag_lo=5000, frag_hi=9000)
+    recs = map_pair_batch(mapper, b1, b2)
+    n_disc = 0
+    for i in range(8):
+        r1, r2 = recs[2 * i], recs[2 * i + 1]
+        if r1.flag & 0x4 or r2.flag & 0x4:
+            continue
+        assert not r1.flag & 0x2 and not r2.flag & 0x2
+        if r1.tags["YT"] == "DP":
+            assert r2.tags["YT"] == "DP"
+            n_disc += 1
+    assert n_disc >= 6
+
+
+def test_pe_policy_rf_and_ff(rng):
+    """--rf and --ff orientation policies classify their own geometry as
+    proper and reject FR geometry (params.h:115 pe policies)."""
+    codes = np.random.default_rng(21).integers(0, 4, size=30000, dtype=np.uint8)
+    ref = Reference.from_records([("chrP", codes_to_string(codes, Alphabet.DNA))])
+    L = 70
+    n_pairs = 8
+    rngl = np.random.default_rng(5)
+
+    def build(style):
+        m1, m2 = [], []
+        for i in range(n_pairs):
+            frag = int(rngl.integers(150, 400))
+            p = int(rngl.integers(0, len(codes) - frag - 1))
+            up = codes[p:p + L].copy()
+            down = codes[p + frag - L:p + frag].copy()
+            if style == "rf":     # upstream mate reversed, downstream fwd
+                m1.append(reverse_complement_codes(up))
+                m2.append(down)
+            elif style == "ff":   # both forward
+                m1.append(up)
+                m2.append(down)
+        def mk(rows):
+            return ReadBatch(
+                names=[f"p{i}" for i in range(n_pairs)],
+                codes=np.stack(rows).astype(np.uint8),
+                quals=np.full((n_pairs, L), 30, np.uint8),
+                lengths=np.full(n_pairs, L, np.int32),
+            )
+        return mk(m1), mk(m2)
+
+    common = dict(max_read_len=L, seed_len=18, seed_stride=12,
+                  hits_per_seed=4, max_dist=5, maxins=450)
+    m_fr = ReadMapper.build(ref, MapParams(pe_policy="fr", **common))
+    m_rf = ReadMapper.build(ref, MapParams(pe_policy="rf", **common),
+                            index=m_fr.index)
+    m_ff = ReadMapper.build(ref, MapParams(pe_policy="ff", **common),
+                            index=m_fr.index)
+
+    for style, right, wrong in (("rf", m_rf, m_fr), ("ff", m_ff, m_fr)):
+        b1, b2 = build(style)
+        rr = map_pair_batch(right, b1, b2)
+        rw = map_pair_batch(wrong, b1, b2)
+        proper_right = sum(1 for r in rr[::2] if r.flag & 0x2)
+        proper_wrong = sum(1 for r in rw[::2] if r.flag & 0x2)
+        assert proper_right >= 0.75 * n_pairs, (style, proper_right)
+        assert proper_wrong <= n_pairs // 4, (style, proper_wrong)

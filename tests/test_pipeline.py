@@ -247,6 +247,57 @@ def test_sam_output_wellformed(mapper_and_genome, rng, tmp_path):
             assert row[5] != "*"
 
 
+def test_reseed_1mm_recovers_seed_dense_snps(rng):
+    """Reads with a SNP inside EVERY exact seed-key window are unmappable in
+    pass 1 but recovered by the reseed pass's 1-mismatch seeding
+    (aligner_best_approx.h:206-282 + mapping.h:132-163 semantics)."""
+    n = 20000
+    codes = np.random.default_rng(99).integers(0, 4, size=n, dtype=np.uint8)
+    ref = Reference.from_records([("chr_t", codes_to_string(codes))])
+    L = 80
+    # seed grid: starts 0,12,24,36,48,60 with q=12 keys -> key windows
+    # [s, s+12); one SNP in each window kills every exact seed
+    mut_at = [6, 18, 30, 42, 54, 66]
+    B = 24
+    reads = []
+    positions = []
+    g2 = np.random.default_rng(7)
+    for i in range(B):
+        p = int(g2.integers(0, n - L))
+        r = codes[p:p + L].copy()
+        for m in mut_at:
+            r[m] = (r[m] + 1 + g2.integers(0, 3)) % 4
+        reads.append(r)
+        positions.append(p)
+    batch = ReadBatch(
+        names=[f"s{i}" for i in range(B)],
+        codes=np.stack(reads).astype(np.uint8),
+        quals=np.full((B, L), 30, np.uint8),
+        lengths=np.full(B, L, np.int32),
+    )
+    common = dict(max_read_len=L, seed_len=20, seed_stride=12,
+                  hits_per_seed=4, max_dist=5)
+    m0 = ReadMapper.build(ref, MapParams(max_reseed=0, **common))
+    m1 = ReadMapper.build(ref, MapParams(max_reseed=1, seeding_1mm=True,
+                                         reseed_frac=1.0, **common),
+                          index=m0.index)
+    mcap = ReadMapper.build(ref, MapParams(max_reseed=1, seeding_1mm=True,
+                                           reseed_frac=0.25, **common),
+                            index=m0.index)
+    recs0 = m0.map_batch(batch)
+    recs1 = m1.map_batch(batch)
+    recsc = mcap.map_batch(batch)
+    mapped0 = sum(1 for r in recs0 if not r.flag & 0x4)
+    good1 = sum(1 for r, p in zip(recs1, positions)
+                if not r.flag & 0x4 and abs(r.pos - 1 - p) <= 5)
+    mappedc = sum(1 for r in recsc if not r.flag & 0x4)
+    assert mapped0 <= B // 4, f"exact seeding unexpectedly mapped {mapped0}"
+    assert good1 >= 0.85 * B, f"reseed+1mm recovered only {good1}/{B}"
+    # capacity-bounded reseed queue: frac=0.25 of B=24 -> 8 slots per pass,
+    # so at most mapped0 + 8 reads can be aligned after one pass
+    assert mappedc <= mapped0 + 8
+
+
 def test_all_mapping_mode(tmp_path):
     """align_batch_all reports every above-threshold locus (aligner_all.h)."""
     import numpy as np
