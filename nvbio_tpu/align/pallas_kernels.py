@@ -35,7 +35,7 @@ _ROWS = 8  # pattern rows per loop iteration (sublane-aligned tile loads)
 def _banded_kernel(
     pat_ref, plen_ref, txt_ref, tlen_ref, mm_ref, score_ref, kbest_ref,
     H, E, FINAL,
-    *, L, W, match, po, pe, to, te,
+    *, L, W, match, po, pe, to, te, local=False,
 ):
     # Mosaic requires sublane-aligned dynamic slices, so the loop processes
     # _ROWS pattern rows per step: one aligned text tile load, then static
@@ -90,6 +90,8 @@ def _banded_kernel(
             Ep = shift_up(E_prev, 1)
             Erow = jnp.maximum(Ep + pe, Hp + po)
             H0r = jnp.maximum(diag, Erow)
+            if local:
+                H0r = jnp.maximum(H0r, 0)
 
             # lazy-F: F[k] = te*(k-1) + max_{k'<k}(H0[k'] + to - te*k')
             G = H0r + (jnp.int32(to) - jnp.int32(te) * kcol)
@@ -103,8 +105,14 @@ def _banded_kernel(
 
             H[:] = Hrow
             E[:] = Erow
-            at_final = (i == plen)[None, :]
-            FINAL[:] = jnp.where(at_final, Hrow, FINAL[:])
+            if local:
+                # LOCAL sink: running max over every in-range cell
+                row_valid = (i <= plen)[None, :] & (tidx < tlen[None, :])
+                FINAL[:] = jnp.maximum(
+                    FINAL[:], jnp.where(row_valid, Hrow, neg))
+            else:
+                at_final = (i == plen)[None, :]
+                FINAL[:] = jnp.where(at_final, Hrow, FINAL[:])
         return 0
 
     jax.lax.fori_loop(0, n_blocks, body, 0)
@@ -120,7 +128,7 @@ def _banded_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scoring", "band", "block", "interpret"),
+    static_argnames=("scoring", "band", "block", "interpret", "local"),
 )
 def banded_score_semiglobal_pallas(
     patterns: jnp.ndarray,      # (B, M) int32
@@ -132,12 +140,14 @@ def banded_score_semiglobal_pallas(
     mismatch_scores: jnp.ndarray | None = None,
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
+    local: bool = False,
 ):
-    """SEMI_GLOBAL banded Gotoh scores via the Pallas kernel.
+    """SEMI_GLOBAL (or LOCAL with ``local=True``) banded Gotoh scores via
+    the Pallas kernel.
 
     Returns (scores (B,), k_best (B,)) — same values as
-    ``batch_score_banded(..., GotohAligner(SEMI_GLOBAL, scoring), band)``.
-    Pads the batch to a multiple of ``block`` internally.
+    ``batch_score_banded(..., GotohAligner(SEMI_GLOBAL|LOCAL, scoring),
+    band)``. Pads the batch to a multiple of ``block`` internally.
     """
     B, M = patterns.shape
     W = band
@@ -165,7 +175,7 @@ def banded_score_semiglobal_pallas(
         _banded_kernel,
         L=M, W=W, match=scoring.match,
         po=scoring.pattern_gap_open, pe=scoring.pattern_gap_ext,
-        to=scoring.text_gap_open, te=scoring.text_gap_ext,
+        to=scoring.text_gap_open, te=scoring.text_gap_ext, local=local,
     )
     grid = (Bp // BLK,)
     col = lambda j: (0, j)
@@ -454,7 +464,9 @@ def banded_traceback_semiglobal_pallas(
     MAXS = _round_up(M + W, _ROWS)
     TW = M + W - 1
     Lp = _round_up(M, _ROWS)
-    max_blk = max(128, (6 * 2**20 // (Lp * W8 * 4)) // 128 * 128)
+    # VMEM budget for the resident direction plane: 16 MB keeps BLK >= 256
+    # at the reference's MAX_READ_LEN=512 (defs.h:96) with W8=24
+    max_blk = max(128, (16 * 2**20 // (Lp * W8 * 4)) // 128 * 128)
     BLK = min(block, max_blk, _round_up(max(B, 128), 128))
     Bp = _round_up(B, BLK)
     TILE_T = _round_up(W + _ROWS - 1, _ROWS)
@@ -539,7 +551,20 @@ def banded_traceback_semiglobal_pallas(
 
 
 def _regtile_kernel(pat_ref, plen_ref, txt_ref, tlen_ref, mm_ref,
-                    score_ref, kbest_ref, *, L, W, match, po, pe, to, te):
+                    score_ref, kbest_ref, *, L, W, match, po, pe, to, te,
+                    seq_f=False, full_text=False, uniform_plen=False,
+                    unroll=1, t_regs=True):
+    """Register-tiled banded Gotoh scorer.
+
+    Static variants (all bit-identical where applicable):
+    - seq_f: sequential same-row F recurrence F[k] = max(F[k-1]+te,
+      H0[k-1]+to) — 3 ops/cell instead of the lazy-F log-prefix's ~7
+      (valid whenever te >= to, true for affine penalties).
+    - full_text: texts known to span the whole band (tlen >= L+W-1 for
+      every lane) — drops the per-cell text-bound mask.
+    - uniform_plen: every lane's pattern length == L — FIN is just the
+      last row, dropping the per-row FIN select.
+    """
     # derive inits from a memory load (min can't constant-fold) so the
     # loop-carry layouts are concrete, not replicated splats
     zero = jnp.minimum(pat_ref[0, 0], 0)              # codes >= 0
@@ -550,37 +575,65 @@ def _regtile_kernel(pat_ref, plen_ref, txt_ref, tlen_ref, mm_ref,
     H = [zero] * W
     E = [neg] * W
     FIN = [neg] * W
-    T = [txt_ref[0, k] for k in range(W)]
+    T0 = [txt_ref[0, k] for k in range(W)] if t_regs else [zero]
 
-    def body(im1, carry):
-        H, E, FIN, T = carry
+    def one_row(im1, H, E, FIN, T):
         p = pat_ref[0, im1]
         mmrow = mm_ref[0, im1]
-        sub = [jnp.where(p == T[k], jnp.int32(match), mmrow)
+        if t_regs:
+            Tk = T
+        else:
+            # re-load the text window each row: W extra VMEM loads buy back
+            # W registers (the band state alone is ~3W vregs)
+            Tk = [txt_ref[0, im1 + k] for k in range(W)]
+        sub = [jnp.where(p == Tk[k], jnp.int32(match), mmrow)
                for k in range(W)]
-        sub = [jnp.where(im1 + k < tlen, sub[k], NEG_INF) for k in range(W)]
+        if not full_text:
+            sub = [jnp.where(im1 + k < tlen, sub[k], NEG_INF)
+                   for k in range(W)]
         diag = [H[k] + sub[k] for k in range(W)]
         Erow = [jnp.maximum(E[k + 1] + pe, H[k + 1] + po) if k + 1 < W
                 else jnp.minimum(E[k], jnp.int32(NEG_INF))  # band edge
                 for k in range(W)]
         H0 = [jnp.maximum(diag[k], Erow[k]) for k in range(W)]
-        # lazy-F prefix max across the k registers (log-step chain)
-        G = [H0[k] + jnp.int32(to - te * k) for k in range(W)]
-        d = 1
-        while d < W:
-            G = [jnp.maximum(G[k], G[k - d]) if k - d >= 0 else G[k]
+        if seq_f:
+            # F[k] = max(F[k-1] + te, H[k-1] + to) with H[k-1] =
+            # max(H0[k-1], F[k-1]); since te >= to the F[k-1]+to arm is
+            # dominated, leaving max(F[k-1]+te, H0[k-1]+to)
+            F = [jnp.minimum(H0[0], jnp.int32(NEG_INF))]
+            for k in range(1, W):
+                F.append(jnp.maximum(F[k - 1] + te, H0[k - 1] + to))
+        else:
+            # lazy-F prefix max across the k registers (log-step chain)
+            G = [H0[k] + jnp.int32(to - te * k) for k in range(W)]
+            d = 1
+            while d < W:
+                G = [jnp.maximum(G[k], G[k - d]) if k - d >= 0 else G[k]
+                     for k in range(W)]
+                d *= 2
+            F = [G[k - 1] + jnp.int32(te * (k - 1)) if k >= 1
+                 else jnp.minimum(G[0], jnp.int32(NEG_INF))
                  for k in range(W)]
-            d *= 2
-        F = [G[k - 1] + jnp.int32(te * (k - 1)) if k >= 1
-             else jnp.minimum(G[0], jnp.int32(NEG_INF))
-             for k in range(W)]
         Hrow = [jnp.maximum(H0[k], F[k]) for k in range(W)]
-        at_fin = (im1 + 1) == plen
-        FIN = [jnp.where(at_fin, Hrow[k], FIN[k]) for k in range(W)]
-        T = T[1:] + [txt_ref[0, im1 + W]]  # roll the text window
+        if not uniform_plen:
+            at_fin = (im1 + 1) == plen
+            FIN = [jnp.where(at_fin, Hrow[k], FIN[k]) for k in range(W)]
+        if t_regs:
+            T = T[1:] + [txt_ref[0, im1 + W]]  # roll the text window
         return Hrow, Erow, FIN, T
 
-    H, E, FIN, T = jax.lax.fori_loop(0, L, body, (H, E, FIN, T))
+    def body(i, carry):
+        H, E, FIN, T = carry
+        # manual multi-row unroll (Pallas fori only supports full unroll):
+        # gives the VLIW scheduler several rows of work to interleave
+        for r in range(unroll):
+            H, E, FIN, T = one_row(i * unroll + r, H, E, FIN, T)
+        return H, E, FIN, T
+
+    assert L % unroll == 0, "unroll must divide L"
+    H, E, FIN, T = jax.lax.fori_loop(0, L // unroll, body, (H, E, FIN, T0))
+    if uniform_plen:
+        FIN = H
     smax = FIN[0]
     for k in range(1, W):
         smax = jnp.maximum(smax, FIN[k])
@@ -637,21 +690,33 @@ def banded_score_semiglobal_regtile(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scoring", "band", "length", "interpret"))
+    jax.jit, static_argnames=("scoring", "band", "length", "interpret",
+                              "seq_f", "full_text", "uniform_plen",
+                              "unroll", "t_regs"))
 def regtile_score_blocked(patsb, plb, txtsb, tlb, mmb, *, scoring,
-                          band, length, interpret=False):
+                          band, length, interpret=False, seq_f=True,
+                          full_text=False, uniform_plen=False,
+                          unroll=1, t_regs=True):
     """Register-tiled scorer over pre-blocked (G, rows, 8, 128) operands.
 
     The pure DP engine — this is what kernel GCUPS should be measured on
     (operands already resident in their native layout, like the reference's
-    PSA harness feeding from device buffers)."""
+    PSA harness feeding from device buffers). ``full_text``/``uniform_plen``
+    assert properties of the operands (caller-checked) that let the kernel
+    drop per-cell masking; ``seq_f`` picks the cheaper same-row F recurrence
+    (bit-identical; requires gap_ext >= gap_open, else auto-disabled).
+    """
     G, Lp = patsb.shape[0], patsb.shape[1]
     TWp = txtsb.shape[1]
     M, W = length, band
+    if scoring.text_gap_ext < scoring.text_gap_open:
+        seq_f = False  # dominance argument needs te >= to
     kern = functools.partial(
         _regtile_kernel, L=M, W=W, match=scoring.match,
         po=scoring.pattern_gap_open, pe=scoring.pattern_gap_ext,
-        to=scoring.text_gap_open, te=scoring.text_gap_ext)
+        to=scoring.text_gap_open, te=scoring.text_gap_ext,
+        seq_f=seq_f, full_text=full_text, uniform_plen=uniform_plen,
+        unroll=unroll, t_regs=t_regs)
     blk = lambda g: (g, 0, 0, 0)
     return pl.pallas_call(
         kern, grid=(G,),
@@ -710,15 +775,21 @@ def _regtile_cand_kernel(fwd_ref, rc_ref, mmf_ref, mmr_ref, plen_ref,
                 else jnp.minimum(E[k], jnp.int32(NEG_INF))
                 for k in range(W)]
         H0 = [jnp.maximum(diag[k], Erow[k]) for k in range(W)]
-        G = [H0[k] + jnp.int32(to - te * k) for k in range(W)]
-        d = 1
-        while d < W:
-            G = [jnp.maximum(G[k], G[k - d]) if k - d >= 0 else G[k]
+        if te >= to:
+            # sequential same-row F (see _regtile_kernel seq_f)
+            F = [jnp.minimum(H0[0], jnp.int32(NEG_INF))]
+            for k in range(1, W):
+                F.append(jnp.maximum(F[k - 1] + te, H0[k - 1] + to))
+        else:
+            G = [H0[k] + jnp.int32(to - te * k) for k in range(W)]
+            d = 1
+            while d < W:
+                G = [jnp.maximum(G[k], G[k - d]) if k - d >= 0 else G[k]
+                     for k in range(W)]
+                d *= 2
+            F = [G[k - 1] + jnp.int32(te * (k - 1)) if k >= 1
+                 else jnp.minimum(G[0], jnp.int32(NEG_INF))
                  for k in range(W)]
-            d *= 2
-        F = [G[k - 1] + jnp.int32(te * (k - 1)) if k >= 1
-             else jnp.minimum(G[0], jnp.int32(NEG_INF))
-             for k in range(W)]
         Hrow = [jnp.maximum(H0[k], F[k]) for k in range(W)]
         at_fin = (im1 + 1) == plen
         FIN = [jnp.where(at_fin, Hrow[k], FIN[k]) for k in range(W)]
@@ -811,158 +882,6 @@ def banded_score_cands_regtile(
             transcendentals=0),
     )(fwd_b, rc_b, mmf_b, mmr_b, plen_b, txt_b, tlen_b)
     return score.reshape(C * B), kbest.reshape(C * B)
-
-
-# ---------------------------------------------------------------------------
-# int16 register tiling: 2048 alignments per (16, 128) vreg tile — double
-# the ALU density of the int32 kernel (the TPU analogue of the reference's
-# PSA mixed 8-bit video-instruction kernels, prototypes/psa/README.md:30-36).
-# Score range analysis: real banded scores satisfy |s| <= L*max|penalty|
-# (~1.5k at L=128); the NEG sentinel is -8192 and H is re-clamped to >= -8192
-# each row, which bounds every intermediate above -16448 — no int16 wrap.
-# Bit-exact vs the int32 kernels whenever true scores stay above -8192.
-# ---------------------------------------------------------------------------
-
-NEG16 = -8192
-
-
-def _regtile16_kernel(pat_ref, plen_ref, txt_ref, tlen_ref, mm_ref,
-                      score_ref, kbest_ref, *, L, W, match, po, pe, to, te):
-    # int16-pure kernel: every ref and register is i16 (mixed-width ops
-    # force Mosaic relayouts of the packed (16,128) tiles, and i16 vector
-    # minsi doesn't legalize — inits derive from a load via `& 0`)
-    zero = pat_ref[0, 0] & jnp.int16(0)                  # int16 (16,128)
-    neg = zero + jnp.int16(NEG16)
-    plen = plen_ref[0, 0]                                # int16 (16,128)
-    tlen = tlen_ref[0, 0]
-
-    H = [zero] * W
-    E = [neg] * W
-    FIN = [neg] * W
-    T = [txt_ref[0, k] for k in range(W)]
-    n16 = jnp.int16(NEG16)
-
-    def body(im1, carry):
-        # irow: vector row counter (the scalar core is i32-only, so the row
-        # index must ride as an i16 VECTOR to compare against i16 lens)
-        H, E, FIN, T, irow = carry
-        p = pat_ref[0, im1]
-        mmrow = mm_ref[0, im1]
-        sub = [jnp.where(p == T[k], jnp.int16(match), mmrow)
-               for k in range(W)]
-        sub = [jnp.where(irow + jnp.int16(k) < tlen, sub[k], n16)
-               for k in range(W)]
-        diag = [H[k] + sub[k] for k in range(W)]
-        Erow = [jnp.maximum(E[k + 1] + jnp.int16(pe), H[k + 1] + jnp.int16(po))
-                if k + 1 < W else neg                    # band edge
-                for k in range(W)]
-        H0 = [jnp.maximum(diag[k], Erow[k]) for k in range(W)]
-        G = [H0[k] + jnp.int16(to - te * k) for k in range(W)]
-        d = 1
-        while d < W:
-            G = [jnp.maximum(G[k], G[k - d]) if k - d >= 0 else G[k]
-                 for k in range(W)]
-            d *= 2
-        F = [G[k - 1] + jnp.int16(te * (k - 1)) if k >= 1
-             else neg
-             for k in range(W)]
-        # re-clamp at the sentinel so out-of-band cells can't ratchet toward
-        # int16 wrap (see range analysis above)
-        Hrow = [jnp.maximum(jnp.maximum(H0[k], F[k]), n16) for k in range(W)]
-        at_fin = (irow + jnp.int16(1)) == plen
-        FIN = [jnp.where(at_fin, Hrow[k], FIN[k]) for k in range(W)]
-        T = T[1:] + [txt_ref[0, im1 + W]]
-        return Hrow, Erow, FIN, T, irow + jnp.int16(1)
-
-    H, E, FIN, T, _ = jax.lax.fori_loop(0, L, body, (H, E, FIN, T, zero))
-    smax = FIN[0]
-    for k in range(1, W):
-        smax = jnp.maximum(smax, FIN[k])
-    kb = zero + jnp.int16(W)
-    for k in range(W - 1, -1, -1):
-        kb = jnp.where(FIN[k] == smax, jnp.int16(k), kb)
-    score_ref[0, 0] = smax
-    kbest_ref[0, 0] = kb
-
-
-@functools.partial(
-    jax.jit, static_argnames=("scoring", "band", "interpret"))
-def banded_score_semiglobal_regtile16(
-    patterns, pattern_lens, texts, text_lens, scoring: GotohScoring,
-    band: int, mismatch_scores=None, interpret: bool = False,
-):
-    """int16 register-tiled SEMI_GLOBAL banded Gotoh scores.
-
-    Same results as ``banded_score_semiglobal_regtile`` for scores above
-    -8192 (all real alignments); 2048 alignments per vreg tile.
-    """
-    B, M = patterns.shape
-    W = band
-    Lp = _round_up(M, _ROWS)
-    TWp = Lp + W
-    G = _round_up(max(B, 2048), 2048) // 2048
-    Bp = G * 2048
-
-    def to_blocks16(x, rows):
-        x = x.astype(jnp.int16)
-        if x.shape[1] < rows:
-            x = jnp.pad(x, ((0, Bp - B), (0, rows - x.shape[1])))
-        else:
-            x = jnp.pad(x[:, :rows], ((0, Bp - B), (0, 0)))
-        return x.reshape(G, 16, 128, rows).transpose(0, 3, 1, 2)
-
-    patsb = to_blocks16(patterns, Lp)
-    txtsb = to_blocks16(texts, TWp)
-    if mismatch_scores is None:
-        mmb = jnp.full((G, Lp, 16, 128), scoring.mismatch, jnp.int16)
-    else:
-        mmb = to_blocks16(mismatch_scores, Lp)
-    plb = jnp.pad(pattern_lens.astype(jnp.int16), (0, Bp - B)).reshape(
-        G, 1, 16, 128)
-    tlb = jnp.pad(text_lens.astype(jnp.int16), (0, Bp - B)).reshape(
-        G, 1, 16, 128)
-
-    score, kbest = regtile16_score_blocked(
-        patsb, plb, txtsb, tlb, mmb, scoring=scoring, band=W, length=M,
-        interpret=interpret)
-    return score.reshape(Bp)[:B], kbest.reshape(Bp)[:B]
-
-
-@functools.partial(
-    jax.jit, static_argnames=("scoring", "band", "length", "interpret"))
-def regtile16_score_blocked(patsb, plb, txtsb, tlb, mmb, *, scoring,
-                            band, length, interpret=False):
-    """int16 register-tiled scorer over pre-blocked (G, rows, 16, 128)
-    operands (the resident-operand GCUPS benchmark engine)."""
-    G, Lp = patsb.shape[0], patsb.shape[1]
-    TWp = txtsb.shape[1]
-    M, W = length, band
-    kern = functools.partial(
-        _regtile16_kernel, L=M, W=W, match=scoring.match,
-        po=scoring.pattern_gap_open, pe=scoring.pattern_gap_ext,
-        to=scoring.text_gap_open, te=scoring.text_gap_ext)
-    blk = lambda g: (g, 0, 0, 0)
-    score16, kbest16 = pl.pallas_call(
-        kern, grid=(G,),
-        in_specs=[
-            pl.BlockSpec((1, Lp, 16, 128), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 16, 128), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TWp, 16, 128), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 16, 128), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lp, 16, 128), blk, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, 16, 128), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 16, 128), blk, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((G, 1, 16, 128), jnp.int16)] * 2,
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=12 * G * 2048 * M * W,
-            bytes_accessed=2 * G * 2048 * (2 * M + M + W),
-            transcendentals=0),
-    )(patsb, plb, txtsb, tlb, mmb)
-    return score16.astype(jnp.int32), kbest16.astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------

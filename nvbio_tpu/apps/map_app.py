@@ -33,6 +33,9 @@ def add_parser(sub):
     p.add_argument("--mode", choices=["sw", "ed"], default="sw",
                    help="sw: quality-aware Gotoh (bowtie2-like, default); "
                         "ed: unit-cost edit distance (nvBowtie --ed)")
+    p.add_argument("--local", action="store_true",
+                   help="local alignment (soft-clipped ends, bowtie2 "
+                        "--local scoring + local MAPQ)")
     p.add_argument("--report", help="write an HTML stats report")
     p.add_argument("--config", help="option file: one key=value per line "
                                     "(overrides CLI parameter defaults)")
@@ -115,8 +118,12 @@ def run(args):
         reseed_frac=args.reseed_frac,
         seeding_1mm=not args.no_1mm_seeding,
     )
-    params = (MapParams.edit_distance(**common) if args.mode == "ed"
-              else MapParams(**common))
+    if args.local:
+        params = MapParams.local(**common)
+    elif args.mode == "ed":
+        params = MapParams.edit_distance(**common)
+    else:
+        params = MapParams(**common)
     if args.config:
         from nvbio_tpu.utils.options import Options, apply_to_params
 

@@ -86,3 +86,126 @@ def mapq_v2_end_to_end(
 
     q = jnp.where(has_second, two, one)
     return jnp.where(best < min_score, 0, q).astype(jnp.int32)
+
+
+def mapq_v2_local(
+    best,            # (B,) int32 best LOCAL alignment score (>= 0)
+    second,          # (B,) int32 second-best score
+    has_second,      # (B,) bool
+    min_score,       # (B,) int32 per-read minimum valid score
+    max_score,       # (B,) int32 perfect score (match_bonus * len)
+):
+    """BowtieMapq2, local (non-monotone) branch
+    (``nvBowtie/bowtie2/cuda/mapq.h:267-326``)."""
+    best = best.astype(jnp.float32)
+    second = second.astype(jnp.float32)
+    min_score = min_score.astype(jnp.float32)
+    diff = jnp.maximum(max_score.astype(jnp.float32) - min_score, 1.0)
+    bo = best - min_score
+
+    one = jnp.where(
+        bo >= diff * 0.8, 44,
+        jnp.where(
+            bo >= diff * 0.7, 42,
+            jnp.where(
+                bo >= diff * 0.6, 41,
+                jnp.where(
+                    bo >= diff * 0.5, 36,
+                    jnp.where(bo >= diff * 0.4, 28,
+                              jnp.where(bo >= diff * 0.3, 24, 22)),
+                ),
+            ),
+        ),
+    )
+
+    bd = jnp.abs(jnp.abs(best) - jnp.abs(second))
+    at_max = bo == diff
+    hi = bo >= diff * 0.5
+
+    def tri(a, b, c):
+        return jnp.where(at_max, a, jnp.where(hi, b, c))
+
+    two = jnp.where(
+        bd >= diff * 0.9, 40,
+        jnp.where(
+            bd >= diff * 0.8, 39,
+            jnp.where(
+                bd >= diff * 0.7, 38,
+                jnp.where(
+                    bd >= diff * 0.6, 37,
+                    jnp.where(
+                        bd >= diff * 0.5, tri(35, 25, 20),
+                        jnp.where(
+                            bd >= diff * 0.4, tri(34, 21, 19),
+                            jnp.where(
+                                bd >= diff * 0.3, tri(33, 18, 16),
+                                jnp.where(
+                                    bd >= diff * 0.2, tri(32, 17, 12),
+                                    jnp.where(
+                                        bd >= diff * 0.1, tri(31, 14, 9),
+                                        jnp.where(
+                                            bd > 0,
+                                            jnp.where(hi, 11, 2),
+                                            jnp.where(hi, 1, 0),
+                                        ),
+                                    ),
+                                ),
+                            ),
+                        ),
+                    ),
+                ),
+            ),
+        ),
+    )
+    return jnp.where(has_second, two, one).astype(jnp.int32)
+
+
+# BowtieMapq3 lookup tables (``nvBowtie/bowtie2/cuda/mapq.h:43-145``)
+_M3_ONE = jnp.asarray([43, 42, 41, 36, 32, 27, 20, 11, 4, 1, 0], jnp.int32)
+_M3_TWO_PERFECT = jnp.asarray(
+    [2, 16, 23, 30, 31, 32, 34, 36, 38, 40, 42], jnp.int32)
+_M3_TWO = jnp.asarray([
+    [2, 2, 2, 1, 1, 0, 0, 0, 0, 0, 0],
+    [20, 14, 7, 3, 2, 1, 0, 0, 0, 0, 0],
+    [20, 16, 10, 6, 3, 1, 0, 0, 0, 0, 0],
+    [20, 17, 13, 9, 3, 1, 1, 0, 0, 0, 0],
+    [21, 19, 15, 9, 5, 2, 2, 0, 0, 0, 0],
+    [22, 21, 16, 11, 10, 5, 0, 0, 0, 0, 0],
+    [23, 22, 19, 16, 11, 0, 0, 0, 0, 0, 0],
+    [24, 25, 21, 30, 0, 0, 0, 0, 0, 0, 0],
+    [30, 26, 29, 0, 0, 0, 0, 0, 0, 0, 0],
+    [30, 27, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [30, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+], jnp.int32)
+
+
+def mapq_v3(
+    best,            # (B,) int32 best score
+    second,          # (B,) int32 second-best score
+    has_second,      # (B,) bool
+    min_score,       # (B,) int32
+    max_score,       # (B,) int32 perfect score
+    is_paired=None,  # (B,) bool, optional: paired hits short-circuit to 44
+):
+    """BowtieMapq3 (the bowtie1-style binned quality,
+    ``nvBowtie/bowtie2/cuda/mapq.h:43-145``), vectorized."""
+    bestf = best.astype(jnp.float32)
+    maxf = max_score.astype(jnp.float32)
+    minf = min_score.astype(jnp.float32)
+    norm = 10.0 / jnp.maximum(maxf - minf, 1.0)
+
+    neg_best = jnp.maximum(maxf - bestf, 0.0)           # negated best score
+    best_bin = jnp.clip((neg_best * norm + 0.5).astype(jnp.int32), 0, 10)
+    at_max = neg_best == 0
+
+    diff = (best - second).astype(jnp.float32)
+    diff_bin = jnp.clip((diff * norm + 0.5).astype(jnp.int32), 0, 10)
+
+    one = jnp.where(at_max, 44, _M3_ONE[best_bin])
+    two = jnp.where(at_max, _M3_TWO_PERFECT[best_bin],
+                    _M3_TWO[diff_bin, best_bin])
+    q = jnp.where(has_second, two, one)
+    q = jnp.where(bestf < minf, 0, q)
+    if is_paired is not None:
+        q = jnp.where(is_paired, 44, q)
+    return q.astype(jnp.int32)

@@ -363,8 +363,8 @@ def map_pair_batch(mapper, batch1, batch2, stats=None):
         stats.n_proper_pairs += int((proper & real).sum())
         stats.n_discordant += int((discordant & real).sum())
 
-    need1 = res1["mapped"] & (res1["nm"] > 0)
-    need2 = res2["mapped"] & (res2["nm"] > 0)
+    need1 = res1["mapped"] & ((res1["nm"] > 0) | ~res1["simple"])
+    need2 = res2["mapped"] & ((res2["nm"] > 0) | ~res2["simple"])
     ops_of = (lazy_ops_rows(need1, ops_dev[0]),
               lazy_ops_rows(need2, ops_dev[1]))
     rc_full = (host_rc_ascii(batch1.codes), host_rc_ascii(batch2.codes))

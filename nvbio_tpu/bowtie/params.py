@@ -22,9 +22,15 @@ class MapParams:
         pattern_gap_open=-8, pattern_gap_ext=-3,
         text_gap_open=-8, text_gap_ext=-3,
     )
-    # min-score threshold, bowtie2 end-to-end default: -0.6 + -0.6 * L
+    # alignment mode: "end-to-end" (bowtie2 default) or "local"
+    # (soft-clipped ends, match bonus, local MAPQ family —
+    # params.cpp:113-158 --local)
+    mode: str = "end-to-end"
+    # min-score threshold, bowtie2 end-to-end default: -0.6 + -0.6 * L;
+    # local mode uses G-type thresholds const + coeff * ln(L)
     score_min_const: float = -0.6
     score_min_coeff: float = -0.6
+    score_min_log: bool = False
     # quality-dependent mismatch penalties (bowtie2 MX=6, MN=2)
     mm_penalty_min: int = 2
     mm_penalty_max: int = 6
@@ -59,6 +65,21 @@ class MapParams:
     # mapping.h:132-163). Reads whose every exact seed covers a SNP become
     # mappable through the mutated-key buckets.
     seeding_1mm: bool = True
+
+    @classmethod
+    def local(cls, **kw) -> "MapParams":
+        """bowtie2 --local preset: match +2, quality mismatch 2..6, gaps
+        5+3/3, score-min G,20,8 (20 + 8*ln L), soft-clipped output and the
+        local MAPQ branch (``params.cpp:113-158``, ``mapq.h:267+``)."""
+        kw.setdefault("scoring", GotohScoring(
+            match=2, mismatch=-6,
+            pattern_gap_open=-8, pattern_gap_ext=-3,
+            text_gap_open=-8, text_gap_ext=-3,
+        ))
+        kw.setdefault("score_min_const", 20.0)
+        kw.setdefault("score_min_coeff", 8.0)
+        kw.setdefault("score_min_log", True)
+        return cls(mode="local", **kw)
 
     @classmethod
     def edit_distance(cls, **kw) -> "MapParams":

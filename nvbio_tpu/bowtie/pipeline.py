@@ -81,8 +81,11 @@ def _mm_penalties(quals, params: MapParams):
 
 
 def score_min_of(lens, params: MapParams):
+    x = lens.astype(jnp.float32)
+    if params.score_min_log:  # bowtie2 G-type function (local mode default)
+        x = jnp.log(jnp.maximum(x, 1.0))
     return jnp.ceil(
-        params.score_min_const + params.score_min_coeff * lens.astype(jnp.float32)
+        params.score_min_const + params.score_min_coeff * x
     ).astype(jnp.int32)
 
 
@@ -319,7 +322,7 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
     cand_strand = jnp.arange(C, dtype=jnp.int32)[None, :] >= NCH  # False=fwd
 
     # ---- extension scoring -------------------------------------------------
-    if use_pallas_extension(P) and B % 1024 == 0:
+    if use_pallas_extension(P) and B % 1024 == 0 and P.mode != "local":
         # register-tiled path: slot-major candidate blocks, per-read pattern
         # tiles selected fwd/rc in-kernel, text windows gathered straight
         # into the blocked layout — no (B*C, L) operand is materialized
@@ -352,10 +355,14 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
             )
 
             sc, _ = banded_score_semiglobal_pallas(
-                pats, plens, win, wlens, P.scoring, W, mm_flat
+                pats, plens, win, wlens, P.scoring, W, mm_flat,
+                local=P.mode == "local",
             )
         else:
-            aligner = GotohAligner(SEMI_GLOBAL, P.scoring)
+            from nvbio_tpu.align.types import LOCAL
+
+            atype = LOCAL if P.mode == "local" else SEMI_GLOBAL
+            aligner = GotohAligner(atype, P.scoring)
             sc = batch_score_banded(pats, plens, win, wlens, aligner, W, mm_flat).score
     scores = jnp.where(cand_valid.reshape(B * C), sc, neg).reshape(B, C)
 
@@ -417,14 +424,17 @@ def finalize_best(cands, genome_words, n_genome, best_idx, params: MapParams):
     btlen = jnp.minimum(_sub_clip0(nmax, best_pos), TW).astype(jnp.int32)
     bpat = jnp.where(best_strand[:, None], rc, reads)
     bmm = None if mm is None else jnp.where(best_strand[:, None], mm_rc, mm)
+    local = P.mode == "local"
     if use_pallas_extension(P):
         from nvbio_tpu.align.traceback import batch_traceback_banded_fast
 
         # nm comes out of the fused kernel walk (no symbol gathers needed)
         tb, nm = batch_traceback_banded_fast(
-            bpat, lens, btext, btlen, P.scoring, W, bmm)
+            bpat, lens, btext, btlen, P.scoring, W, bmm, local=local)
     else:
-        aligner = GotohAligner(SEMI_GLOBAL, P.scoring)
+        from nvbio_tpu.align.types import LOCAL
+
+        aligner = GotohAligner(LOCAL if local else SEMI_GLOBAL, P.scoring)
         tb = batch_traceback_banded(bpat, lens, btext, btlen, aligner, W, bmm)
         entries, nm = _md_pack_entries(tb, bpat, btext)
         tb = tb._replace(ops=entries)
@@ -437,6 +447,8 @@ def finalize_best(cands, genome_words, n_genome, best_idx, params: MapParams):
         strand=best_strand,
         window_start=best_pos,
         text_start=tb.text_start,
+        pattern_start=tb.pattern_start,
+        pattern_end=tb.pattern_end,
         ops=tb.ops.astype(jnp.uint8),
         n_ops=tb.n_ops,
         nm=nm,
@@ -616,7 +628,15 @@ def align_batch_core(index, genome_words, n_genome, reads, lens, quals,
     # ---- mapq + thresholds --------------------------------------------------
     mapped = (best_score >= score_min) & (lens >= P.seed_len)
     has_second = second_score >= score_min
-    mapq = mapq_v2_end_to_end(best_score, second_score, has_second, score_min)
+    if P.mode == "local":
+        from nvbio_tpu.bowtie.mapq import mapq_v2_local
+
+        max_score = P.scoring.match * lens
+        mapq = mapq_v2_local(best_score, second_score, has_second,
+                             score_min, max_score)
+    else:
+        mapq = mapq_v2_end_to_end(best_score, second_score, has_second,
+                                  score_min)
     mapq = jnp.where(mapped, mapq, 0)
 
     return dict(
@@ -628,6 +648,8 @@ def align_batch_core(index, genome_words, n_genome, reads, lens, quals,
         strand=fin["strand"],
         window_start=fin["window_start"],
         text_start=fin["text_start"],
+        pattern_start=fin["pattern_start"],
+        pattern_end=fin["pattern_end"],
         ops=fin["ops"],
         n_ops=fin["n_ops"],
         nm=fin["nm"],
@@ -810,8 +832,10 @@ class ReadMapper:
         has2 = res["has_second"].tolist()
         second = res["second_score"].tolist()
         n_ops_l = res["n_ops"].tolist()
+        pat_starts = res["pattern_start"].tolist()
+        pat_ends = res["pattern_end"].tolist()
         simple = res["simple"]
-        need_ops = res["mapped"] & (res["nm"] > 0)
+        need_ops = res["mapped"] & ((res["nm"] > 0) | ~res["simple"])
         ops_of = lazy_ops_rows(need_ops, res_dev_ops)
         need_ops = need_ops.tolist()
         simple = simple.tolist()
@@ -851,6 +875,13 @@ class ReadMapper:
             else:
                 md, xm, xo, xg = str(n_ops_l[b]), 0, 0, 0
             tags.update(MD=md, XM=xm, XO=xo, XG=xg)
+            core = (f"{n_ops_l[b]}M" if simple[b] else
+                    cigar_to_string(ops_of[b], n_ops_l[b], reverse=rev_ops))
+            # soft clips around the aligned pattern span (local mode; 0/L in
+            # end-to-end)
+            ps, pe = pat_starts[b], pat_ends[b]
+            cigar = ((f"{ps}S" if ps else "") + core
+                     + (f"{L - pe}S" if pe < L else ""))
             out.append(
                 SamRecord(
                     qname=name,
@@ -858,9 +889,7 @@ class ReadMapper:
                     rname=self.ref_names[ci],
                     pos=local + 1,
                     mapq=mapqs[b],
-                    cigar=(f"{n_ops_l[b]}M" if simple[b] else
-                           cigar_to_string(ops_of[b], n_ops_l[b],
-                                           reverse=rev_ops)),
+                    cigar=cigar,
                     seq=seq,
                     qual=qual,
                     tags=tags,

@@ -27,6 +27,17 @@ class BestChain(NamedTuple):
     valid: jnp.ndarray   # (B,)
 
 
+class TopChains(NamedTuple):
+    """K best chains per row (descending score), nvmem's per-read chain
+    list + overlap filter (``nvmem/pipeline.h:107-147``)."""
+
+    score: jnp.ndarray   # (B, K) int32
+    qbeg: jnp.ndarray    # (B, K)
+    qend: jnp.ndarray    # (B, K)
+    tbeg: jnp.ndarray    # (B, K)
+    valid: jnp.ndarray   # (B, K)
+
+
 def chain_anchors(
     qbeg, qend, tpos, valid,
     max_gap: int = 1000, bandwidth: int = 100, gap_coeff_num: int = 1,
@@ -112,4 +123,103 @@ def chain_anchors(
         tbeg=jnp.where(valid_chain, tbeg, 0),
         n_anchors=count,
         valid=valid_chain,
+    )
+
+
+def chain_anchors_topk(
+    qbeg, qend, tpos, valid, n_chains: int,
+    max_gap: int = 1000, bandwidth: int = 100, gap_coeff_num: int = 1,
+    gap_coeff_den: int = 8, overlap_den: int = 2,
+):
+    """K best anchor chains per read with overlap filtering.
+
+    Same DP as ``chain_anchors``, then K rounds of: pick the best remaining
+    tail, walk its parents collecting the member-anchor mask, suppress those
+    anchors, repeat. A chain whose read-span overlaps an already-kept chain
+    by more than span/overlap_den is dropped (bwa-mem's chain filter; the
+    reference keeps per-read chain lists and filters before repeated
+    ``align()`` passes, ``nvmem/pipeline.h:107-147``, ``nvmem.cu:128-149``).
+    Returns TopChains of shape (B, n_chains), scores descending.
+    """
+    B, A = qbeg.shape
+    neg = jnp.int32(NEG_INF)
+    length = qend - qbeg
+
+    key = jnp.where(valid, tpos, jnp.int32(2**30))
+    order = jnp.argsort(key, axis=1, stable=True)
+    qb = jnp.take_along_axis(qbeg, order, axis=1)
+    qe = jnp.take_along_axis(qend, order, axis=1)
+    tp = jnp.take_along_axis(tpos, order, axis=1)
+    ln = jnp.take_along_axis(length, order, axis=1)
+    va = jnp.take_along_axis(valid, order, axis=1)
+
+    f0 = jnp.where(va, ln, neg)
+    parent0 = jnp.full((B, A), -1, jnp.int32)
+
+    def body(i, state):
+        f, parent = state
+        qb_i = qb[:, i][:, None]
+        tp_i = tp[:, i][:, None]
+        dq = qb_i - qb
+        dt = tp_i - tp
+        drift = jnp.abs(dq - dt)
+        compat = (
+            (jnp.arange(A)[None, :] < i)
+            & va & va[:, i][:, None]
+            & (dq > 0) & (dt > 0)
+            & (dt <= max_gap)
+            & (drift <= bandwidth)
+        )
+        cand = f + ln[:, i][:, None] - (drift * gap_coeff_num) // gap_coeff_den
+        cand = jnp.where(compat, cand, neg)
+        best_j = jnp.argmax(cand, axis=1).astype(jnp.int32)
+        best_v = jnp.take_along_axis(cand, best_j[:, None], axis=1)[:, 0]
+        upd = best_v > f[:, i]
+        f = f.at[:, i].set(jnp.where(upd, best_v, f[:, i]))
+        parent = parent.at[:, i].set(jnp.where(upd, best_j, -1))
+        return f, parent
+
+    f, parent = jax.lax.fori_loop(0, A, body, (f0, parent0))
+
+    cols = jnp.arange(A, dtype=jnp.int32)[None, :]
+    f_work = f
+    outs = []
+    kept_spans = []  # (qbeg, qend, valid) of already-kept chains
+    for _ in range(n_chains):
+        tail = jnp.argmax(f_work, axis=1).astype(jnp.int32)
+        score_k = jnp.take_along_axis(f_work, tail[:, None], axis=1)[:, 0]
+
+        def walk(carry, _):
+            i, member = carry
+            member = member | (cols == i[:, None])
+            par = jnp.take_along_axis(parent, i[:, None], axis=1)[:, 0]
+            i = jnp.where(par >= 0, par, i)
+            return (i, member), None
+
+        (head, member), _ = jax.lax.scan(
+            walk, (tail, jnp.zeros((B, A), bool)), None, length=A)
+        qb_k = jnp.take_along_axis(qb, head[:, None], axis=1)[:, 0]
+        tb_k = jnp.take_along_axis(tp, head[:, None], axis=1)[:, 0]
+        qe_k = jnp.take_along_axis(qe, tail[:, None], axis=1)[:, 0]
+        ok = score_k > neg // 2
+        # overlap filter vs already-kept chains: an overlapping chain is
+        # dropped only when it scores below HALF the kept chain (bwa-mem's
+        # drop_ratio) — equal-score repeat loci survive
+        for (kqb, kqe, ks, kok) in kept_spans:
+            ov = jnp.minimum(qe_k, kqe) - jnp.maximum(qb_k, kqb)
+            span = jnp.maximum(qe_k - qb_k, 1)
+            ok = ok & ~(kok & (ov * overlap_den > span)
+                        & (score_k * 2 < ks))
+        outs.append((score_k, qb_k, qe_k, tb_k, ok))
+        kept_spans.append((qb_k, qe_k, score_k, ok))
+        # suppress this chain's anchors for the next round
+        f_work = jnp.where(member, neg, f_work)
+
+    stack = lambda i: jnp.stack([o[i] for o in outs], axis=1)
+    return TopChains(
+        score=stack(0),
+        qbeg=jnp.where(stack(4), stack(1), 0),
+        qend=jnp.where(stack(4), stack(2), 0),
+        tbeg=jnp.where(stack(4), stack(3), 0),
+        valid=stack(4),
     )

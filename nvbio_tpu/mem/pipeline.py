@@ -40,6 +40,9 @@ class MemParams:
     chain_max_gap: int = 1000
     chain_bandwidth: int = 100
     min_score: int = 30             # bwa-mem -T
+    max_chains: int = 2             # chains kept/extended per strand
+                                    # (nvmem per-read chain lists,
+                                    # nvmem/pipeline.h:107-147)
 
     @property
     def band(self) -> int:
@@ -73,60 +76,77 @@ def mem_align_core(fmi_rev, genome_words, n_genome, reads, lens, params: MemPara
     atpos = sm.tpos.reshape(2 * B, A)
     avalid = sm.hit_valid.reshape(2 * B, A)
 
-    chain = chain_anchors(
-        aqbeg, aqend, atpos, avalid,
-        max_gap=P.chain_max_gap, bandwidth=P.chain_bandwidth,
-    )
+    from nvbio_tpu.mem.chain import chain_anchors_topk
 
-    # ---- local banded extension around the best chain ------------------------
+    K = P.max_chains
+    ch = chain_anchors_topk(
+        aqbeg, aqend, atpos, avalid, K,
+        max_gap=P.chain_max_gap, bandwidth=P.chain_bandwidth,
+    )  # fields (2B, K)
+
+    # ---- local banded extension around EVERY kept chain ----------------------
+    # (the reference's repeated align() passes over the chain list,
+    # nvmem/nvmem.cu:128-149) — flattened into one (2B*K) traceback batch
     W = P.band
     TW = L + W - 1
-    # window anchored so the chain's first anchor lands on the band diagonal
-    w0 = jnp.clip(chain.tbeg - chain.qbeg - P.max_dist, 0,
-                  jnp.maximum(n_genome - 1, 0))
-    win = packed.extract_window_aligned(genome_words, w0, TW, 2)
-    wlens = jnp.clip(n_genome - w0, 0, TW).astype(jnp.int32)
+    w0 = jnp.clip(ch.tbeg - ch.qbeg - P.max_dist, 0,
+                  jnp.maximum(n_genome - 1, 0))      # (2B, K)
+    w0f = w0.reshape(2 * B * K)
+    win = packed.extract_window_aligned(genome_words, w0f, TW, 2)
+    wlens = jnp.clip(n_genome - w0f, 0, TW).astype(jnp.int32)
+    reads_f = jnp.repeat(reads2, K, axis=0)
+    lens_f = jnp.repeat(lens2, K)
 
     if jax.default_backend() == "tpu":
         from nvbio_tpu.align.traceback import batch_traceback_banded_fast
 
         tb, _nm = batch_traceback_banded_fast(
-            reads2, lens2, win, wlens, P.scoring, W, local=True)
+            reads_f, lens_f, win, wlens, P.scoring, W, local=True)
         # NOTE: fast-path ops are end->start (host formatter reverses)
     else:
         aligner = GotohAligner(LOCAL, P.scoring)
-        tb = batch_traceback_banded(reads2, lens2, win, wlens, aligner, W)
-    score = jnp.where(chain.valid, tb.score, neg)
+        tb = batch_traceback_banded(reads_f, lens_f, win, wlens, aligner, W)
+    score = jnp.where(ch.valid.reshape(-1), tb.score, neg)   # (2B*K)
 
-    # pick the better strand per read
-    s_fwd, s_rc = score[:B], score[B:]
-    use_rc = s_rc > s_fwd
-    best = jnp.where(use_rc, s_rc, s_fwd)
+    # combine strands: per read, 2K candidates (fwd K then rc K)
+    def fold(x):
+        x = x.reshape(2 * B, K)
+        return jnp.concatenate([x[:B], x[B:]], axis=1)       # (B, 2K)
 
-    def pick(x):
-        return jnp.where(
-            use_rc.reshape((B,) + (1,) * (x.ndim - 1)), x[B:], x[:B]
-        )
+    cscore = fold(score)
+    cw0 = fold(w0f)
+    ctext_start = fold(tb.text_start)
+    cpat_start = fold(tb.pattern_start)
+    cpat_end = fold(tb.pattern_end)
+    cn_ops = fold(tb.n_ops)
+    cops = tb.ops.reshape(2 * B, K, -1)
+    cops = jnp.concatenate([cops[:B], cops[B:]], axis=1)     # (B, 2K, MAXS)
+    cstrand = jnp.arange(2 * K, dtype=jnp.int32)[None, :] >= K
+    cmapped = cscore >= P.min_score
 
+    best_idx = jnp.argmax(cscore, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(cscore, best_idx[:, None], axis=1)[:, 0]
+    is_best = jnp.arange(2 * K, dtype=jnp.int32)[None, :] == best_idx[:, None]
+    second = jnp.max(jnp.where(is_best, neg, cscore), axis=1)
     mapped = best >= P.min_score
-    second = jnp.where(use_rc, s_fwd, s_rc)  # other strand as the rival score
     mq = jnp.clip(
         (60 * (best - jnp.maximum(second, 0))) // jnp.maximum(best, 1), 0, 60
     )
 
     return dict(
         mapped=mapped,
-        score=best,
-        strand=use_rc,
-        window_start=pick(w0),
-        text_start=pick(tb.text_start),
-        pattern_start=pick(tb.pattern_start),
-        pattern_end=pick(tb.pattern_end),
-        ops=pick(tb.ops),
-        n_ops=pick(tb.n_ops),
+        is_best=is_best,
+        cand_mapped=cmapped,
+        score=cscore,
+        strand=jnp.broadcast_to(cstrand, (B, 2 * K)),
+        window_start=cw0,
+        text_start=ctext_start,
+        pattern_start=cpat_start,
+        pattern_end=cpat_end,
+        ops=cops,
+        n_ops=cn_ops,
         mapq=jnp.where(mapped, mq, 0).astype(jnp.int32),
         rc_reads=rc,
-        chain_valid=pick(chain.valid),
     )
 
 
@@ -161,6 +181,7 @@ class MemMapper:
         res = {k: np.asarray(v) for k, v in res.items()}
         # the TPU fast-path local traceback emits ops end->start
         rev_ops = jax.default_backend() == "tpu"
+        FLAG_SECONDARY = 0x100
         out = []
         for b, name in enumerate(batch.names):
             if batch.lengths[b] == 0:
@@ -174,23 +195,53 @@ class MemMapper:
                     qual=quals_to_string(batch.quals[b], L),
                 ))
                 continue
-            strand = bool(res["strand"][b])
-            gpos = int(res["window_start"][b]) + int(res["text_start"][b])
-            ci = int(np.searchsorted(self.ref_offsets, gpos, side="right") - 1)
-            local = gpos - int(self.ref_offsets[ci])
-            # soft clips around the local alignment
-            ps, pe = int(res["pattern_start"][b]), int(res["pattern_end"][b])
-            core = cigar_to_string(res["ops"][b], res["n_ops"][b],
-                                   reverse=rev_ops)
-            cigar = (f"{ps}S" if ps else "") + core + (f"{L-pe}S" if pe < L else "")
-            seq = (codes_to_string(res["rc_reads"][b, :L], Alphabet.DNA)
-                   if strand else fwd_seq)
-            qual = (quals_to_string(batch.quals[b, :L][::-1], L) if strand
-                    else quals_to_string(batch.quals[b], L))
-            out.append(SamRecord(
-                qname=name, flag=FLAG_REVERSE if strand else 0,
-                rname=self.ref_names[ci], pos=local + 1,
-                mapq=int(res["mapq"][b]), cigar=cigar, seq=seq, qual=qual,
-                tags={"AS": int(res["score"][b])},
-            ))
+
+            def fields(c):
+                strand = bool(res["strand"][b, c])
+                gpos = int(res["window_start"][b, c]) + int(
+                    res["text_start"][b, c])
+                ci = int(np.searchsorted(self.ref_offsets, gpos,
+                                         side="right") - 1)
+                local = gpos - int(self.ref_offsets[ci])
+                ps = int(res["pattern_start"][b, c])
+                pe = int(res["pattern_end"][b, c])
+                core = cigar_to_string(res["ops"][b, c], res["n_ops"][b, c],
+                                       reverse=rev_ops)
+                cigar = ((f"{ps}S" if ps else "") + core
+                         + (f"{L - pe}S" if pe < L else ""))
+                return strand, ci, local, cigar
+
+            # primary first, then other above-threshold chains as
+            # secondaries (repeat-region loci, nvmem multi-alignment output)
+            cands = np.flatnonzero(res["cand_mapped"][b])
+            prim = int(np.flatnonzero(res["is_best"][b])[0])
+            order = [prim] + sorted(
+                (c for c in cands.tolist() if c != prim),
+                key=lambda c: -int(res["score"][b, c]))
+            xa = []
+            for rank, c in enumerate(order[1:], 1):
+                strand, ci, local, cigar = fields(c)
+                xa.append(f"{self.ref_names[ci]},"
+                          f"{'-' if strand else '+'}{local + 1},{cigar},0")
+            for rank, c in enumerate(order):
+                strand, ci, local, cigar = fields(c)
+                if rank == 0:
+                    seq = (codes_to_string(res["rc_reads"][b, :L],
+                                           Alphabet.DNA)
+                           if strand else fwd_seq)
+                    qual = (quals_to_string(batch.quals[b, :L][::-1], L)
+                            if strand else quals_to_string(batch.quals[b], L))
+                else:  # SAM: secondary records omit seq/qual
+                    seq, qual = "*", "*"
+                tags = {"AS": int(res["score"][b, c])}
+                if rank == 0 and xa:
+                    tags["XA"] = ";".join(xa) + ";"
+                out.append(SamRecord(
+                    qname=name,
+                    flag=(FLAG_REVERSE if strand else 0)
+                    | (FLAG_SECONDARY if rank else 0),
+                    rname=self.ref_names[ci], pos=local + 1,
+                    mapq=int(res["mapq"][b]) if rank == 0 else 0,
+                    cigar=cigar, seq=seq, qual=qual, tags=tags,
+                ))
         return out

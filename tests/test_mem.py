@@ -129,3 +129,37 @@ def test_mem_soft_clip(genome):
     assert not rec.flag & 0x4
     assert rec.pos - 1 == p
     assert rec.cigar.endswith("S") and "60M" in rec.cigar
+
+
+def test_mem_multichain_repeat(genome):
+    """A read from a duplicated segment must report BOTH loci: primary +
+    secondary record + XA tag (nvmem per-read chain lists + repeated
+    align() passes, nvmem/pipeline.h:107-147, nvmem.cu:128-149)."""
+    seg = genome[2000:2300]
+    dup_genome = np.concatenate([genome[:6000], seg, genome[6000:]])
+    ref = Reference.from_records(
+        [("chrD", codes_to_string(dup_genome, Alphabet.DNA))])
+    mapper = MemMapper.build(ref, MemParams(max_read_len=80, min_seed_len=15,
+                                            max_chains=2))
+    L = 80
+    read = seg[100:180].copy()
+    batch = ReadBatch(
+        names=["dup"], codes=read[None].astype(np.uint8),
+        quals=np.full((1, L), 30, np.uint8), lengths=np.array([L], np.int32),
+    )
+    recs = mapper.map_batch(batch)
+    primary = [r for r in recs if not r.flag & 0x100]
+    secondary = [r for r in recs if r.flag & 0x100]
+    assert len(primary) == 1 and len(secondary) == 1
+    want = {2000 + 100 + 1, 6000 + 100 + 1}
+    assert {r.pos for r in recs} == want
+    assert "XA" in primary[0].tags
+    assert secondary[0].seq == "*"
+    # unique-region reads still emit exactly one record
+    read_u = dup_genome[500:580]
+    batch_u = ReadBatch(
+        names=["uniq"], codes=read_u[None].astype(np.uint8),
+        quals=np.full((1, L), 30, np.uint8), lengths=np.array([L], np.int32),
+    )
+    recs_u = mapper.map_batch(batch_u)
+    assert len(recs_u) == 1 and recs_u[0].pos == 501

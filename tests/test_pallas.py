@@ -147,66 +147,38 @@ def test_fused_traceback_local_parity(rng):
         assert want == got, (b, want, got)
 
 
-def test_regtile16_matches_int32(rng):
-    """int16 register-tiled scorer == int32 regtile for real-score lanes
-    (above the -8192 sentinel; unmappable lanes saturate at the sentinel)."""
-    from nvbio_tpu.align.pallas_kernels import (
-        banded_score_semiglobal_regtile,
-        banded_score_semiglobal_regtile16,
+def test_fused_traceback_max_read_len_512(rng):
+    """Fused traceback at the reference's MAX_READ_LEN=512 (defs.h:96):
+    correctness at the full supported length, including indel reads."""
+    from nvbio_tpu.align.traceback import (
+        batch_traceback_banded,
+        batch_traceback_banded_fast,
+        cigar_to_string,
     )
 
-    B, M, W = 96, 40, 11
+    B, M, W = 8, 512, 17
     TW = M + W - 1
     pats = rng.integers(0, 4, size=(B, M)).astype(np.int32)
     txts = rng.integers(0, 4, size=(B, TW)).astype(np.int32)
-    txts[: B // 2, 3:3 + M] = pats[: B // 2]
-    plens = rng.integers(M // 2, M + 1, size=B).astype(np.int32)
-    tlens = np.full(B, TW, np.int32)
-    tlens[B // 2:3 * B // 4] = rng.integers(5, TW, size=B // 4)  # short texts
-    mm = -rng.integers(2, 7, size=(B, M)).astype(np.int32)
-
-    s32, k32 = banded_score_semiglobal_regtile(
-        jnp.asarray(pats), jnp.asarray(plens), jnp.asarray(txts),
-        jnp.asarray(tlens), SC, W, jnp.asarray(mm), interpret=True)
-    s16, k16 = banded_score_semiglobal_regtile16(
-        jnp.asarray(pats), jnp.asarray(plens), jnp.asarray(txts),
-        jnp.asarray(tlens), SC, W, jnp.asarray(mm), interpret=True)
-    s32 = np.asarray(s32)
-    s16 = np.asarray(s16)
-    real = s32 > -8192
-    assert real.sum() >= B // 2
-    np.testing.assert_array_equal(s16[real], s32[real])
-    np.testing.assert_array_equal(np.asarray(k16)[real], np.asarray(k32)[real])
-    # saturated lanes report <= the sentinel floor, never wrap positive
-    assert (s16[~real] <= -8000).all()
-
-
-def test_regtile16_range_guard():
-    """Adversarial all-mismatch max-length reads must not wrap int16
-    (the -8192 clamp bounds every intermediate; scores stay exact while
-    > -8192)."""
-    from nvbio_tpu.align.batch import batch_score_banded
-    from nvbio_tpu.align.pallas_kernels import (
-        banded_score_semiglobal_regtile16,
-    )
-
-    B, M, W = 8, 128, 17
-    TW = M + W - 1
-    pats = np.zeros((B, M), np.int32)          # all A
-    txts = np.full((B, TW), 1, np.int32)       # all C -> every cell mismatch
+    for b in range(B):
+        t = txts[b, 6:6 + M].copy()
+        if b % 2 == 0:
+            t = np.concatenate([t[:200], t[203:], t[-3:]])  # 3bp indel
+        pats[b] = t[:M]
+        mut = rng.integers(0, M, 5)
+        pats[b, mut] = (pats[b, mut] + 1) % 4
     plens = np.full(B, M, np.int32)
     tlens = np.full(B, TW, np.int32)
-    mm = np.full((B, M), -6, np.int32)
 
-    want = batch_score_banded(
+    ref = batch_traceback_banded(
         jnp.asarray(pats), jnp.asarray(plens), jnp.asarray(txts),
-        jnp.asarray(tlens), GotohAligner(SEMI_GLOBAL, SC), W,
-        mismatch_scores=jnp.asarray(mm))
-    s16, _ = banded_score_semiglobal_regtile16(
+        jnp.asarray(tlens), GotohAligner(SEMI_GLOBAL, SC), W)
+    fast, nm = batch_traceback_banded_fast(
         jnp.asarray(pats), jnp.asarray(plens), jnp.asarray(txts),
-        jnp.asarray(tlens), SC, W, jnp.asarray(mm), interpret=True)
-    w = np.asarray(want.score)
-    g = np.asarray(s16)
-    exact = w > -8192
-    np.testing.assert_array_equal(g[exact], w[exact])
-    assert (g >= -8192 - 260).all() and (g <= 0).all()
+        jnp.asarray(tlens), SC, W, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.score), np.asarray(fast.score))
+    for b in range(B):
+        want = cigar_to_string(np.asarray(ref.ops)[b], int(ref.n_ops[b]))
+        got = cigar_to_string(np.asarray(fast.ops)[b], int(fast.n_ops[b]),
+                              reverse=True)
+        assert want == got, b

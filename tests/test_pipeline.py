@@ -370,3 +370,37 @@ def test_edit_distance_mode():
     assert by["del"].tags["AS"] == -1 and by["del"].tags["NM"] == 1
     assert "D" in by["del"].cigar
     assert by["bad"].flag & 0x4  # exceeds max_dist edits
+
+
+def test_local_mode_soft_clips(mapper_and_genome):
+    """--local: garbage read ends come back soft-clipped with local scoring
+    and the local MAPQ branch (params.cpp:113-158, mapq.h:267+)."""
+    mapper, ref, codes = mapper_and_genome
+    rngl = np.random.default_rng(17)
+    L = 80
+    rows, clips = [], []
+    for i, p in enumerate((3000, 8000, 12000, 17000)):
+        head = rngl.integers(0, 4, size=12).astype(np.uint8)
+        core = codes[p:p + L - 12].copy()
+        rows.append(np.concatenate([head, core]))
+        clips.append(12)
+    batch = ReadBatch(
+        names=[f"loc{i}" for i in range(len(rows))],
+        codes=np.stack(rows).astype(np.uint8),
+        quals=np.full((len(rows), L), 30, np.uint8),
+        lengths=np.full(len(rows), L, np.int32),
+    )
+    params = MapParams.local(max_read_len=L, seed_len=20, seed_stride=12,
+                             hits_per_seed=4, max_dist=5)
+    lm = ReadMapper.build(ref, params, index=mapper.index)
+    recs = lm.map_batch(batch)
+    ok = 0
+    for rec, p in zip(recs, (3000, 8000, 12000, 17000)):
+        if rec.flag & 0x4:
+            continue
+        assert "S" in rec.cigar, rec.cigar
+        assert rec.mapq > 0
+        assert rec.tags["AS"] > 0       # local scores are positive
+        if abs(rec.pos - 1 - p) <= 5 and rec.cigar.startswith("12S"):
+            ok += 1
+    assert ok >= 3, [r.cigar for r in recs]
