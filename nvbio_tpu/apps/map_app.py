@@ -90,6 +90,7 @@ def _load_reference(path: str, params):
 def run(args):
     from nvbio_tpu.bowtie.params import MapParams
     from nvbio_tpu.bowtie.pipeline import ReadMapper
+    from nvbio_tpu.alphabet import Alphabet
     from nvbio_tpu.io.fastq import fastq_batches
     from nvbio_tpu.io.output import open_alignment_output
     from nvbio_tpu.utils.console import log_info, log_stats
@@ -143,15 +144,18 @@ def run(args):
         if paired:
             from nvbio_tpu.bowtie.paired import map_pair_batch
 
-            it1 = fastq_batches(args.mate1, args.batch, args.max_read_len)
-            it2 = fastq_batches(args.mate2, args.batch, args.max_read_len)
+            it1 = fastq_batches(args.mate1, args.batch, args.max_read_len,
+                                alphabet=Alphabet.DNA_N)
+            it2 = fastq_batches(args.mate2, args.batch, args.max_read_len,
+                                alphabet=Alphabet.DNA_N)
             for b1, b2 in zip(it1, it2):
                 for rec in map_pair_batch(mapper, b1, b2, stats=stats):
                     w.write(rec)
                     n_reads += 1
                     n_mapped += 0 if rec.flag & 0x4 else 1
         elif args.all_mode:
-            for batch in fastq_batches(args.reads, args.batch, args.max_read_len):
+            for batch in fastq_batches(args.reads, args.batch, args.max_read_len,
+                                       alphabet=Alphabet.DNA_N):
                 for rec in mapper.map_batch_all(batch):
                     w.write(rec)
                     if not rec.flag & 0x100:
@@ -165,7 +169,8 @@ def run(args):
             st_parse = StageStats("parse")
             st_fmt = StageStats("fetch+format")
             pending = None
-            it = fastq_batches(args.reads, args.batch, args.max_read_len)
+            it = fastq_batches(args.reads, args.batch, args.max_read_len,
+                               alphabet=Alphabet.DNA_N)
             while True:
                 with Timer() as tp:
                     batch = next(it, None)

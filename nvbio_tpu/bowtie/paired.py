@@ -396,7 +396,7 @@ def map_pair_batch(mapper, batch1, batch2, stats=None):
                 seq = rc_full[m][b, Lfull - L:].tobytes().decode()
                 qual = quals_to_string(batch.quals[b, :L][::-1], L)
             else:
-                seq = codes_to_string(batch.codes[b, :L], Alphabet.DNA)
+                seq = codes_to_string(batch.codes[b, :L], Alphabet.DNA_N)
                 qual = quals_to_string(batch.quals[b], L)
             recs.append([flag, mapped, strand, seq, qual, L, res])
 

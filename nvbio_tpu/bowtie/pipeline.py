@@ -51,7 +51,8 @@ def host_rc_ascii(codes_np: np.ndarray) -> np.ndarray:
     read b's rc occupies the TAIL of row b (slice [Lfull-len:])."""
     from nvbio_tpu.alphabet import _FROM_CODE
 
-    rc_table = _FROM_CODE[Alphabet.DNA][[3, 2, 1, 0]]
+    # DNA_N table: read N (code 4) renders as 'N' and complements to itself
+    rc_table = _FROM_CODE[Alphabet.DNA_N][[3, 2, 1, 0, 4]]
     return rc_table[np.asarray(codes_np, np.uint8)][:, ::-1]
 
 
@@ -141,8 +142,15 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
     # ---- strands ----------------------------------------------------------
     # reversal through the packed word domain (packed.reverse_rows): the
     # naive per-lane take_along_axis gathers lower to scalar loads (~15 ms
-    # per (B, L) plane on v5e); this is dense vector work instead
-    rc = 3 - packed.reverse_rows(reads, lens, 2)
+    # per (B, L) plane on v5e); this is dense vector work instead.
+    # Read Ns carry DNA_N code 4: they never equal a genome symbol, so the
+    # scorer charges the mismatch penalty (alphabet.h:68-76 semantics); the
+    # 2-bit reversal folds them, so the N plane reverses separately (1-bit)
+    # and re-marks the rc.
+    n_read = reads > 3
+    rc = 3 - packed.reverse_rows(jnp.minimum(reads, 3), lens, 2)
+    rc = jnp.where(
+        packed.reverse_rows(n_read.astype(jnp.int32), lens, 1) > 0, 4, rc)
     pen = _mm_penalties(quals, P)
     mm = None if pen is None else -pen
     mm_rc = None if pen is None else -packed.reverse_rows(pen, lens, 8)
@@ -156,6 +164,9 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
     seeds = jnp.concatenate([fwd_seeds, rc_seeds], axis=1)  # (B, 2*S1, s)
     seed_valid = (starts[None, :] + P.seed_len) <= lens[:, None]  # (B, S1)
     seed_valid2 = jnp.concatenate([seed_valid, seed_valid], axis=1)
+    # seeds containing a read N never produce hits (their q-gram key would
+    # be meaningless) — reject them like the reference's N-aware seeding
+    seed_valid2 = seed_valid2 & ~jnp.any(seeds > 3, axis=-1)
 
     from nvbio_tpu.parallel.sharded_index import ShardedQGramIndex
 
@@ -675,7 +686,8 @@ class ReadMapper:
             if params.seeding == "qgram":
                 from nvbio_tpu.qgram import build_qgram_index
 
-                index = build_qgram_index(reference.codes, params.qgram_q)
+                index = build_qgram_index(reference.codes, params.qgram_q,
+                                          n_flags=reference.n_flags())
             else:
                 from nvbio_tpu.fmi.index import build_fmindex
 
@@ -734,8 +746,8 @@ class ReadMapper:
         res = jax.device_get(res)
         from nvbio_tpu.alphabet import _FROM_CODE
 
-        table = _FROM_CODE[Alphabet.DNA]
-        rc_table = table[[3, 2, 1, 0]]
+        table = _FROM_CODE[Alphabet.DNA_N]
+        rc_table = table[[3, 2, 1, 0, 4]]
         codes_np = np.asarray(batch.codes, np.uint8)
         fwd_ascii = table[codes_np]
         rc_full = rc_table[codes_np][:, ::-1]
@@ -813,7 +825,7 @@ class ReadMapper:
         from nvbio_tpu.alphabet import _FROM_CODE
 
         codes_np = np.asarray(batch.codes, np.uint8)
-        fwd_ascii = _FROM_CODE[Alphabet.DNA][codes_np]
+        fwd_ascii = _FROM_CODE[Alphabet.DNA_N][codes_np]
         rc_full = host_rc_ascii(codes_np)
         q_ascii = np.asarray(batch.quals, np.uint8) + 33
         qr_ascii = q_ascii[:, ::-1]

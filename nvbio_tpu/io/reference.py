@@ -53,6 +53,19 @@ class Reference:
     def total_length(self) -> int:
         return int(self.offsets[-1])
 
+    def n_flags(self) -> np.ndarray | None:
+        """Per-position ambiguity (N) flags, or None when the genome has no
+        ambiguous bases. Used to exclude N-overlapping q-grams from seeding
+        indexes (folded-to-A N runs must not attract seed hits)."""
+        if self.n_mask_words is None or len(self.n_mask_words) == 0:
+            return None
+        if not self.n_mask_words.any():
+            return None
+        bits = np.unpackbits(
+            np.ascontiguousarray(self.n_mask_words).view(np.uint8),
+            bitorder="little")
+        return bits[:self.total_length].astype(bool)
+
     def packed_words(self) -> np.ndarray:
         return packed.pack(self.codes, 2)
 

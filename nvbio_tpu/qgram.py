@@ -82,18 +82,40 @@ def position_dtype(n: int):
     return np.uint32 if n >= 2**31 else np.int32
 
 
-def build_qgram_index(codes: np.ndarray, q: int = 12) -> QGramIndex:
-    """Host-side construction (counting sort over buckets)."""
+def _window_has_n(n_flags: np.ndarray, q: int) -> np.ndarray:
+    """bad[i] = any(n_flags[i : i + q]) for i in [0, len - q + 1)."""
+    npos = len(n_flags) - q + 1
+    cs = np.zeros(len(n_flags) + 1, np.int64)
+    np.cumsum(n_flags.astype(np.int64), out=cs[1:])
+    return (cs[q:q + npos] - cs[:npos]) > 0
+
+
+def build_qgram_index(codes: np.ndarray, q: int = 12,
+                      n_flags: np.ndarray | None = None) -> QGramIndex:
+    """Host-side construction (counting sort over buckets).
+
+    ``n_flags`` (bool per position) marks ambiguous genome bases: q-grams
+    overlapping an N run are EXCLUDED from the table, so folded-to-A N
+    stretches can't attract spurious seed hits (DNA_N semantics,
+    ``nvbio/strings/alphabet.h:68-76``)."""
     if q < 1 or q > 15:
         raise ValueError("q must be in [1, 15] for int32 keys")
     if len(codes) >= 2**28:  # blocked builder: bounded peak memory
-        return build_qgram_index_large(codes, q)
+        return build_qgram_index_large(codes, q, n_flags=n_flags)
     keys = qgram_keys(codes, q)
+    valid_pos = None
+    if n_flags is not None and len(keys):
+        bad = _window_has_n(np.asarray(n_flags, bool)[:len(codes)], q)
+        if bad.any():
+            valid_pos = np.flatnonzero(~bad)
+            keys = keys[valid_pos]
     n_buckets = 1 << (2 * q)
     counts = np.bincount(keys, minlength=n_buckets)
     offsets = np.zeros(n_buckets + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
     order = np.argsort(keys, kind="stable")  # positions sorted by key, then pos
+    if valid_pos is not None:
+        order = valid_pos[order]
     dt = position_dtype(len(codes))
     return QGramIndex(
         q=q,
@@ -104,7 +126,8 @@ def build_qgram_index(codes: np.ndarray, q: int = 12) -> QGramIndex:
 
 
 def build_qgram_index_large(codes: np.ndarray, q: int = 12,
-                            chunk: int = 1 << 27) -> QGramIndex:
+                            chunk: int = 1 << 27,
+                            n_flags: np.ndarray | None = None) -> QGramIndex:
     """Blocked counting-sort builder for multi-Gbp texts.
 
     Two passes over ``chunk``-sized slices: (1) per-chunk bucket histograms
@@ -121,24 +144,33 @@ def build_qgram_index_large(codes: np.ndarray, q: int = 12,
     n_buckets = 1 << (2 * q)
     n_chunks = (npos + chunk - 1) // chunk
 
+    if n_flags is not None:
+        n_flags = np.asarray(n_flags, bool)[:n]
+
+    def chunk_keys(c):
+        s, e = c * chunk, min((c + 1) * chunk, npos)
+        k = qgram_keys(codes[s:e + q - 1], q)
+        if n_flags is not None:
+            keep = ~_window_has_n(n_flags[s:e + q - 1], q)
+            return k[keep], np.flatnonzero(keep) + s
+        return k, None
+
     # pass 1: global bucket histogram (keys recomputed per chunk: cheaper
     # than materializing 8n bytes of int64 keys)
     totals = np.zeros(n_buckets, np.int64)
     for c in range(n_chunks):
-        s, e = c * chunk, min((c + 1) * chunk, npos)
-        totals += np.bincount(qgram_keys(codes[s:e + q - 1], q),
-                              minlength=n_buckets)
+        totals += np.bincount(chunk_keys(c)[0], minlength=n_buckets)
     bucket_starts = np.zeros(n_buckets + 1, np.int64)
     np.cumsum(totals, out=bucket_starts[1:])
 
     # pass 2: per chunk, stable radix argsort + vectorized scatter at each
     # bucket's running cursor (chunks are processed in position order, so
     # within a bucket positions land sorted)
-    positions = np.empty(npos, dt)
+    positions = np.empty(int(bucket_starts[-1]), dt)
     cur = bucket_starts[:-1].copy()
     for c in range(n_chunks):
-        s, e = c * chunk, min((c + 1) * chunk, npos)
-        k = qgram_keys(codes[s:e + q - 1], q).astype(np.uint32)
+        k64, pos_of = chunk_keys(c)
+        k = k64.astype(np.uint32)
         order = np.argsort(k, kind="stable")  # radix sort on uint32 keys
         sk = k[order]
         # within-bucket rank of each sorted element (vectorized run ranks)
@@ -147,7 +179,8 @@ def build_qgram_index_large(codes: np.ndarray, q: int = 12,
         run_start[new_run] = new_run
         np.maximum.accumulate(run_start, out=run_start)
         within = np.arange(len(sk), dtype=np.int64) - run_start
-        positions[cur[sk] + within] = (order + s).astype(dt)
+        src = (order + c * chunk) if pos_of is None else pos_of[order]
+        positions[cur[sk] + within] = src.astype(dt)
         cur += np.bincount(k, minlength=n_buckets)
     return QGramIndex(
         q=q,

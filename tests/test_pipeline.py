@@ -404,3 +404,51 @@ def test_local_mode_soft_clips(mapper_and_genome):
         if abs(rec.pos - 1 - p) <= 5 and rec.cigar.startswith("12S"):
             ok += 1
     assert ok >= 3, [r.cigar for r in recs]
+
+
+def test_n_handling(rng):
+    """N semantics (alphabet.h:68-76): genome N runs attract no seed hits
+    (a poly-A read must NOT map into a folded N stretch), read Ns score as
+    mismatches, and N-saturated reads are unmapped."""
+    from nvbio_tpu.alphabet import string_to_codes
+
+    g = np.random.default_rng(55)
+    codes = g.integers(0, 4, size=40000, dtype=np.uint8)
+    seq = codes_to_string(codes)
+    seq = seq[:10000] + "N" * 300 + seq[10300:]     # N run
+    ref = Reference.from_records([("chrN", seq)])
+    params = MapParams(max_read_len=80, seed_len=20, seed_stride=12,
+                       hits_per_seed=4, max_dist=5, max_reseed=0)
+    mapper = ReadMapper.build(ref, params)
+
+    L = 80
+    p = 22000
+    r_n = codes[p:p + L].copy().astype(np.uint8)
+    n_read = r_n.copy()
+    n_read[[25, 50]] = 4                            # two read Ns (DNA_N)
+    rows = [
+        np.zeros(L, np.uint8),                      # poly-A: N-run bait
+        np.full(L, 4, np.uint8),                    # all-N read
+        n_read,                                     # few-N read
+        r_n,                                        # clean control
+    ]
+    batch = ReadBatch(
+        names=["polyA", "allN", "fewN", "ctrl"],
+        codes=np.stack(rows),
+        quals=np.full((len(rows), L), 30, np.uint8),
+        lengths=np.full(len(rows), L, np.int32),
+    )
+    recs = {r.qname: r for r in mapper.map_batch(batch)}
+    # poly-A must not land inside the N run [10000, 10300)
+    if not recs["polyA"].flag & 0x4:
+        assert not (10000 - L <= recs["polyA"].pos - 1 < 10300), \
+            recs["polyA"].pos
+    assert recs["allN"].flag & 0x4
+    assert not recs["ctrl"].flag & 0x4 and recs["ctrl"].pos - 1 == p
+    few = recs["fewN"]
+    assert not few.flag & 0x4 and few.pos - 1 == p
+    assert few.tags["NM"] == 2 and few.tags["XM"] == 2
+    assert "N" in few.seq
+    seq_codes = string_to_codes(few.seq, Alphabet.DNA_N)
+    md, nm, xm, xo, xg = _golden_md(seq_codes, few.cigar, codes, few.pos - 1)
+    assert few.tags["MD"] == md
