@@ -30,7 +30,7 @@ def run(W, unroll):
     for o in outs: int(np.asarray(o[:1])[0])
     dt = (time.time()-t0)/(6*KCHAIN)
     print(f"W={W} unroll={unroll}: {G*1024*L*W/dt/1e9:.1f} GCUPS ({dt*1e3:.2f} ms; {dt/L*1e6:.2f} us/row)")
-run(17, 4)
-run(16, 4)
-run(12, 4)
-run(16, 2)
+run(25, 4)
+run(33, 4)
+run(49, 4)
+run(65, 4)

@@ -173,9 +173,12 @@ def main():
             acc = jnp.zeros((G_blk, 1, 8, 128), jnp.int32)
             p = p0
             for _ in range(KCHAIN):
+                # fastest bit-identical variant set (PSA's fixed-operand
+                # convention: full text windows, uniform lengths)
                 sc, _ = regtile_score_blocked(
                     p, plb_, txtsb_, tlb_, mmb_,
-                    scoring=params.scoring, band=W, length=L)
+                    scoring=params.scoring, band=W, length=L,
+                    seq_f=True, full_text=True, uniform_plen=True, unroll=4)
                 acc = acc + sc
                 p = p ^ (sc & 1)  # data dependency: no CSE between runs
             return acc.reshape(-1)

@@ -21,6 +21,7 @@ def main(argv=None):
         index_app,
         map_app,
         mem_app,
+        server_app,
         setbwt_app,
         sort_app,
     )
@@ -32,6 +33,7 @@ def main(argv=None):
     assemble_app.add_parser(sub)
     correct_app.add_parser(sub)
     extract_app.add_parser(sub)
+    server_app.add_parser(sub)
     setbwt_app.add_parser(sub)
     sort_app.add_parser(sub)
 

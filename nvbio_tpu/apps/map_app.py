@@ -87,6 +87,41 @@ def _load_reference(path: str, params):
     return ref, index
 
 
+def gauge_batch_size(mapper, batch_size: int, max_len: int,
+                     floor: int = 64) -> int:
+    """Halve the batch size until one probe step fits device memory.
+
+    The analogue of the reference's ComputeThread batch-size gauging
+    (``nvBowtie/nvBowtie.cpp`` / ``compute_thread.cu:121-143``): rather than
+    dying on RESOURCE_EXHAUSTED mid-run, probe once up front and back off.
+    """
+    import numpy as np
+
+    from nvbio_tpu.io.fastq import ReadBatch
+    from nvbio_tpu.utils.console import log_info
+
+    while True:
+        probe = ReadBatch(
+            names=[""] * batch_size,
+            codes=np.zeros((batch_size, max_len), np.uint8),
+            quals=np.zeros((batch_size, max_len), np.uint8),
+            lengths=np.zeros(batch_size, np.int32),
+        )
+        try:
+            res = mapper.dispatch(probe)
+            np.asarray(res["mapped"][:1])
+            return batch_size
+        except Exception as e:  # noqa: BLE001 - backend-specific OOM types
+            msg = str(e)
+            oom = ("RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+                   or "OOM" in msg)
+            if not oom or batch_size <= floor:
+                raise
+            batch_size //= 2
+            log_info(f"device OOM at batch {batch_size * 2}; "
+                     f"halving to {batch_size}")
+
+
 def run(args):
     from nvbio_tpu.bowtie.params import MapParams
     from nvbio_tpu.bowtie.pipeline import ReadMapper
@@ -134,6 +169,7 @@ def run(args):
     mapper = ReadMapper.build(ref, params, index=index)
     log_info(f"reference + index ready in {time.time()-t0:.1f}s "
              f"({ref.total_length:,} bp, seeding={params.seeding})")
+    args.batch = gauge_batch_size(mapper, args.batch, args.max_read_len)
 
     lengths = (ref.offsets[1:] - ref.offsets[:-1]).tolist()
     n_reads = n_mapped = 0

@@ -34,12 +34,15 @@ class SmemHits(NamedTuple):
     n_occ: jnp.ndarray   # (B, S) int32 total occurrence count
 
 
-def smem_extend_lengths(fmi_rev, reads, lens):
+def smem_extend_lengths(fmi_rev, reads, lens, min_intv: int = 1):
     """Right-extension data for every read position.
 
     Returns (ext_len (B, L): e(p) - p, lo (B, L), hi (B, L)): the last
-    nonempty interval over the reversed index for the maximal match starting
-    at each position.
+    interval with >= ``min_intv`` occurrences over the reversed index for
+    the maximal match starting at each position. ``min_intv=1`` gives plain
+    maximal matches; larger values stop extension once the match becomes
+    too unique — the reference's ``find_threshold_kmems``
+    (``fmindex/mem.h:129-176``, bwa-mem's max_intv re-seeding).
     """
     B, L = reads.shape
     reads = reads.astype(jnp.int32)
@@ -67,7 +70,7 @@ def smem_extend_lengths(fmi_rev, reads, lens):
         nlo = nlo.reshape(B, L)
         nhi = nhi.reshape(B, L)
         alive = hi > lo
-        ok = in_range & alive & (nhi > nlo)
+        ok = in_range & alive & (nhi - nlo >= min_intv)
         lo = jnp.where(ok, nlo, lo)
         hi = jnp.where(ok, nhi, jnp.where(alive, -hi, hi))
         cnt = cnt + ok.astype(jnp.int32)
@@ -77,6 +80,50 @@ def smem_extend_lengths(fmi_rev, reads, lens):
         step, (lo0, hi0, cnt0), jnp.arange(L, dtype=jnp.int32)
     )
     return cnt, lo, jnp.abs(hi)
+
+
+@functools.partial(jax.jit, static_argnames=("min_len", "min_intv",
+                                             "max_mems", "hits_per_mem"))
+def find_threshold_kmems_batch(
+    fmi_rev, reads, lens, min_len: int = 19, min_intv: int = 2,
+    max_mems: int = 16, hits_per_mem: int = 4,
+):
+    """Threshold k-MEMs: maximal matches kept only while their occurrence
+    count stays >= ``min_intv`` (``fmindex/mem.h:129-176``; bwa-mem re-seeds
+    long unique SMEMs with these shorter, more repetitive sub-matches).
+    Same result contract as ``find_smems_batch``."""
+    B, L = reads.shape
+    S = max_mems
+    H = hits_per_mem
+    lens = jnp.asarray(lens, jnp.int32)
+
+    ext, lo, hi = smem_extend_lengths(fmi_rev, reads, lens,
+                                      min_intv=min_intv)
+    p = jnp.arange(L, dtype=jnp.int32)[None, :]
+    e = p + ext
+    e_prev = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), e[:, :-1]],
+                             axis=1)
+    is_mem = (e > e_prev) & (ext >= min_len) & (p < lens[:, None])
+
+    key = jnp.where(is_mem, ext, -1)
+    sel = jnp.argsort(-key, axis=1, stable=True)[:, :S]
+    qbeg = jnp.take_along_axis(p.repeat(B, axis=0), sel, axis=1)
+    qend = jnp.take_along_axis(e, sel, axis=1)
+    slo = jnp.take_along_axis(lo, sel, axis=1)
+    shi = jnp.take_along_axis(hi, sel, axis=1)
+    svalid = jnp.take_along_axis(is_mem, sel, axis=1)
+    n_occ = jnp.where(svalid, shi - slo, 0)
+
+    k = jnp.arange(H, dtype=jnp.int32)
+    rows = jnp.clip(slo[:, :, None] + k[None, None, :], 0, fmi_rev.n)
+    hvalid = svalid[:, :, None] & (k[None, None, :] < n_occ[:, :, None])
+    pos_rev, _ = locate_core(fmi_rev, rows.reshape(-1))
+    pos_rev = pos_rev.reshape(B, S, H)
+    matchlen = (qend - qbeg)[:, :, None]
+    tpos = fmi_rev.n - pos_rev - matchlen
+    tpos = jnp.where(hvalid, tpos, 0)
+
+    return SmemHits(qbeg, qend, svalid, tpos, hvalid, n_occ)
 
 
 @functools.partial(jax.jit, static_argnames=("min_len", "max_smems", "hits_per_smem"))

@@ -143,3 +143,66 @@ def extend_backward_all(fmi, lo, hi):
     occ_hi = rank_all(fmi.bwt_words, fmi.occ, adj_hi)
     cnt = fmi.count[:4][None, :] if lo.ndim == 1 else fmi.count[:4]
     return cnt + occ_lo, cnt + occ_hi
+
+
+def search_kmm_core(fmi, queries, qlens, k: int, max_states: int = 32):
+    """Approximate backward search with up to ``k`` mismatches.
+
+    The dense re-design of the reference's explicit-stack hamming
+    backtracker (``fmindex/backtrack.h:45-172``): instead of per-thread DFS
+    (divergent, stack in local memory), a BEAM of ``max_states`` live
+    (lo, hi, n_mismatch) states per query advances in lockstep over suffix
+    positions; each step branches every state through all 4 symbols
+    (``extend_backward_all``), charges a mismatch for non-read symbols, and
+    keeps the ``max_states`` best states by mismatch count (a capacity-
+    bounded frontier — the same static-shape queue discipline as the
+    mapping pipeline). Distinct mismatch sets can reach the same SA range;
+    callers that count occurrences should dedup on (lo, hi).
+
+    Returns (lo, hi, n_mis, valid), each (B, max_states), mismatch-sorted.
+    """
+    queries = jnp.asarray(queries, jnp.int32)
+    qlens = jnp.asarray(qlens, jnp.int32)
+    B, L = queries.shape
+    S = max_states
+    slot = jnp.arange(S, dtype=jnp.int32)
+    lo = jnp.zeros((B, S), jnp.int32)
+    hi = jnp.broadcast_to(
+        jnp.where(slot == 0, fmi.n + 1, 0).astype(jnp.int32), (B, S))
+    nm = jnp.zeros((B, S), jnp.int32)
+    valid = slot[None, :] == jnp.zeros((B, 1), jnp.int32)
+
+    def step(carry, s):
+        lo, hi, nm, valid = carry
+        j = jnp.clip(qlens - 1 - s, 0, L - 1)
+        c = jnp.take_along_axis(queries, j[:, None], axis=1)[:, 0]
+        lo4, hi4 = extend_backward_all(fmi, lo, hi)          # (B, S, 4)
+        add = (jnp.arange(4, dtype=jnp.int32)[None, None, :]
+               != c[:, None, None]).astype(jnp.int32)
+        nm4 = nm[:, :, None] + add
+        valid4 = valid[:, :, None] & (hi4 > lo4) & (nm4 <= k)
+        key = jnp.where(valid4, nm4, jnp.int32(2 * k + 2)).reshape(B, S * 4)
+        order = jnp.argsort(key, axis=1, stable=True)[:, :S]
+
+        def pick(x4):
+            return jnp.take_along_axis(x4.reshape(B, S * 4), order, axis=1)
+
+        nlo, nhi = pick(lo4), pick(hi4)
+        nnm, nva = pick(nm4), pick(valid4.astype(jnp.int32)) > 0
+        active = (s < qlens)[:, None]
+        lo = jnp.where(active, nlo, lo)
+        hi = jnp.where(active, nhi, hi)
+        nm = jnp.where(active, nnm, nm)
+        valid = jnp.where(active, nva, valid)
+        return (lo, hi, nm, valid), None
+
+    (lo, hi, nm, valid), _ = jax.lax.scan(
+        step, (lo, hi, nm, valid), jnp.arange(L, dtype=jnp.int32))
+    return lo, hi, nm, valid
+
+
+def search_kmm(fmi, queries, qlens, k: int, max_states: int = 32):
+    import functools
+
+    return jax.jit(functools.partial(
+        search_kmm_core, k=k, max_states=max_states))(fmi, queries, qlens)

@@ -78,3 +78,36 @@ def test_shared_export(tmp_path, rng):
     assert isinstance(loaded.offsets, np.memmap)
     np.testing.assert_array_equal(np.asarray(loaded.offsets), idx.offsets)
     assert loaded.q == idx.q and loaded.n == idx.n
+
+
+def test_fm_server_live(tmp_path):
+    """Live FM-server handshake: PING/LIST/GET over the Unix socket, client
+    mmaps the served arrays (nvFM-server / mmap.h:93-158 equivalent)."""
+    import threading
+
+    import numpy as np
+
+    from nvbio_tpu.io.server import FMClient, FMServer, export_shared
+    from nvbio_tpu.qgram import QGramIndex, build_qgram_index
+
+    codes = np.random.default_rng(1).integers(0, 4, 4000, np.uint8)
+    idx = build_qgram_index(codes, 6)
+    d = str(tmp_path / "shared")
+    export_shared(d, "qgramindex", idx)
+    sock = str(tmp_path / "fm.sock")
+    server = FMServer(d, sock).start()
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        client = FMClient(sock, d)
+        assert client.ping()
+        assert client.list() == ["qgramindex"]
+        got = client.get("qgramindex", QGramIndex)
+        assert got.q == idx.q and got.n == idx.n
+        np.testing.assert_array_equal(np.asarray(got.positions),
+                                      np.asarray(idx.positions))
+        np.testing.assert_array_equal(np.asarray(got.offsets),
+                                      np.asarray(idx.offsets))
+    finally:
+        server.stop()
+        t.join(timeout=2)

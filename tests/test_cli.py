@@ -93,3 +93,28 @@ def test_cli_map_bam_output(dataset):
 
     stats = json.loads(r.stdout)
     assert stats["same_pos"] == stats["both_mapped"] == 12
+
+
+def test_gauge_batch_halving():
+    """Batch-size gauging backs off on device OOM (compute_thread.cu:121-143
+    failure-recovery analogue)."""
+    import numpy as np
+
+    from nvbio_tpu.apps.map_app import gauge_batch_size
+
+    class Fake:
+        def dispatch(self, batch):
+            if len(batch.names) > 128:
+                raise RuntimeError("RESOURCE_EXHAUSTED: out of memory "
+                                   "allocating 123 bytes")
+            return {"mapped": np.zeros(len(batch.names), bool)}
+
+    assert gauge_batch_size(Fake(), 1024, 100) == 128
+
+    class Dead:
+        def dispatch(self, batch):
+            raise RuntimeError("RESOURCE_EXHAUSTED")
+
+    import pytest
+    with pytest.raises(RuntimeError):
+        gauge_batch_size(Dead(), 128, 100)

@@ -164,3 +164,46 @@ def test_bwt_from_sa_roundtrip(rng):
     # locate row of the full-text suffix: primary has SA == 0
     pos, done = locate_batch(fmi, jnp.asarray([fmi.primary], jnp.int32))
     assert np.asarray(pos)[0] == 0
+
+
+def test_search_kmm_beam(rng):
+    """Arbitrary-k mismatch backtracker (backtrack.h:45-172 re-design):
+    a k-mutated query's true locus is recovered; k=0 matches exact search."""
+    import jax.numpy as jnp
+
+    from nvbio_tpu.fmi.index import build_fmindex
+    from nvbio_tpu.fmi.search import (
+        backward_search,
+        locate_core,
+        search_kmm,
+    )
+
+    text = rng.integers(0, 4, 3000, np.uint8)
+    fmi = build_fmindex(text).device()
+    L = 14
+    q = text[500:500 + L].astype(np.int32)
+    q2 = q.copy()
+    q2[4] = (q2[4] + 1) % 4
+    q2[9] = (q2[9] + 2) % 4
+    qs = jnp.asarray(np.stack([q, q2]))
+    lens = jnp.asarray(np.full(2, L, np.int32))
+
+    lo, hi, nm, va = (np.asarray(x) for x in
+                      search_kmm(fmi, qs, lens, k=2, max_states=32))
+    found = [set() for _ in range(2)]
+    for b in range(2):
+        for s in range(32):
+            if va[b, s] and hi[b, s] > lo[b, s]:
+                rows = np.arange(lo[b, s], hi[b, s])
+                pos, done = locate_core(fmi, jnp.asarray(rows, np.int32))
+                found[b].update(np.asarray(pos)[np.asarray(done)].tolist())
+    assert 500 in found[0]          # exact query, nm=0 state
+    assert 500 in found[1]          # 2-mismatch query recovered
+    assert nm[1][va[1]].min() == 2  # its cheapest state costs 2 mismatches
+
+    # k=0 beam == exact backward search
+    lo0, hi0, nm0, va0 = (np.asarray(x) for x in
+                          search_kmm(fmi, qs[:1], lens[:1], k=0,
+                                     max_states=4))
+    elo, ehi = (np.asarray(x) for x in backward_search(fmi, qs[:1], lens[:1]))
+    assert va0[0, 0] and (lo0[0, 0], hi0[0, 0]) == (elo[0], ehi[0])

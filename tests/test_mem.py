@@ -163,3 +163,38 @@ def test_mem_multichain_repeat(genome):
     )
     recs_u = mapper.map_batch(batch_u)
     assert len(recs_u) == 1 and recs_u[0].pos == 501
+
+
+def test_threshold_kmems(genome):
+    """find_threshold_kmems: extension stops while occurrences stay >=
+    min_intv, yielding shorter sub-SMEMs in repeat context
+    (fmindex/mem.h:129-176)."""
+    import jax.numpy as jnp
+
+    from nvbio_tpu.fmi.index import build_fmindex
+    from nvbio_tpu.fmi.mem import find_smems_batch, find_threshold_kmems_batch
+
+    # duplicate a segment so sub-matches have occ >= 2 while the full
+    # (unique-context) extension has occ == 1
+    seg = genome[1000:1400]
+    g = np.concatenate([genome, seg])
+    fmi_rev = build_fmindex(g[::-1].copy()).device()
+    L = 60
+    read = g[1100:1100 + L].astype(np.int32)[None, :]
+    lens = np.array([L], np.int32)
+
+    sm1 = find_smems_batch(fmi_rev, jnp.asarray(read), jnp.asarray(lens),
+                           min_len=15)
+    km = find_threshold_kmems_batch(fmi_rev, jnp.asarray(read),
+                                    jnp.asarray(lens), min_len=15,
+                                    min_intv=2)
+    # threshold matches must all keep >= 2 occurrences...
+    occ = np.asarray(km.n_occ)[np.asarray(km.valid)]
+    assert len(occ) and (occ >= 2).all()
+    # ...and be no longer than the unconstrained maximal matches
+    span1 = (np.asarray(sm1.qend) - np.asarray(sm1.qbeg))[np.asarray(sm1.valid)]
+    spank = (np.asarray(km.qend) - np.asarray(km.qbeg))[np.asarray(km.valid)]
+    assert spank.max() <= span1.max()
+    # located hits land on both copies of the repeat
+    tp = np.asarray(km.tpos)[np.asarray(km.hit_valid)]
+    assert (tp < len(genome)).any() and (tp >= len(genome)).any()
