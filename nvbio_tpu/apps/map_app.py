@@ -37,6 +37,9 @@ def add_parser(sub):
                    help="local alignment (soft-clipped ends, bowtie2 "
                         "--local scoring + local MAPQ)")
     p.add_argument("--report", help="write an HTML stats report")
+    p.add_argument("--profile", metavar="DIR",
+                   help="capture a jax.profiler device trace into DIR "
+                        "(view with tensorboard / xprof)")
     p.add_argument("--config", help="option file: one key=value per line "
                                     "(overrides CLI parameter defaults)")
     p.add_argument("-I", "--minins", type=int, default=0)
@@ -176,6 +179,16 @@ def run(args):
     stats = AlignmentStats()
     stage_stats = []
     t0 = time.time()
+    prof = None
+    if args.profile:
+        # device trace (the reference's nvprof-style per-kernel profiling,
+        # SURVEY §5 tracing subsystem)
+        import contextlib
+
+        import jax as _jaxp
+
+        prof = contextlib.ExitStack()
+        prof.enter_context(_jaxp.profiler.trace(args.profile))
     with open_alignment_output(args.output, ref.names, lengths) as w:
         if paired:
             from nvbio_tpu.bowtie.paired import map_pair_batch
@@ -243,6 +256,9 @@ def run(args):
                     n_reads += 1
                     n_mapped += 0 if rec.flag & 0x4 else 1
             stage_stats = [st_parse, st_fmt]
+    if prof is not None:
+        prof.close()
+        log_info(f"profiler trace written to {args.profile}")
     dt = time.time() - t0
     log_stats(
         f"{n_reads:,} reads in {dt:.1f}s ({n_reads/max(dt,1e-9):,.0f} reads/s); "

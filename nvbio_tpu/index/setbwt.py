@@ -162,10 +162,24 @@ def merge_mse_bwts(bwt1, tags1, bwt2, tags2, max_rounds: int | None = None):
     return bwt, tags
 
 
-def mse_bwt_incremental(reads, block_size: int = 100_000) -> np.ndarray:
-    """Block-incremental multi-string BWT: build each block with SA-IS-class
-    sorting, then fold the blocks together with merge_mse_bwts — the
-    reference's BWTE pipeline shape (nvSetBWT.cu:64-305)."""
+def mse_bwt_incremental(reads, block_size: int = 100_000,
+                        method: str = "paged") -> np.ndarray:
+    """Block-incremental multi-string BWT (the reference's BWTE pipeline
+    shape, ``nvSetBWT.cu:64-305``).
+
+    method="paged" (default): BCR column insertion into a PagedText — data
+    movement per block bounded by touched pages, the ``paged_text.h`` +
+    ``bwte.h`` scale-up design (the reference reaches ~100 G symbols this
+    way, ``sufsort/sufsort.h:47-49``).
+    method="merge": per-block SA-IS + Holt-McMillan interleave merges."""
+    if method == "paged":
+        from nvbio_tpu.index.paged_text import PagedText, bwte_insert_block
+
+        pt = PagedText(n_symbols=5)
+        ns = 0
+        for i in range(0, len(reads), block_size):
+            ns = bwte_insert_block(pt, reads[i:i + block_size], ns)
+        return pt.gather()
     acc = np.zeros(0, np.uint8)
     acc_tags = np.zeros(0, np.int64)
     for i in range(0, len(reads), block_size):

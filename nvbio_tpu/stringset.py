@@ -101,3 +101,89 @@ def _jnp():
     import jax.numpy as jnp
 
     return jnp
+
+
+@dataclasses.dataclass
+class SparseStringSet:
+    """Sparse view: strings are (start, length) ranges into one base text.
+
+    Counterpart of the reference's SparseStringSet (``string_set.h:60-88``):
+    a shallow representation over shared storage — no copies until a dense
+    (padded) materialization is requested for device work.
+    """
+
+    base: np.ndarray     # flat codes
+    starts: np.ndarray   # int[n]
+    lens: np.ndarray     # int[n]
+
+    def __len__(self) -> int:
+        return len(self.starts)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        s, l = int(self.starts[i]), int(self.lens[i])
+        return self.base[s:s + l]
+
+    def to_padded(self, max_len: int | None = None, pad_value: int = 0):
+        L = int(max_len if max_len is not None else
+                (self.lens.max() if len(self.lens) else 0))
+        n = len(self.starts)
+        idx = np.clip(
+            np.asarray(self.starts)[:, None] + np.arange(L)[None, :],
+            0, max(len(self.base) - 1, 0))
+        mat = self.base[idx] if len(self.base) else np.zeros((n, L), np.uint8)
+        valid = np.arange(L)[None, :] < np.asarray(self.lens)[:, None]
+        mat = np.where(valid, mat, pad_value).astype(self.base.dtype)
+        return PaddedStringSet(mat, np.asarray(self.lens, np.int32))
+
+
+@dataclasses.dataclass
+class StridedStringSet:
+    """Strided view: string i's j-th symbol lives at base[j * stride + i].
+
+    Counterpart of StridedStringSet (``string_set.h:60-88``) — the
+    transposed layout CUDA kernels use for coalescing; on TPU this is
+    exactly the (L, B) lane-major layout the Pallas kernels consume, so the
+    view converts between host (B, L) and device-native (L, B) for free.
+    """
+
+    base: np.ndarray     # flat, strided storage
+    stride: int
+    n: int               # number of strings
+    lens: np.ndarray     # int[n]
+
+    @classmethod
+    def from_padded(cls, padded: "PaddedStringSet") -> "StridedStringSet":
+        mat = np.asarray(padded.codes)
+        return cls(base=np.ascontiguousarray(mat.T).reshape(-1),
+                   stride=mat.shape[0], n=mat.shape[0],
+                   lens=np.asarray(padded.lengths))
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        L = int(self.lens[i])
+        return self.base[np.arange(L) * self.stride + i]
+
+    def to_padded(self) -> "PaddedStringSet":
+        L = len(self.base) // max(self.stride, 1)
+        mat = self.base.reshape(L, self.stride).T[:self.n]
+        return PaddedStringSet(np.ascontiguousarray(mat),
+                               np.asarray(self.lens, np.int32))
+
+
+def make_prefix_set(concat: "ConcatStringSet", prefix_lens: np.ndarray):
+    """PrefixSet view: the first ``prefix_lens[i]`` symbols of each string
+    (``string_set.h`` Prefix/PrefixSet) as a SparseStringSet."""
+    starts = np.asarray(concat.offsets[:-1])
+    lens = np.minimum(np.asarray(prefix_lens), concat.lengths)
+    return SparseStringSet(concat.codes, starts, lens)
+
+
+def make_suffix_set(concat: "ConcatStringSet", suffix_from: np.ndarray):
+    """SuffixSet view: each string from position ``suffix_from[i]`` on
+    (``string_set.h`` Suffix/SuffixSet) as a SparseStringSet."""
+    full = concat.lengths
+    f = np.minimum(np.asarray(suffix_from), full)
+    starts = np.asarray(concat.offsets[:-1]) + f
+    return SparseStringSet(concat.codes, starts, full - f)

@@ -76,3 +76,39 @@ def test_wavelet_rank(rng):
         got = np.asarray(wt_rank(wt, jnp.asarray(cs), jnp.asarray(idx)))
         want = np.array([(codes[:i] == c).sum() for c, i in zip(cs, idx)])
         np.testing.assert_array_equal(got, want)
+
+
+def test_string_set_views(rng):
+    """Sparse/strided/prefix/suffix string-set views (string_set.h:60-88):
+    shallow adaptors over shared storage, round-tripping through padded."""
+    from nvbio_tpu.stringset import (
+        ConcatStringSet,
+        SparseStringSet,
+        StridedStringSet,
+        make_prefix_set,
+        make_suffix_set,
+    )
+
+    strings = ["ACGTACG", "TTG", "GATTACA", "C"]
+    cs = ConcatStringSet.from_strings(strings)
+
+    sp = SparseStringSet(cs.codes, np.asarray(cs.offsets[:-1]),
+                         cs.lengths)
+    for i, s in enumerate(strings):
+        assert len(sp[i]) == len(s)
+        np.testing.assert_array_equal(sp[i], cs[i])
+    padded = sp.to_padded()
+    st = StridedStringSet.from_padded(padded)
+    for i in range(len(strings)):
+        np.testing.assert_array_equal(st[i], cs[i])
+    back = st.to_padded()
+    np.testing.assert_array_equal(np.asarray(back.codes),
+                                  np.asarray(padded.codes))
+
+    pre = make_prefix_set(cs, np.array([3, 2, 10, 1]))
+    np.testing.assert_array_equal(pre[0], cs[0][:3])
+    np.testing.assert_array_equal(pre[2], cs[2])        # clamped to length
+    suf = make_suffix_set(cs, np.array([2, 1, 0, 5]))
+    np.testing.assert_array_equal(suf[0], cs[0][2:])
+    np.testing.assert_array_equal(suf[2], cs[2])
+    assert len(suf[3]) == 0                              # clamped empty

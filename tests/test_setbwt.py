@@ -109,3 +109,33 @@ def test_mse_bwt_incremental_blocks(rng):
     # symbol counts conserved: one '$' per read + all bases
     assert (got == 0).sum() == 23
     assert len(got) == 23 * 21
+
+
+def test_paged_bwte_insertion(rng):
+    """PagedText + BCR column insertion == direct multi-string BWT, across
+    blocks (paged_text.h + bwte.h equivalents: data movement bounded by
+    touched pages, occ via per-page counters)."""
+    from nvbio_tpu.index.paged_text import PagedText, bwte_insert_block
+    from nvbio_tpu.index.setbwt import mse_bwt
+
+    reads = [rng.integers(0, 4, int(rng.integers(3, 50))).astype(np.uint8)
+             for _ in range(80)]
+    want, _tags = mse_bwt(reads)
+
+    pt = PagedText(n_symbols=5, page=128)
+    ns = 0
+    for i in range(0, len(reads), 25):
+        ns = bwte_insert_block(pt, reads[i:i + 25], ns)
+    got = pt.gather()
+    np.testing.assert_array_equal(got, want)
+    assert ns == len(reads)
+    # paging actually engaged
+    assert len(pt.pages) > 3
+    assert max(len(p) for p in pt.pages) <= 128
+    # occ bookkeeping consistent
+    text = got
+    probe_pos = np.asarray([0, 17, len(text) // 3, len(text)], np.int64)
+    probe_sym = np.asarray([1, 0, 3, 2], np.int64)
+    occ = pt.occ_many(probe_sym, probe_pos)
+    for s, p, o in zip(probe_sym, probe_pos, occ):
+        assert o == int((text[:p] == s).sum())
