@@ -5,8 +5,8 @@ SC = GotohScoring(0, -6, -8, -3, -8, -3)
 rng = np.random.default_rng(1)
 L = 100
 Lp = 104
-G = 512
-KCHAIN = 4
+G = 1024
+KCHAIN = 2
 def run(W, unroll):
     TWp = Lp + W
     p2 = jnp.asarray(rng.integers(0, 4, size=(G, Lp, 8, 128), dtype=np.int32))
@@ -30,6 +30,6 @@ def run(W, unroll):
     for o in outs: int(np.asarray(o[:1])[0])
     dt = (time.time()-t0)/(6*KCHAIN)
     print(f"W={W} unroll={unroll}: {G*1024*L*W/dt/1e9:.1f} GCUPS ({dt*1e3:.2f} ms; {dt/L*1e6:.2f} us/row)")
-run(25, 2)
-run(33, 2)
+run(25, 1)
+run(33, 1)
 run(49, 1)

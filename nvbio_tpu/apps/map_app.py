@@ -40,6 +40,12 @@ def add_parser(sub):
     p.add_argument("--profile", metavar="DIR",
                    help="capture a jax.profiler device trace into DIR "
                         "(view with tensorboard / xprof)")
+    p.add_argument("--mapq-filter", type=int, default=0, metavar="Q",
+                   help="suppress alignments with MAPQ < Q (emitted as "
+                        "unmapped; reference output mapq filter)")
+    p.add_argument("--debug-output", metavar="FILE",
+                   help="also dump binary per-read diagnostics "
+                        "(DebugOutput, output_debug.h) — SE only")
     p.add_argument("--config", help="option file: one key=value per line "
                                     "(overrides CLI parameter defaults)")
     p.add_argument("-I", "--minins", type=int, default=0)
@@ -125,6 +131,22 @@ def gauge_batch_size(mapper, batch_size: int, max_len: int,
                      f"halving to {batch_size}")
 
 
+def _dump_debug(dbg, mapper, res):
+    """Fetch the diagnostic keys of one result batch into DebugOutput."""
+    import jax
+    import numpy as np
+
+    keys = ("mapped", "strand", "mapq", "nm", "has_second",
+            "best_score", "second_score", "window_start", "text_start")
+    small = {k: np.asarray(v) for k, v in
+             jax.device_get({k: res[k] for k in keys}).items()}
+    gpos = small["window_start"].astype(np.int64) + small["text_start"]
+    cis = np.searchsorted(mapper.ref_offsets, gpos, side="right") - 1
+    cis = np.clip(cis, 0, len(mapper.ref_names) - 1)
+    local = gpos - mapper.ref_offsets[cis] + 1
+    dbg.process_batch(small, cis, local)
+
+
 def run(args):
     from nvbio_tpu.bowtie.params import MapParams
     from nvbio_tpu.bowtie.pipeline import ReadMapper
@@ -189,6 +211,30 @@ def run(args):
 
         prof = contextlib.ExitStack()
         prof.enter_context(_jaxp.profiler.trace(args.profile))
+    from nvbio_tpu.io.sam import SamRecord
+
+    def emit(w_, rec):
+        nonlocal n_reads, n_mapped
+        if args.mapq_filter and not rec.flag & 0x4:
+            if rec.flag & 0x100:
+                return  # filtered secondaries are dropped outright
+            if rec.mapq < args.mapq_filter:
+                # below-threshold alignments are reported unmapped
+                # (the reference's output mapq filter)
+                rec = SamRecord(
+                    qname=rec.qname, flag=(rec.flag | 0x4) & ~0x912,
+                    rname="*", pos=0, mapq=0, cigar="*",
+                    seq=rec.seq, qual=rec.qual)
+        w_.write(rec)
+        if not rec.flag & 0x100:
+            n_reads += 1
+            n_mapped += 0 if rec.flag & 0x4 else 1
+
+    dbg = None
+    if args.debug_output and not paired and not args.all_mode:
+        from nvbio_tpu.io.debug import DebugOutput
+
+        dbg = DebugOutput(args.debug_output)
     with open_alignment_output(args.output, ref.names, lengths) as w:
         if paired:
             from nvbio_tpu.bowtie.paired import map_pair_batch
@@ -199,17 +245,12 @@ def run(args):
                                 alphabet=Alphabet.DNA_N)
             for b1, b2 in zip(it1, it2):
                 for rec in map_pair_batch(mapper, b1, b2, stats=stats):
-                    w.write(rec)
-                    n_reads += 1
-                    n_mapped += 0 if rec.flag & 0x4 else 1
+                    emit(w, rec)
         elif args.all_mode:
             for batch in fastq_batches(args.reads, args.batch, args.max_read_len,
                                        alphabet=Alphabet.DNA_N):
                 for rec in mapper.map_batch_all(batch):
-                    w.write(rec)
-                    if not rec.flag & 0x100:
-                        n_reads += 1
-                        n_mapped += 0 if rec.flag & 0x4 else 1
+                    emit(w, rec)
         else:
             # software pipelining: device compute of batch i+1 overlaps the
             # host-side formatting/writing of batch i (async jax dispatch);
@@ -237,10 +278,10 @@ def run(args):
                         {k: pres[k] for k in
                          ("mapped", "mapq", "nm", "has_second")})
                     stats.update_from_result(small, pb.lengths)
+                    if dbg is not None:
+                        _dump_debug(dbg, mapper, pres)
                     for rec in mapper.format_batch(pb, pres):
-                        w.write(rec)
-                        n_reads += 1
-                        n_mapped += 0 if rec.flag & 0x4 else 1
+                        emit(w, rec)
                     st_fmt.add(tf.stop(), len(pb.names))
                 pending = (batch, res)
             if pending is not None:
@@ -251,11 +292,14 @@ def run(args):
                     {k: pres[k] for k in
                      ("mapped", "mapq", "nm", "has_second")})
                 stats.update_from_result(small, pb.lengths)
+                if dbg is not None:
+                    _dump_debug(dbg, mapper, pres)
                 for rec in mapper.format_batch(pb, pres):
-                    w.write(rec)
-                    n_reads += 1
-                    n_mapped += 0 if rec.flag & 0x4 else 1
+                    emit(w, rec)
             stage_stats = [st_parse, st_fmt]
+    if dbg is not None:
+        dbg.close()
+        log_info(f"debug records written to {args.debug_output}")
     if prof is not None:
         prof.close()
         log_info(f"profiler trace written to {args.profile}")

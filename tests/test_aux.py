@@ -111,3 +111,36 @@ def test_fm_server_live(tmp_path):
     finally:
         server.stop()
         t.join(timeout=2)
+
+
+def test_debug_output_roundtrip(tmp_path):
+    """DebugOutput binary diagnostic records (output_debug.h equivalent)."""
+    import numpy as np
+
+    from nvbio_tpu.io.debug import DebugOutput, read_debug
+
+    B = 16
+    rng = np.random.default_rng(2)
+    res = dict(
+        mapped=rng.random(B) < 0.8,
+        strand=rng.random(B) < 0.5,
+        mapq=rng.integers(0, 61, B),
+        nm=rng.integers(0, 9, B),
+        has_second=rng.random(B) < 0.3,
+        best_score=-rng.integers(0, 60, B).astype(np.int32),
+        second_score=-rng.integers(0, 90, B).astype(np.int32),
+    )
+    refids = rng.integers(0, 3, B)
+    pos = rng.integers(0, 100000, B)
+    p = str(tmp_path / "d.dbg")
+    with DebugOutput(p) as d:
+        d.process_batch(res, refids, pos)
+        d.process_batch(res, refids, pos)
+    back = read_debug(p)
+    assert len(back) == 2 * B
+    np.testing.assert_array_equal(back["read_id"][:B], np.arange(B))
+    np.testing.assert_array_equal(back["read_id"][B:], B + np.arange(B))
+    np.testing.assert_array_equal(back["mapq"][:B], res["mapq"])
+    np.testing.assert_array_equal(back["score"][:B], res["best_score"])
+    got_unmapped = (back["flag"][:B] & 4) > 0
+    np.testing.assert_array_equal(got_unmapped, ~res["mapped"])
