@@ -30,7 +30,7 @@ def run(W, G, unroll):
     dt = (time.time()-t0)/reps
     print(f"W={W} G={G} unroll={unroll}: raw {G*1024*L*W/dt/1e9:.1f} GCUPS "
           f"({dt*1e3:.1f} ms); minus-30ms {G*1024*L*W/max(dt-0.030,1e-9)/1e9:.1f}", flush=True)
-run(17, 4096, 4)
+run(25, 4096, 10)
+run(29, 4096, 4)
+run(33, 4096, 4)
 run(25, 4096, 4)
-run(33, 4096, 2)
-run(49, 2048, 2)

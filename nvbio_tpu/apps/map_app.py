@@ -237,14 +237,21 @@ def run(args):
         dbg = DebugOutput(args.debug_output)
     with open_alignment_output(args.output, ref.names, lengths) as w:
         if paired:
-            from nvbio_tpu.bowtie.paired import map_pair_batch
+            from nvbio_tpu.bowtie.paired import (
+                map_pair_batch,
+                map_pair_batch_all,
+            )
 
             it1 = fastq_batches(args.mate1, args.batch, args.max_read_len,
                                 alphabet=Alphabet.DNA_N)
             it2 = fastq_batches(args.mate2, args.batch, args.max_read_len,
                                 alphabet=Alphabet.DNA_N)
             for b1, b2 in zip(it1, it2):
-                for rec in map_pair_batch(mapper, b1, b2, stats=stats):
+                if args.all_mode:  # PE all-mapping: every concordant locus
+                    recs = map_pair_batch_all(mapper, b1, b2)
+                else:
+                    recs = map_pair_batch(mapper, b1, b2, stats=stats)
+                for rec in recs:
                     emit(w, rec)
         elif args.all_mode:
             for batch in fastq_batches(args.reads, args.batch, args.max_read_len,

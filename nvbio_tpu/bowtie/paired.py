@@ -456,3 +456,182 @@ def map_pair_batch(mapper, batch1, batch2, stats=None):
                 tags=tags,
             ))
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("params", "max_pairs"))
+def align_paired_all(
+    index, genome_words, n_genome,
+    reads1, lens1, quals1, reads2, lens2, quals2,
+    params: MapParams, max_pairs: int = 4,
+):
+    """PE all-mapping: every concordant pair locus above threshold (up to
+    ``max_pairs`` per read pair), the paired analogue of
+    ``aligner_all.h:78-561`` — top-k over the concordance matrix + one
+    flattened traceback batch per mate."""
+    from nvbio_tpu.bowtie.pipeline import _absdiff, finalize_best
+
+    P = params
+    neg = jnp.int32(NEG_INF)
+    B, L = reads1.shape
+
+    c1 = read_candidates(index, genome_words, n_genome, reads1, lens1, quals1, P)
+    c2 = read_candidates(index, genome_words, n_genome, reads2, lens2, quals2, P)
+    score_min1 = score_min_of(c1["lens"], P)
+    score_min2 = score_min_of(c2["lens"], P)
+    s1 = jnp.where(c1["scores"] >= score_min1[:, None], c1["scores"], neg)
+    s2 = jnp.where(c2["scores"] >= score_min2[:, None], c2["scores"], neg)
+    C = s1.shape[1]
+
+    pdt = c1["w0"].dtype
+    w1 = c1["w0"][:, :, None]
+    w2 = c2["w0"][:, None, :]
+    st1 = c1["strand"][:, :, None]
+    st2 = c2["strand"][:, None, :]
+    slack = P.band
+    if P.pe_policy == "fr":
+        condA, condB = (~st1) & st2, st1 & (~st2)
+    elif P.pe_policy == "rf":
+        condA, condB = st1 & (~st2), st2 & (~st1)
+    else:
+        condA, condB = (~st1) & (~st2), st1 & st2
+    endA = w2 + c2["lens"].astype(pdt)[:, None, None]
+    okA = (condA & (endA + slack >= w1 + P.minins)
+           & (endA <= w1 + (P.maxins + slack)))
+    endB = w1 + c1["lens"].astype(pdt)[:, None, None]
+    okB = (condB & (endB + slack >= w2 + P.minins)
+           & (endB <= w2 + (P.maxins + slack)))
+    conc = okA | okB
+    pair_scores = jnp.where(conc, s1[:, :, None] + s2[:, None, :], neg)
+
+    K = max_pairs
+    top_vals, top_idx = jax.lax.top_k(pair_scores.reshape(B, C * C), K)
+    i1 = (top_idx // C).astype(jnp.int32)
+    i2 = (top_idx % C).astype(jnp.int32)
+    pw1 = jnp.take_along_axis(c1["w0"], i1, axis=1)       # (B, K)
+    pw2 = jnp.take_along_axis(c2["w0"], i2, axis=1)
+    pst1 = jnp.take_along_axis(jnp.broadcast_to(c1["strand"], s1.shape), i1, axis=1)
+    pst2 = jnp.take_along_axis(jnp.broadcast_to(c2["strand"], s2.shape), i2, axis=1)
+    keep = top_vals > neg // 2
+    # distinct-locus dedup among the K slots (top_k returns adjacent cells
+    # of the same physical pair locus)
+    tol = 2 * P.max_dist
+    for k in range(1, K):
+        samek = jnp.zeros((B,), bool)
+        for j in range(k):
+            samek = samek | (
+                (_absdiff(pw1[:, k], pw1[:, j]) <= tol)
+                & (_absdiff(pw2[:, k], pw2[:, j]) <= tol)
+                & keep[:, j])
+        keep = keep.at[:, k].set(keep[:, k] & ~samek)
+
+    def fin_mates(c, w0k, stk):
+        cands = dict(c)
+        reads_r = jnp.repeat(c["reads"], K, axis=0)
+        rc_r = jnp.repeat(c["rc"], K, axis=0)
+        lens_r = jnp.repeat(c["lens"], K)
+        mm_r = None if c["mm"] is None else jnp.repeat(c["mm"], K, axis=0)
+        mmrc_r = None if c["mm_rc"] is None else jnp.repeat(c["mm_rc"], K, axis=0)
+        cands.update(reads=reads_r, rc=rc_r, lens=lens_r, mm=mm_r,
+                     mm_rc=mmrc_r,
+                     w0=w0k.reshape(B * K)[:, None],
+                     strand=stk.reshape(B * K)[:, None])
+        fin = finalize_best(cands, genome_words, n_genome,
+                            jnp.zeros((B * K,), jnp.int32), P)
+        return {kk: v.reshape((B, K) + v.shape[1:]) for kk, v in fin.items()}
+
+    fin1 = fin_mates(c1, pw1, pst1)
+    fin2 = fin_mates(c2, pw2, pst2)
+    mapq = mapq_v2_end_to_end(
+        top_vals[:, 0], jnp.where(keep[:, 1], top_vals[:, 1], neg),
+        keep[:, 1], score_min1 + score_min2)
+    return dict(keep=keep, pair_score=top_vals, mapq=mapq,
+                fin1=fin1, fin2=fin2)
+
+
+def map_pair_batch_all(mapper, batch1, batch2, max_pairs: int = 4):
+    """All-mapping PE: one primary + secondary records per extra concordant
+    pair locus."""
+    from nvbio_tpu.align.traceback import cigar_to_string
+    from nvbio_tpu.bowtie.pipeline import host_rc_ascii, use_pallas_extension
+    from nvbio_tpu.io.sam import (
+        FLAG_FIRST_IN_PAIR, FLAG_MATE_REVERSE, FLAG_PAIRED, FLAG_PROPER_PAIR,
+        FLAG_REVERSE, FLAG_SECOND_IN_PAIR, FLAG_UNMAPPED, SamRecord,
+        quals_to_string,
+    )
+
+    FLAG_SECONDARY = 0x100
+    rev_ops = use_pallas_extension(mapper.params)
+    res = align_paired_all(
+        mapper.index, mapper.genome_words, mapper.n_genome_dev,
+        jnp.asarray(batch1.codes), jnp.asarray(batch1.lengths),
+        jnp.asarray(batch1.quals),
+        jnp.asarray(batch2.codes), jnp.asarray(batch2.lengths),
+        jnp.asarray(batch2.quals),
+        mapper.params, max_pairs=max_pairs)
+    res = jax.device_get(res)
+    keep = np.asarray(res["keep"])
+    rc_asc = (host_rc_ascii(batch1.codes), host_rc_ascii(batch2.codes))
+    Lfull = batch1.codes.shape[1]
+
+    out = []
+    for b, name in enumerate(batch1.names):
+        if batch1.lengths[b] == 0:
+            continue
+        slots = np.flatnonzero(keep[b])
+        for rank, k in enumerate(slots.tolist()):
+            recs = []
+            for m, (batch, fin, first) in enumerate(
+                ((batch1, res["fin1"], True), (batch2, res["fin2"], False))
+            ):
+                L = int(batch.lengths[b])
+                strand = bool(fin["strand"][b, k])
+                gpos = int(fin["window_start"][b, k]) + int(
+                    fin["text_start"][b, k])
+                ci, local = mapper.contig_of(gpos)
+                flag = (FLAG_PAIRED | FLAG_PROPER_PAIR
+                        | (FLAG_FIRST_IN_PAIR if first
+                           else FLAG_SECOND_IN_PAIR)
+                        | (FLAG_REVERSE if strand else 0)
+                        | (FLAG_SECONDARY if rank else 0))
+                if rank == 0:
+                    if strand:
+                        seq = rc_asc[m][b, Lfull - L:].tobytes().decode()
+                        qual = quals_to_string(batch.quals[b, :L][::-1], L)
+                    else:
+                        from nvbio_tpu.alphabet import Alphabet, codes_to_string
+
+                        seq = codes_to_string(batch.codes[b, :L],
+                                              Alphabet.DNA_N)
+                        qual = quals_to_string(batch.quals[b], L)
+                else:
+                    seq, qual = "*", "*"
+                n_ops = int(fin["n_ops"][b, k])
+                cigar = (f"{n_ops}M" if fin["simple"][b, k] else
+                         cigar_to_string(fin["ops"][b, k], n_ops,
+                                         reverse=rev_ops))
+                recs.append((flag, ci, local, cigar, seq, qual, strand, m))
+            for (flag, ci, local, cigar, seq, qual, strand, m) in recs:
+                o = recs[1 - m]
+                flag |= FLAG_MATE_REVERSE if o[6] else 0
+                out.append(SamRecord(
+                    qname=name, flag=flag, rname=mapper.ref_names[ci],
+                    pos=local + 1,
+                    mapq=int(res["mapq"][b]) if rank == 0 else 0,
+                    cigar=cigar, seq=seq, qual=qual,
+                    rnext="=", pnext=o[2] + 1,
+                    tags={"AS": int(res["pair_score"][b, k]), "YT": "CP"},
+                ))
+        if not len(slots):
+            for batch, first in ((batch1, True), (batch2, False)):
+                L = int(batch.lengths[b])
+                from nvbio_tpu.alphabet import Alphabet, codes_to_string
+
+                out.append(SamRecord(
+                    qname=name,
+                    flag=FLAG_PAIRED | FLAG_UNMAPPED
+                    | (FLAG_FIRST_IN_PAIR if first else FLAG_SECOND_IN_PAIR),
+                    rname="*", pos=0, mapq=0, cigar="*",
+                    seq=codes_to_string(batch.codes[b, :L], Alphabet.DNA_N),
+                    qual=quals_to_string(batch.quals[b], L),
+                ))
+    return out

@@ -178,3 +178,38 @@ def test_pe_policy_rf_and_ff(rng):
         proper_wrong = sum(1 for r in rw[::2] if r.flag & 0x2)
         assert proper_right >= 0.75 * n_pairs, (style, proper_right)
         assert proper_wrong <= n_pairs // 4, (style, proper_wrong)
+
+
+def test_pe_all_mapping_duplicated_locus(rng):
+    """PE all-mapping (aligner_all paired analogue): a pair from a
+    duplicated segment reports BOTH concordant pair loci (primary +
+    secondary pair records)."""
+    from nvbio_tpu.bowtie.paired import map_pair_batch_all
+
+    g = np.random.default_rng(77)
+    base = g.integers(0, 4, size=20000, dtype=np.uint8)
+    seg = base[3000:3600]                       # 600bp segment
+    genome = np.concatenate([base, seg])        # duplicated at 20000
+    ref = Reference.from_records(
+        [("chrA", codes_to_string(genome, Alphabet.DNA))])
+    params = MapParams(max_read_len=70, seed_len=18, seed_stride=12,
+                       hits_per_seed=4, max_dist=5, maxins=450)
+    mapper = ReadMapper.build(ref, params)
+
+    L, frag = 70, 300
+    m1 = seg[100:100 + L]
+    m2 = reverse_complement_codes(seg[100 + frag - L:100 + frag])
+
+    def mk(r):
+        return ReadBatch(names=["dp"], codes=r[None].astype(np.uint8),
+                         quals=np.full((1, L), 30, np.uint8),
+                         lengths=np.array([L], np.int32))
+
+    recs = map_pair_batch_all(mapper, mk(m1), mk(np.asarray(m2)))
+    primary = [r for r in recs if not r.flag & 0x100]
+    secondary = [r for r in recs if r.flag & 0x100]
+    assert len(primary) == 2 and len(secondary) == 2     # both mates, 2 loci
+    pos1 = sorted(r.pos - 1 for r in recs if r.flag & 0x40)
+    assert abs(pos1[0] - 3100) <= 5 and abs(pos1[1] - (20000 + 100)) <= 5
+    for r in recs:
+        assert r.flag & 0x2 and r.tags["YT"] == "CP"
