@@ -168,10 +168,18 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
     # be meaningless) — reject them like the reference's N-aware seeding
     seed_valid2 = seed_valid2 & ~jnp.any(seeds > 3, axis=-1)
 
+    from nvbio_tpu.fmi.sharded import ShardedFMIndex
     from nvbio_tpu.parallel.sharded_index import ShardedQGramIndex
 
     k = jnp.arange(H, dtype=jnp.int32)
-    if isinstance(index, ShardedQGramIndex):
+    if isinstance(index, ShardedFMIndex):
+        # genome-sliced FM-indexes served over the mesh (inside shard_map):
+        # local backward search per slice, all_to_all answer routing
+        from nvbio_tpu.fmi.sharded import sharded_fmi_seed_hits
+
+        pos, hvalid, _rs = sharded_fmi_seed_hits(index, seeds, P.seed_len, H)
+        hit_valid = hvalid & seed_valid2[:, :, None]
+    elif isinstance(index, ShardedQGramIndex):
         # bucket-range-sharded index served over ICI (inside shard_map):
         # same hit contract as the replicated q-gram path, bitwise
         from nvbio_tpu.parallel.sharded_index import sharded_seed_hits
@@ -219,7 +227,8 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
         pos, _ = locate_core(index, rows_flat)
         pos = pos.reshape(B, 2 * S1, H)
 
-    if approx_1mm and P.seeding == "qgram":
+    if (approx_1mm and P.seeding == "qgram"
+            and not isinstance(index, ShardedFMIndex)):
         # ---- 1-mismatch seeding (reseed passes) ---------------------------
         # every single-symbol mutation of each seed key is looked up (one
         # sampled slot per mutated bucket), then a within-seed voting

@@ -127,7 +127,8 @@ def build_qgram_index(codes: np.ndarray, q: int = 12,
 
 def build_qgram_index_large(codes: np.ndarray, q: int = 12,
                             chunk: int = 1 << 27,
-                            n_flags: np.ndarray | None = None) -> QGramIndex:
+                            n_flags: np.ndarray | None = None,
+                            verbose: bool = False) -> QGramIndex:
     """Blocked counting-sort builder for multi-Gbp texts.
 
     Two passes over ``chunk``-sized slices: (1) per-chunk bucket histograms
@@ -160,6 +161,8 @@ def build_qgram_index_large(codes: np.ndarray, q: int = 12,
     totals = np.zeros(n_buckets, np.int64)
     for c in range(n_chunks):
         totals += np.bincount(chunk_keys(c)[0], minlength=n_buckets)
+        if verbose:
+            print(f"  qgram pass1 chunk {c + 1}/{n_chunks}", flush=True)
     bucket_starts = np.zeros(n_buckets + 1, np.int64)
     np.cumsum(totals, out=bucket_starts[1:])
 
@@ -182,6 +185,8 @@ def build_qgram_index_large(codes: np.ndarray, q: int = 12,
         src = (order + c * chunk) if pos_of is None else pos_of[order]
         positions[cur[sk] + within] = src.astype(dt)
         cur += np.bincount(k, minlength=n_buckets)
+        if verbose:
+            print(f"  qgram pass2 chunk {c + 1}/{n_chunks}", flush=True)
     return QGramIndex(
         q=q,
         offsets=bucket_starts.astype(dt),

@@ -45,7 +45,17 @@ def main():
         genome[s:e] = rng.integers(0, 4, size=e - s, dtype=np.uint8)
     print(f"[{time.time()-t0:7.1f}s] genome synthesized: {N:,} bp", flush=True)
 
-    idx = build_qgram_index_large(genome, Q)
+    cache = "/tmp/human_scale_idx.npz"
+    if os.path.exists(cache):
+        from nvbio_tpu.qgram import QGramIndex
+
+        idx = QGramIndex.load(cache)
+        print(f"[{time.time()-t0:7.1f}s] index loaded from cache", flush=True)
+    else:
+        idx = build_qgram_index_large(genome, Q, verbose=True)
+        np.savez(cache, q=idx.q, offsets=np.asarray(idx.offsets),
+                 positions=np.asarray(idx.positions), n=idx.n)
+        print(f"[{time.time()-t0:7.1f}s] index cached to {cache}", flush=True)
     assert idx.positions.dtype == np.uint32, idx.positions.dtype
     print(f"[{time.time()-t0:7.1f}s] q-gram index built: q={Q}, "
           f"{idx.positions.nbytes/2**30:.1f} GiB positions (uint32), "

@@ -158,3 +158,58 @@ def test_sharded_index_uneven_shards(rng):
             want = pos[offs[key]:offs[key + 1]]
             got = sidx.positions[dshard, lo:hi]
             np.testing.assert_array_equal(np.asarray(got, np.int64), want)
+
+
+def test_sharded_fmindex_step(rng):
+    """Genome-sliced FM-indexes over the mesh: reads map to their truth
+    positions through shard_map (all_gather queries + all_to_all answers),
+    including reads crossing slice seams (SURVEY §2.5 #10, FM flavor)."""
+    from nvbio_tpu.fmi.sharded import place_sharded_fmindex, shard_fmindex
+    from nvbio_tpu.parallel.mesh import (
+        make_reads_mesh,
+        replicate,
+        shard_batch,
+        sharded_align_step,
+    )
+
+    n_dev = len(jax.devices())
+    assert n_dev >= 2
+    n = 40000
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    ref = Reference.from_records([("chrF", codes_to_string(codes))])
+    params = MapParams(max_read_len=80, seed_len=20, seed_stride=12,
+                       hits_per_seed=4, max_dist=5, seeding="fmi",
+                       max_reseed=0)
+    mesh = make_reads_mesh(n_dev)
+    sidx = place_sharded_fmindex(
+        mesh, shard_fmindex(codes, n_dev, overlap=128))
+
+    L = 80
+    B = 8 * n_dev
+    slice_len = sidx.slice_len
+    reads, positions = [], []
+    for i in range(B):
+        if i % 4 == 0:  # force seam-crossing reads
+            p = min((1 + i % n_dev) * slice_len - L // 2, n - L)
+        else:
+            p = int(rng.integers(0, n - L))
+        reads.append(codes[p:p + L])
+        positions.append(p)
+    reads = np.stack(reads).astype(np.int32)
+    lens = np.full(B, L, np.int32)
+    quals = np.full((B, L), 30, np.uint8)
+
+    step = sharded_align_step(mesh, params, index_sharded=True)
+    gwords = jnp.asarray(ref.packed_words())
+    res, stats = step(sidx, replicate(mesh, gwords), jnp.int32(n),
+                      shard_batch(mesh, jnp.asarray(reads)),
+                      shard_batch(mesh, jnp.asarray(lens)),
+                      shard_batch(mesh, jnp.asarray(quals)))
+    mapped = np.asarray(res["mapped"])
+    gpos = (np.asarray(res["window_start"]).astype(np.int64)
+            + np.asarray(res["text_start"]))
+    ok = mapped & (np.abs(gpos - np.asarray(positions)) <= params.max_dist)
+    assert ok.sum() >= 0.95 * B, f"{ok.sum()}/{B}"
+    # seam-crossers specifically
+    seam = np.arange(B) % 4 == 0
+    assert ok[seam].sum() >= 0.9 * seam.sum()
