@@ -96,6 +96,22 @@ def main():
     dt = (time.time() - t0) / REPS
     reads_per_sec = B / dt
 
+    # single-pass configuration (reseeding off): isolates the cost of the
+    # default multi-pass sensitivity machinery
+    import dataclasses as _dc
+
+    params_np = _dc.replace(params, max_reseed=0)
+
+    def dispatch_np(b):
+        return align_batch_core(fmi, gwords, n_genome, *b, params_np)
+
+    sync_scalar(dispatch_np(batch0))
+    t0 = time.time()
+    outs = [dispatch_np(b) for b in batches]
+    for o in outs:
+        sync_scalar(o)
+    reads_per_sec_single_pass = B / ((time.time() - t0) / REPS)
+
     # ---- paired-end throughput ---------------------------------------------
     # FR pairs sampled from the genome (mate2 = RC at fragment distance);
     # full pairing + Pallas mate rescue (Myers locate + banded re-score)
@@ -224,7 +240,9 @@ def main():
         from nvbio_tpu.align.pallas_kernels import myers_semiglobal_pallas
 
         MT = L + W - 1
-        MB = KB
+        # large enough that kernel time exceeds the relay submission
+        # latency (~30 ms), else the measurement is submission-bound
+        MB = KB * 4
 
         @_jax.jit
         def _mmake():
@@ -261,6 +279,8 @@ def main():
                 "vs_baseline": round(reads_per_sec / 62500.0, 4),
                 "extras": {
                     "platform": platform,
+                    "reads_per_sec_single_pass": round(
+                        reads_per_sec_single_pass, 1),
                     "pe_reads_per_sec": round(pe_reads_per_sec, 1),
                     "pe_vs_se": round(pe_reads_per_sec / reads_per_sec, 3),
                     "proper_pair_frac": round(proper_frac, 4),
