@@ -34,13 +34,17 @@ def main():
     platform = dev.platform
 
     # ---- problem setup -----------------------------------------------------
-    GENOME = 4_000_000 if platform != "cpu" else 400_000
+    # 100 Mbp reference on real hardware (the round-1 verdict's honest
+    # operating point: busy q-gram buckets, hits_per_seed=6) with ~1%-error
+    # reads; CPU CI keeps a toy size
+    GENOME = 100_000_000 if platform != "cpu" else 400_000
     B = 32768 if platform != "cpu" else 512
     L = 100
     genome = rng.integers(0, 4, size=GENOME, dtype=np.uint8)
 
     params = MapParams(
-        max_read_len=L, seed_len=22, seed_stride=15, hits_per_seed=4, max_dist=8
+        max_read_len=L, seed_len=22, seed_stride=15, hits_per_seed=6,
+        max_dist=8,
     )
 
     t0 = time.time()

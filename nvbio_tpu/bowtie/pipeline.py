@@ -227,36 +227,57 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
         pos, _ = locate_core(index, rows_flat)
         pos = pos.reshape(B, 2 * S1, H)
 
-    if (approx_1mm and P.seeding == "qgram"
-            and not isinstance(index, ShardedFMIndex)):
+    if approx_1mm and not isinstance(index, ShardedFMIndex):
         # ---- 1-mismatch seeding (reseed passes) ---------------------------
-        # every single-symbol mutation of each seed key is looked up (one
-        # sampled slot per mutated bucket), then a within-seed voting
-        # tournament keeps the NK best-supported extra loci — a SNP inside
-        # every exact seed window no longer makes a read unmappable.
-        qq = index.q
-        jj = jnp.arange(qq, dtype=jnp.int32)
-        shift = 2 * (qq - 1 - jj)                       # symbol j bit offset
-        dd = jnp.arange(1, 4, dtype=jnp.int32)
-        xor = (dd[None, :] << shift[:, None]).reshape(3 * qq)       # (3q,)
-        NM3 = 3 * qq
-        NSdim = keys.shape[1]
-        mut_keys = keys[:, :, None] ^ xor[None, None, :]  # (B, NS, 3q)
-        if isinstance(index, ShardedQGramIndex):
-            from nvbio_tpu.parallel.sharded_index import sharded_seed_hits
+        # q-gram path: every single-symbol mutation of each seed KEY is
+        # looked up (one sampled slot per mutated bucket). FM path: the
+        # dense search_1mm enumeration over the full seed (mapping.h:
+        # 132-163 approximate hybrid seeding). Either way a within-seed
+        # voting tournament keeps the NK best-supported extra loci — a SNP
+        # inside every exact seed window no longer makes a read unmappable.
+        if P.seeding == "qgram":
+            qq = index.q
+            jj = jnp.arange(qq, dtype=jnp.int32)
+            shift = 2 * (qq - 1 - jj)                   # symbol j bit offset
+            dd = jnp.arange(1, 4, dtype=jnp.int32)
+            xor = (dd[None, :] << shift[:, None]).reshape(3 * qq)   # (3q,)
+            NM3 = 3 * qq
+            NSdim = keys.shape[1]
+            mut_keys = keys[:, :, None] ^ xor[None, None, :]  # (B, NS, 3q)
+            if isinstance(index, ShardedQGramIndex):
+                from nvbio_tpu.parallel.sharded_index import sharded_seed_hits
 
-            p1, rs1 = sharded_seed_hits(
-                index, mut_keys.reshape(B, NSdim * NM3), 1)
-            pos1 = p1.reshape(B, NSdim, NM3)
-            rs1 = rs1.reshape(B, NSdim, NM3)
+                p1, rs1 = sharded_seed_hits(
+                    index, mut_keys.reshape(B, NSdim * NM3), 1)
+                pos1 = p1.reshape(B, NSdim, NM3)
+                rs1 = rs1.reshape(B, NSdim, NM3)
+            else:
+                from nvbio_tpu.qgram import index_locate as _iloc, \
+                    index_range as _irng
+
+                lo1, hi1 = _irng(index, mut_keys)
+                rs1 = jnp.maximum(hi1 - lo1, jnp.zeros((), lo1.dtype))
+                pos1 = _iloc(index, lo1, rs1 // 2)      # middle slot
+            valid1 = (rs1 > 0) & seed_valid2[:, :, None]
         else:
-            from nvbio_tpu.qgram import index_locate as _iloc, \
-                index_range as _irng
+            # FM path: search_1mm's (B*NS, s, 3) mutated-seed SA ranges,
+            # one located slot per nonempty range
+            from nvbio_tpu.fmi.search import search_1mm
 
-            lo1, hi1 = _irng(index, mut_keys)
-            rs1 = jnp.maximum(hi1 - lo1, jnp.zeros((), lo1.dtype))
-            pos1 = _iloc(index, lo1, rs1 // 2)          # middle slot
-        valid1 = (rs1 > 0) & seed_valid2[:, :, None]
+            NSdim = seeds.shape[1]
+            slen = P.seed_len
+            seeds_f = seeds.reshape(B * NSdim, slen)
+            slens_f = jnp.full((B * NSdim,), slen, jnp.int32)
+            _elo, _ehi, mm_lo, mm_hi, _sym = search_1mm(index, seeds_f,
+                                                        slens_f)
+            NM3 = slen * 3
+            mm_lo = mm_lo.reshape(B * NSdim * NM3)
+            mm_hi = mm_hi.reshape(B * NSdim * NM3)
+            rows1 = jnp.clip(mm_lo + (mm_hi - mm_lo) // 2, 0, index.n)
+            p1, _res1 = locate_core(index, rows1)
+            pos1 = p1.reshape(B, NSdim, NM3)
+            rs1 = (mm_hi - mm_lo).reshape(B, NSdim, NM3)
+            valid1 = (rs1 > 0) & seed_valid2[:, :, None]
 
         NK = 2
         tol1 = 2 * P.max_dist
@@ -597,12 +618,19 @@ def align_batch_core(index, genome_words, n_genome, reads, lens, quals,
     best_score, best_pos, best_strand, second_score = _reduce_best2(cands, P)
     score_min = score_min_of(lens, P)
 
+    # shape (1,): rank>=1 so shard_map out_specs can concatenate it
+    reseed_overflow = jnp.zeros((1,), jnp.int32)
     if P.max_reseed > 0 and B > 1:
         tol = 2 * P.max_dist
         B2 = max(8, min(B, int(round(B * P.reseed_frac / 8)) * 8))
         for p in range(1, P.max_reseed + 1):
             phase = (p * P.seed_stride) // (P.max_reseed + 1)
             needs = (best_score < score_min) & (lens >= P.seed_len)
+            # overflow semantics (vector_array.h analogue): reads needing a
+            # reseed beyond the queue capacity are REPORTED, not hidden
+            reseed_overflow = jnp.maximum(
+                reseed_overflow,
+                jnp.maximum(jnp.sum(needs.astype(jnp.int32)) - B2, 0)[None])
             # compact the reseed queue: unaligned reads to the front,
             # capacity B2 (excess reads wait — capacity-bounded multi-pass)
             order = jnp.argsort(
@@ -664,6 +692,7 @@ def align_batch_core(index, genome_words, n_genome, reads, lens, quals,
         best_score=best_score,
         second_score=second_score,
         has_second=has_second,
+        reseed_overflow=reseed_overflow,
         mapq=mapq,
         strand=fin["strand"],
         window_start=fin["window_start"],

@@ -32,6 +32,10 @@ class SmemHits(NamedTuple):
     tpos: jnp.ndarray    # (B, S, H) int32 genome start positions
     hit_valid: jnp.ndarray  # (B, S, H) bool
     n_occ: jnp.ndarray   # (B, S) int32 total occurrence count
+    overflow: jnp.ndarray  # (B,) int32 SMEMs found beyond the S slots
+                           # (the reference's vector-array overflow flag,
+                           # basic/vector_array.h — capacity-bounded
+                           # containers REPORT truncation, never hide it)
 
 
 def smem_extend_lengths(fmi_rev, reads, lens, min_intv: int = 1):
@@ -105,6 +109,8 @@ def find_threshold_kmems_batch(
                              axis=1)
     is_mem = (e > e_prev) & (ext >= min_len) & (p < lens[:, None])
 
+    overflow = jnp.maximum(
+        jnp.sum(is_mem.astype(jnp.int32), axis=1) - S, 0)
     key = jnp.where(is_mem, ext, -1)
     sel = jnp.argsort(-key, axis=1, stable=True)[:, :S]
     qbeg = jnp.take_along_axis(p.repeat(B, axis=0), sel, axis=1)
@@ -123,7 +129,8 @@ def find_threshold_kmems_batch(
     tpos = fmi_rev.n - pos_rev - matchlen
     tpos = jnp.where(hvalid, tpos, 0)
 
-    return SmemHits(qbeg, qend, svalid, tpos, hvalid, n_occ)
+    return SmemHits(qbeg, qend, svalid, tpos, hvalid, n_occ,
+                    overflow)
 
 
 @functools.partial(jax.jit, static_argnames=("min_len", "max_smems", "hits_per_smem"))
@@ -147,7 +154,9 @@ def find_smems_batch(
     e_prev = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), e[:, :-1]], axis=1)
     is_smem = (e > e_prev) & (ext >= min_len) & (p < lens[:, None])
 
-    # top-S SMEMs by length
+    # top-S SMEMs by length (+ overflow count past the S slots)
+    overflow = jnp.maximum(
+        jnp.sum(is_smem.astype(jnp.int32), axis=1) - S, 0)
     key = jnp.where(is_smem, ext, -1)
     sel = jnp.argsort(-key, axis=1, stable=True)[:, :S]   # longest first
     qbeg = jnp.take_along_axis(p.repeat(B, axis=0), sel, axis=1)
@@ -169,4 +178,5 @@ def find_smems_batch(
     tpos = fmi_rev.n - pos_rev - matchlen
     tpos = jnp.where(hvalid, tpos, 0)
 
-    return SmemHits(qbeg, qend, svalid, tpos, hvalid, n_occ)
+    return SmemHits(qbeg, qend, svalid, tpos, hvalid, n_occ,
+                    overflow)

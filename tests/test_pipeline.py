@@ -452,3 +452,47 @@ def test_n_handling(rng):
     seq_codes = string_to_codes(few.seq, Alphabet.DNA_N)
     md, nm, xm, xo, xg = _golden_md(seq_codes, few.cigar, codes, few.pos - 1)
     assert few.tags["MD"] == md
+
+
+def test_reseed_1mm_fmi_seeding(rng):
+    """FM-seeding reseed pass uses search_1mm (approximate hybrid seeding,
+    mapping.h:132-163) — seed-dense SNP reads recovered like the q-gram
+    path."""
+    n = 20000
+    codes = np.random.default_rng(99).integers(0, 4, size=n, dtype=np.uint8)
+    ref = Reference.from_records([("chr_t", codes_to_string(codes))])
+    L = 80
+    # FM seeds span the full 20bp window; stride 20 makes windows disjoint
+    # on BOTH the pass-1 grid (0,20,40,60) and the reseed phase-10 grid
+    # (10,30,50): center-zone mutations give every seed exactly one SNP
+    # (1mm-recoverable, exact-unmappable)
+    mut_at = [15, 35, 55, 75]
+    B = 8
+    g2 = np.random.default_rng(7)
+    rows, positions = [], []
+    for i in range(B):
+        p = int(g2.integers(0, n - L))
+        r = codes[p:p + L].copy()
+        for m in mut_at:
+            r[m] = (r[m] + 1 + g2.integers(0, 3)) % 4
+        rows.append(r)
+        positions.append(p)
+    batch = ReadBatch(
+        names=[f"f{i}" for i in range(B)],
+        codes=np.stack(rows).astype(np.uint8),
+        quals=np.full((B, L), 30, np.uint8),
+        lengths=np.full(B, L, np.int32),
+    )
+    # seed KEY here is the full 20-mer (FM searches the whole seed), and
+    # every seed window carries a SNP -> pass 1 finds nothing
+    common = dict(max_read_len=L, seed_len=20, seed_stride=20,
+                  hits_per_seed=4, max_dist=5, seeding="fmi")
+    m0 = ReadMapper.build(ref, MapParams(max_reseed=0, **common))
+    m1 = ReadMapper.build(ref, MapParams(max_reseed=1, seeding_1mm=True,
+                                         reseed_frac=1.0, **common),
+                          index=m0.index)
+    mapped0 = sum(1 for r in m0.map_batch(batch) if not r.flag & 0x4)
+    good1 = sum(1 for r, p in zip(m1.map_batch(batch), positions)
+                if not r.flag & 0x4 and abs(r.pos - 1 - p) <= 5)
+    assert mapped0 <= 2, mapped0
+    assert good1 >= 1, good1
