@@ -2,8 +2,9 @@
 
 Counterpart of the reference's OutputFile/SamOutput
 (``io/output/output_sam.h:43-125``): header with @SQ per contig, standard
-11-column records with AS/NM/MD tags. BAM/BGZF is a planned native (C++)
-codec behind the same interface.
+11-column records with AS/XS/NM/MD/XM/XO/XG/YT tags and typed aux values.
+The binary sibling (BAM over the native BGZF codec) lives in io/bam.py /
+io/bgzf.py; per-writer IOStats mirror ``output_stats.h``.
 """
 
 from __future__ import annotations
@@ -102,10 +103,22 @@ class SamWriter:
             self.f.write(f"@SQ\tSN:{name}\tLN:{int(length)}\n")
         self.f.write(f"@PG\tID:{program}\tPN:{program}\n")
         self.n_records = 0
+        self.n_bytes = 0
+        self.n_unmapped = 0
 
     def write(self, rec: SamRecord) -> None:
-        self.f.write(rec.line() + "\n")
+        line = rec.line() + "\n"
+        self.f.write(line)
         self.n_records += 1
+        self.n_bytes += len(line)
+        if rec.flag & 0x4:
+            self.n_unmapped += 1
+
+    @property
+    def io_stats(self) -> dict:
+        """Writer-side IOStats (``io/output/output_stats.h`` surface)."""
+        return dict(records=self.n_records, bytes=self.n_bytes,
+                    unmapped=self.n_unmapped)
 
     def close(self) -> None:
         if self._own:
