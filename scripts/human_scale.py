@@ -1,13 +1,19 @@
-"""Human-genome-scale capability demo: index + map a 3.1 Gbp synthetic genome.
+"""Human-genome-scale capability demo: index + map a 3.1 Gbp synthetic
+genome THROUGH THE MULTI-CHIP DESIGN.
 
 The north-star input (SRR493095 vs Human.NCBI36, ~3.1 Gbp) exceeds int32
-positions; this drives the uint32 + blocked-builder path end-to-end at full
-scale on the CPU backend (the position table alone is ~12.4 GB — on TPU pods
-it is served range-sharded over the mesh, see parallel/sharded_index.py).
-Reference capability: whole-human BWT/index in minutes
-(nvbio/sufsort/sufsort.h:45-60, nvBowtie/nvBowtie.cpp:491-536).
+positions and one chip's comfortable HBM. This drives the designed answer
+end-to-end at full scale: the genome is sliced into 8 shards, each slice
+gets its own FM-index (native SA-IS + occ + sampled SA — all int32
+locally), and mapping runs through ``shard_map`` over an 8-device mesh with
+all_gather'd queries, per-slice backward search, and all_to_all answer
+routing — global positions in uint32 (``fmi/sharded.py``). On a real pod
+slice the same program serves each shard from its own chip's HBM.
 
-Run:  python scripts/human_scale.py  (from the repo root; ~30-60 min, ~40 GB RAM)
+Reference capability matched: whole-human indexing + alignment
+(``nvbio/sufsort/sufsort.h:45-60``, ``nvBowtie/nvBowtie.cpp:491-536``).
+
+Run:  python scripts/human_scale.py   (~30-50 min, ~25 GB RAM, CPU mesh)
 """
 
 import os
@@ -15,7 +21,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "")
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
@@ -28,49 +35,51 @@ def main():
 
     from nvbio_tpu import packed
     from nvbio_tpu.bowtie.params import MapParams
-    from nvbio_tpu.bowtie.pipeline import align_batch_core
-    from nvbio_tpu.qgram import build_qgram_index_large
+    from nvbio_tpu.fmi.sharded import place_sharded_fmindex, shard_fmindex
+    from nvbio_tpu.parallel.mesh import (
+        make_reads_mesh, replicate, shard_batch, sharded_align_step,
+    )
 
     N = 3_100_000_000
-    Q = 14
+    D = 8
     L = 100
-    B = 512
+    B = 1024
 
     t0 = time.time()
+
+    def log(msg):
+        print(f"[{time.time()-t0:7.1f}s] {msg}", flush=True)
+
     rng = np.random.default_rng(2026)
-    # generate in chunks to bound temp memory
     genome = np.empty(N, np.uint8)
     for s in range(0, N, 1 << 28):
         e = min(s + (1 << 28), N)
         genome[s:e] = rng.integers(0, 4, size=e - s, dtype=np.uint8)
-    print(f"[{time.time()-t0:7.1f}s] genome synthesized: {N:,} bp", flush=True)
+    log(f"genome synthesized: {N:,} bp")
 
-    cache = "/tmp/human_scale_idx.npz"
-    if os.path.exists(cache):
-        from nvbio_tpu.qgram import QGramIndex
-
-        idx = QGramIndex.load(cache)
-        print(f"[{time.time()-t0:7.1f}s] index loaded from cache", flush=True)
-    else:
-        idx = build_qgram_index_large(genome, Q, verbose=True)
-        np.savez(cache, q=idx.q, offsets=np.asarray(idx.offsets),
-                 positions=np.asarray(idx.positions), n=idx.n)
-        print(f"[{time.time()-t0:7.1f}s] index cached to {cache}", flush=True)
-    assert idx.positions.dtype == np.uint32, idx.positions.dtype
-    print(f"[{time.time()-t0:7.1f}s] q-gram index built: q={Q}, "
-          f"{idx.positions.nbytes/2**30:.1f} GiB positions (uint32), "
-          f"{idx.offsets.nbytes/2**30:.2f} GiB offsets", flush=True)
+    sidx = shard_fmindex(genome, D, overlap=2 * L)
+    log(f"sharded FM-index built: {D} slices x "
+        f"{sidx.slice_len + sidx.overlap:,} bp "
+        f"({sidx.bwt_words.nbytes/2**30:.2f} GiB BWT, "
+        f"{sidx.occ.nbytes/2**30:.2f} GiB occ, "
+        f"{sidx.ssa_vals.nbytes/2**30:.2f} GiB SSA)")
 
     gwords = packed.pack(genome, 2)
-    print(f"[{time.time()-t0:7.1f}s] packed genome: "
-          f"{gwords.nbytes/2**30:.2f} GiB", flush=True)
+    log(f"packed genome: {gwords.nbytes/2**30:.2f} GiB")
 
+    mesh = make_reads_mesh(D)
+    sidx = place_sharded_fmindex(mesh, sidx)
     params = MapParams(max_read_len=L, seed_len=22, seed_stride=15,
-                       hits_per_seed=6, max_dist=8, qgram_q=Q, max_reseed=1)
+                       hits_per_seed=6, max_dist=8, seeding="fmi",
+                       max_reseed=0)
+    step = sharded_align_step(mesh, params, index_sharded=True)
 
-    # sample reads with ~1% error across the whole coordinate range
     r = np.random.default_rng(7)
     starts = r.integers(0, N - L, size=B, dtype=np.int64)
+    # force coverage of the >2^31 coordinate range and slice seams
+    starts[:64] = r.integers(2**31, N - L, size=64)
+    starts[64:80] = [min((d + 1) * sidx.slice_len - L // 2, N - L)
+                     for d in (list(range(D - 1)) * 3)[:16]]
     reads = np.empty((B, L), np.int32)
     for i, s in enumerate(starts.tolist()):
         reads[i] = genome[s:s + L]
@@ -79,28 +88,25 @@ def main():
                       (np.take_along_axis(reads, mutp, 1) + 1) % 4, 1)
     rc_mask = r.random(B) < 0.5
     reads = np.where(rc_mask[:, None], (3 - reads)[:, ::-1], reads)
-    lens = np.full(B, L, np.int32)
-    quals = np.full((B, L), 30, np.uint8)
 
-    dev_idx = idx.device()
-    dev_words = jnp.asarray(gwords)
-    n_dev = jnp.asarray(N, jnp.uint32)
-    print(f"[{time.time()-t0:7.1f}s] compiling + mapping {B} reads...",
-          flush=True)
-    res = align_batch_core(dev_idx, dev_words, n_dev, jnp.asarray(reads),
-                           jnp.asarray(lens), jnp.asarray(quals), params)
+    log(f"mapping {B} reads over the {D}-device mesh (compiling)...")
+    res, stats = step(
+        sidx, replicate(mesh, jnp.asarray(gwords)),
+        jnp.asarray(N, jnp.uint32),
+        shard_batch(mesh, jnp.asarray(reads)),
+        shard_batch(mesh, jnp.asarray(np.full(B, L, np.int32))),
+        shard_batch(mesh, jnp.asarray(np.full((B, L), 30, np.uint8))))
     mapped = np.asarray(res["mapped"])
     gpos = (np.asarray(res["window_start"]).astype(np.int64)
             + np.asarray(res["text_start"]))
     ok = mapped & (np.abs(gpos - starts) <= params.max_dist)
-    far = int((starts > 2**31).sum())
-    ok_far = int((ok & (starts > 2**31)).sum())
-    print(f"[{time.time()-t0:7.1f}s] mapped {int(mapped.sum())}/{B}, "
-          f"truth-correct {int(ok.sum())}/{B}; "
-          f"past-2^31 reads correct {ok_far}/{far}", flush=True)
+    far = starts > 2**31
+    log(f"mapped {int(mapped.sum())}/{B}, truth-correct {int(ok.sum())}/{B}; "
+        f"past-2^31 reads correct {int(ok[far].sum())}/{int(far.sum())}; "
+        f"psum'd mesh stats: {int(stats['n_mapped'])} mapped")
     assert ok.sum() >= 0.9 * B, "human-scale mapping accuracy regressed"
-    assert ok_far >= 0.9 * far, "positions past 2^31 mis-handled"
-    print("HUMAN-SCALE DEMO OK", flush=True)
+    assert ok[far].sum() >= 0.9 * far.sum(), "positions past 2^31 mis-handled"
+    log("HUMAN-SCALE DEMO OK (3.1 Gbp, sharded FM over 8-device mesh)")
 
 
 if __name__ == "__main__":
