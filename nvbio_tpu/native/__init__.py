@@ -75,24 +75,47 @@ def get_sais() -> ctypes.CDLL:
     fn.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
     ]
+    fn64 = lib.nvbio_tpu_sais_u8_64
+    fn64.restype = ctypes.c_int
+    fn64.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+    ]
     return lib
 
 
 def sais_u8(codes, K: int = 4):
-    """Suffix array of ``codes`` (+ implicit sentinel): int32[n+1]."""
+    """Suffix array of ``codes`` (+ implicit sentinel): int32[n+1]
+    (dispatches to the int64 engine past 2^31 symbols)."""
     import numpy as np
 
     lib = get_sais()
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
     n = len(codes)
-    if n >= 2**31:
-        raise ValueError("text too long for int32 SA-IS (shard the genome)")
+    if n >= 2**31 - 1:
+        return sais_u8_64(codes, K)
     sa = np.empty(n + 1, dtype=np.int32)
     rc = lib.nvbio_tpu_sais_u8(
         codes.ctypes.data, np.int32(n), np.int32(K), sa.ctypes.data
     )
     if rc != 0:
         raise RuntimeError(f"sais failed: {rc}")
+    return sa
+
+
+def sais_u8_64(codes, K: int = 4):
+    """64-bit-index SA-IS: suffix array int64[n+1] for multi-GB texts (the
+    whole-human single-string BWT path, sufsort/sufsort.h:45-47)."""
+    import numpy as np
+
+    lib = get_sais()
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = len(codes)
+    sa = np.empty(n + 1, dtype=np.int64)
+    rc = lib.nvbio_tpu_sais_u8_64(
+        codes.ctypes.data, np.int64(n), np.int64(K), sa.ctypes.data
+    )
+    if rc != 0:
+        raise RuntimeError(f"sais64 failed: {rc}")
     return sa
 
 

@@ -8,8 +8,10 @@
 //
 // Conventions: the caller passes the text WITHOUT a sentinel; we append an
 // implicit unique smallest sentinel. Output SA has n+1 entries over the rows
-// of T$, sa[0] == n. Index type is int32 => n < 2^31 (matches the int32
-// FM-index limit; larger genomes are sharded).
+// of T$, sa[0] == n. The index type is a template parameter: int32 for
+// texts < 2^31 (the per-shard FM-index limit) and int64 for the multi-GB
+// single-string path (the reference's whole-human BWT capability,
+// sufsort/sufsort.h:45-47).
 
 #include <cstdint>
 #include <cstring>
@@ -17,9 +19,7 @@
 
 namespace {
 
-using I = int32_t;
-
-template <typename T>
+template <typename T, typename I>
 void get_buckets(const T* s, I n, I K, I* bkt, bool end) {
   std::memset(bkt, 0, sizeof(I) * (K + 1));
   for (I i = 0; i < n; ++i) bkt[s[i]]++;
@@ -30,7 +30,7 @@ void get_buckets(const T* s, I n, I K, I* bkt, bool end) {
   }
 }
 
-template <typename T>
+template <typename T, typename I>
 void induce_l(const T* s, I* SA, I n, I K, I* bkt, const std::vector<bool>& st) {
   get_buckets(s, n, K, bkt, false);
   for (I i = 0; i < n; ++i) {
@@ -39,7 +39,7 @@ void induce_l(const T* s, I* SA, I n, I K, I* bkt, const std::vector<bool>& st) 
   }
 }
 
-template <typename T>
+template <typename T, typename I>
 void induce_s(const T* s, I* SA, I n, I K, I* bkt, const std::vector<bool>& st) {
   get_buckets(s, n, K, bkt, true);
   for (I i = n - 1; i >= 0; --i) {
@@ -49,7 +49,7 @@ void induce_s(const T* s, I* SA, I n, I K, I* bkt, const std::vector<bool>& st) 
 }
 
 // Core recursion: s has length n with s[n-1] the unique smallest symbol.
-template <typename T>
+template <typename T, typename I>
 void sa_is(const T* s, I* SA, I n, I K) {
   if (n == 1) { SA[0] = 0; return; }
   if (n == 2) { SA[0] = 1; SA[1] = 0; return; }  // sentinel-last guarantee
@@ -106,7 +106,7 @@ void sa_is(const T* s, I* SA, I n, I K) {
   I* s1 = SA + n - n1;
   I* SA1 = SA;
   if (name < n1) {
-    sa_is<I>(s1, SA1, n1, name - 1);
+    sa_is<I, I>(s1, SA1, n1, name - 1);
   } else {
     for (I i = 0; i < n1; ++i) SA1[s1[i]] = i;
   }
@@ -141,9 +141,22 @@ int nvbio_tpu_sais_u8(const uint8_t* codes, int32_t n, int32_t K,
   if (n == 0) { sa_out[0] = 0; return 0; }
   // build s = codes+1 with terminating 0 sentinel
   std::vector<uint8_t> s(static_cast<size_t>(n) + 1);
-  for (I i = 0; i < n; ++i) s[i] = codes[i] + 1;
+  for (int32_t i = 0; i < n; ++i) s[i] = codes[i] + 1;
   s[n] = 0;
-  sa_is<uint8_t>(s.data(), sa_out, n + 1, K + 1);
+  sa_is<uint8_t, int32_t>(s.data(), sa_out, n + 1, K + 1);
+  return 0;
+}
+
+// 64-bit index variant for multi-GB texts (n up to 2^63; working set
+// ~10 bytes/symbol at the byte level plus the 8(n+1)-byte SA itself).
+int nvbio_tpu_sais_u8_64(const uint8_t* codes, int64_t n, int64_t K,
+                         int64_t* sa_out) {
+  if (n < 0) return -1;
+  if (n == 0) { sa_out[0] = 0; return 0; }
+  std::vector<uint8_t> s(static_cast<size_t>(n) + 1);
+  for (int64_t i = 0; i < n; ++i) s[i] = codes[i] + 1;
+  s[n] = 0;
+  sa_is<uint8_t, int64_t>(s.data(), sa_out, n + 1, K + 1);
   return 0;
 }
 

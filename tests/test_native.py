@@ -114,3 +114,20 @@ def test_native_bgzf_throughput_smoke():
     # don't assert a hard ratio (CI noise); just sanity that native ran
     print(f"native {8/native_t:.0f} MB/s vs python {8/py_t:.0f} MB/s")
     assert native_t < py_t * 2
+
+
+def test_sais64_matches_sais32():
+    """64-bit-index SA-IS == the int32 engine (the multi-GB single-string
+    path differs only in index width)."""
+    from nvbio_tpu import native
+
+    if not native.sais_available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(4)
+    for n in (1, 2, 17, 1000, 60000):
+        codes = rng.integers(0, 4, n, np.uint8)
+        a = native.sais_u8(codes)
+        b = native.sais_u8_64(codes)
+        np.testing.assert_array_equal(a.astype(np.int64), b)
