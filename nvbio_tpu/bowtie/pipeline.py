@@ -251,6 +251,16 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
                     index, mut_keys.reshape(B, NSdim * NM3), 1)
                 pos1 = p1.reshape(B, NSdim, NM3)
                 rs1 = rs1.reshape(B, NSdim, NM3)
+            elif getattr(index, "mid_pos", None) is not None:
+                # one gather per mutated key: mid_pos[key] IS the middle
+                # bucket slot (dtype-max sentinel = empty) — 3x fewer
+                # random HBM loads than the (lo, hi, locate) triple, and
+                # bitwise-identical candidates
+                pos1 = jnp.take(index.mid_pos, jnp.clip(
+                    mut_keys, 0, (1 << (2 * qq)) - 1))
+                sent1 = jnp.asarray(
+                    np.iinfo(np.dtype(pos1.dtype.name)).max, pos1.dtype)
+                rs1 = (pos1 != sent1).astype(jnp.int32)
             else:
                 from nvbio_tpu.qgram import index_locate as _iloc, \
                     index_range as _irng

@@ -119,6 +119,74 @@ def sais_u8_64(codes, K: int = 4):
     return sa
 
 
+def get_qgram() -> ctypes.CDLL:
+    lib = load("nvbio_qgram", ["qgram.cpp"])
+    fn = lib.nvbio_tpu_qgram_build
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    mp = lib.nvbio_tpu_qgram_midpos
+    mp.restype = None
+    mp.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint32,
+        ctypes.c_void_p,
+    ]
+    return lib
+
+
+def qgram_available() -> bool:
+    try:
+        get_qgram()
+        return True
+    except Exception:
+        return False
+
+
+def qgram_build(codes, q: int, n_flags=None):
+    """Counting-sort q-gram table: (offsets, positions) uint32 arrays.
+
+    One histogram + one scatter pass in C++ — the host path that makes a
+    100 Mbp genome index in seconds instead of minutes (the reference's
+    device builder is ``nvbio/qgram/qgram.h:414-662``)."""
+    import numpy as np
+
+    lib = get_qgram()
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = len(codes)
+    npos = max(n - q + 1, 0)
+    offsets = np.empty((1 << (2 * q)) + 1, dtype=np.uint32)
+    positions = np.empty(npos, dtype=np.uint32)
+    flags_ptr = None
+    if n_flags is not None:
+        n_flags = np.ascontiguousarray(n_flags, dtype=np.uint8)[:n]
+        flags_ptr = n_flags.ctypes.data
+    written = lib.nvbio_tpu_qgram_build(
+        codes.ctypes.data, ctypes.c_int64(n), np.int32(q), flags_ptr,
+        offsets.ctypes.data, positions.ctypes.data,
+    )
+    if written < 0:
+        raise RuntimeError(f"qgram_build failed: {written}")
+    return offsets, positions[:written]
+
+
+def qgram_midpos(offsets, positions, sentinel: int):
+    """mid_pos[key] = middle entry of bucket ``key`` (sentinel if empty)."""
+    import numpy as np
+
+    lib = get_qgram()
+    offsets = np.ascontiguousarray(offsets, dtype=np.uint32)
+    positions = np.ascontiguousarray(positions, dtype=np.uint32)
+    nb = len(offsets) - 1
+    mid = np.empty(nb, dtype=np.uint32)
+    lib.nvbio_tpu_qgram_midpos(
+        offsets.ctypes.data, positions.ctypes.data, ctypes.c_int64(nb),
+        ctypes.c_uint32(sentinel), mid.ctypes.data,
+    )
+    return mid
+
+
 def get_bgzf() -> ctypes.CDLL:
     """Native multithreaded BGZF compressor (links zlib)."""
     lib = load("nvbio_bgzf", ["bgzf.cpp"], extra_flags=("-lz", "-pthread"))

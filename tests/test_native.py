@@ -131,3 +131,51 @@ def test_sais64_matches_sais32():
         a = native.sais_u8(codes)
         b = native.sais_u8_64(codes)
         np.testing.assert_array_equal(a.astype(np.int64), b)
+
+
+def test_native_qgram_matches_numpy():
+    """C++ counting-sort q-gram builder == the numpy golden model
+    (offsets, positions, and the 1-mismatch mid_pos table), with and
+    without N-flag window exclusion."""
+    from nvbio_tpu import native
+
+    if not native.qgram_available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    from nvbio_tpu.qgram import build_qgram_index
+
+    rng = np.random.default_rng(11)
+    for n, q, use_flags in [(1, 4, False), (64, 4, False),
+                            (5000, 5, True), (70000, 12, True)]:
+        codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+        flags = (rng.random(n) < 0.02) if use_flags else None
+        a = build_qgram_index(codes, q, n_flags=flags, engine="native")
+        b = build_qgram_index(codes, q, n_flags=flags, engine="numpy")
+        assert a.offsets.dtype == b.offsets.dtype
+        np.testing.assert_array_equal(a.offsets, b.offsets)
+        np.testing.assert_array_equal(a.positions, b.positions)
+        np.testing.assert_array_equal(a.mid_pos, b.mid_pos)
+
+
+def test_qgram_midpos_roundtrip(tmp_path):
+    """mid_pos survives save/load and marks empty buckets with the
+    dtype-max sentinel."""
+    from nvbio_tpu.qgram import build_qgram_index, QGramIndex
+
+    rng = np.random.default_rng(12)
+    codes = rng.integers(0, 4, size=300, dtype=np.uint8)
+    idx = build_qgram_index(codes, 4)
+    sent = np.iinfo(np.asarray(idx.offsets).dtype).max
+    cnt = np.asarray(idx.offsets[1:]) - np.asarray(idx.offsets[:-1])
+    mid = np.asarray(idx.mid_pos)
+    assert (mid[cnt == 0] == sent).all()
+    pos = np.asarray(idx.positions)
+    off = np.asarray(idx.offsets)
+    nz = np.flatnonzero(cnt)
+    np.testing.assert_array_equal(
+        mid[nz], pos[off[nz] + cnt[nz] // 2])
+    p = tmp_path / "qg.npz"
+    idx.save(str(p))
+    idx2 = QGramIndex.load(str(p))
+    np.testing.assert_array_equal(np.asarray(idx2.mid_pos), mid)
