@@ -227,15 +227,24 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
         pos, _ = locate_core(index, rows_flat)
         pos = pos.reshape(B, 2 * S1, H)
 
-    if approx_1mm and not isinstance(index, ShardedFMIndex):
+    if approx_1mm:
         # ---- 1-mismatch seeding (reseed passes) ---------------------------
         # q-gram path: every single-symbol mutation of each seed KEY is
         # looked up (one sampled slot per mutated bucket). FM path: the
         # dense search_1mm enumeration over the full seed (mapping.h:
-        # 132-163 approximate hybrid seeding). Either way a within-seed
-        # voting tournament keeps the NK best-supported extra loci — a SNP
-        # inside every exact seed window no longer makes a read unmappable.
-        if P.seeding == "qgram":
+        # 132-163 approximate hybrid seeding) — replicated or genome-sliced
+        # over the mesh. Either way a within-seed voting tournament keeps
+        # the NK best-supported extra loci — a SNP inside every exact seed
+        # window no longer makes a read unmappable.
+        if isinstance(index, ShardedFMIndex):
+            from nvbio_tpu.fmi.sharded import sharded_fmi_seed_hits_1mm
+
+            NSdim = seeds.shape[1]
+            pos1, v1 = sharded_fmi_seed_hits_1mm(index, seeds, P.seed_len)
+            NM3 = pos1.shape[-1]
+            rs1 = v1.astype(jnp.int32)
+            valid1 = v1 & seed_valid2[:, :, None]
+        elif P.seeding == "qgram":
             qq = index.q
             jj = jnp.arange(qq, dtype=jnp.int32)
             shift = 2 * (qq - 1 - jj)                   # symbol j bit offset

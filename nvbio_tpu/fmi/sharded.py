@@ -181,3 +181,55 @@ def sharded_fmi_seed_hits(sidx: ShardedFMIndex, seeds, seed_len: int,
     pos = jnp.take_along_axis(cand, order, axis=-1)
     valid = jnp.take_along_axis(cval, order, axis=-1)
     return pos, valid, range_size
+
+
+def sharded_fmi_seed_hits_1mm(sidx: ShardedFMIndex, seeds, seed_len: int):
+    """1-mismatch seeding against the genome-sliced FM-index (in shard_map).
+
+    The sharded counterpart of the replicated path's ``search_1mm``
+    enumeration (``mapping.h:132-163`` approximate hybrid seeding): each
+    device runs the dense mutated-seed backward searches of ALL devices'
+    seeds against its slice, locates the middle slot of every nonempty
+    range, converts to global coordinates, and ``all_to_all`` routes the
+    answers home; per (read, seed) the D x 3s answer slots merge
+    valid-first down to 3s — the same shape the within-seed voting
+    tournament consumes on the replicated path, so reseeding and
+    1-mismatch sensitivity work identically at human scale.
+
+    seeds: (B_local, NS, s). Returns (pos (B_local, NS, 3s) GLOBAL uint32
+    positions, valid (B_local, NS, 3s)).
+    """
+    from nvbio_tpu.fmi.search import locate_core, search_1mm
+
+    axis = READS_AXIS
+    d = jax.lax.axis_index(axis)
+    fmi = _local_fmi(sidx)
+
+    all_seeds = jax.lax.all_gather(seeds, axis)          # (D, b, NS, s)
+    Dn, b, NS, slen = all_seeds.shape
+    NM3 = 3 * slen
+    flat = all_seeds.reshape(Dn * b * NS, slen)
+    lens = jnp.full((flat.shape[0],), seed_len, jnp.int32)
+    _elo, _ehi, mm_lo, mm_hi, _sym = search_1mm(fmi, flat, lens)
+    mm_lo = mm_lo.reshape(-1)
+    mm_hi = mm_hi.reshape(-1)
+    rows = jnp.clip(mm_lo + (mm_hi - mm_lo) // 2, 0, fmi.n)
+    ploc, resolved = locate_core(fmi, rows)
+    valid = (mm_hi > mm_lo) & resolved
+    own = ploc < sidx.slice_len
+    gpos = (d.astype(jnp.uint32) * jnp.uint32(sidx.slice_len)
+            + ploc.astype(jnp.uint32))
+    gvalid = valid & own & (gpos < jnp.uint32(sidx.n))
+
+    gpos = jax.lax.all_to_all(
+        gpos.reshape(Dn, b, NS, NM3), axis, split_axis=0, concat_axis=0)
+    gvalid = jax.lax.all_to_all(
+        gvalid.reshape(Dn, b, NS, NM3), axis, split_axis=0, concat_axis=0)
+
+    cand = gpos.transpose(1, 2, 0, 3).reshape(b, NS, Dn * NM3)
+    cval = gvalid.transpose(1, 2, 0, 3).reshape(b, NS, Dn * NM3)
+    order = jnp.argsort(jnp.where(cval, 0, 1).astype(jnp.int32),
+                        axis=-1, stable=True)[..., :NM3]
+    pos = jnp.take_along_axis(cand, order, axis=-1)
+    val = jnp.take_along_axis(cval, order, axis=-1)
+    return pos, val

@@ -69,9 +69,12 @@ def main():
 
     mesh = make_reads_mesh(D)
     sidx = place_sharded_fmindex(mesh, sidx)
+    # FULL sensitivity machinery at human scale: multi-pass reseeding with
+    # 1-mismatch mutated-seed searches served by the sharded index
+    # (sharded_fmi_seed_hits_1mm) — same config as the single-chip default
     params = MapParams(max_read_len=L, seed_len=22, seed_stride=15,
                        hits_per_seed=6, max_dist=8, seeding="fmi",
-                       max_reseed=0)
+                       max_reseed=1, reseed_frac=0.125)
     step = sharded_align_step(mesh, params, index_sharded=True)
 
     r = np.random.default_rng(7)

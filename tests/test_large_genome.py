@@ -213,3 +213,82 @@ def test_sharded_fmindex_step(rng):
     # seam-crossers specifically
     seam = np.arange(B) % 4 == 0
     assert ok[seam].sum() >= 0.9 * seam.sum()
+
+
+def test_sharded_fmindex_reseed_1mm(rng):
+    """The FULL sensitivity machinery on the sharded-FM path: multi-pass
+    reseeding with 1-mismatch mutated-seed searches served by the sliced
+    index (sharded_fmi_seed_hits_1mm) (a) recovers reads that exact
+    seeding misses, and (b) matches the replicated-FM step field-for-field
+    on clean reads (the dryrun parity contract)."""
+    from nvbio_tpu.fmi.index import build_fmindex
+    from nvbio_tpu.fmi.sharded import place_sharded_fmindex, shard_fmindex
+    from nvbio_tpu.parallel.mesh import (
+        make_reads_mesh,
+        replicate,
+        shard_batch,
+        sharded_align_step,
+    )
+
+    n_dev = len(jax.devices())
+    assert n_dev >= 2
+    n = 24000
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    ref = Reference.from_records([("chrF", codes_to_string(codes))])
+    L = 64
+    params = MapParams(max_read_len=L, seed_len=16, seed_stride=16,
+                       hits_per_seed=4, max_dist=5, seeding="fmi",
+                       max_reseed=1, reseed_frac=1.0, seeding_1mm=True)
+    mesh = make_reads_mesh(n_dev)
+    sidx = place_sharded_fmindex(
+        mesh, shard_fmindex(codes, n_dev, overlap=128))
+
+    B = 8 * n_dev
+    reads, positions = [], []
+    for i in range(B):
+        p = int(rng.integers(0, n - L))
+        reads.append(codes[p:p + L].copy())
+        positions.append(p)
+    reads = np.stack(reads).astype(np.int32)
+    # half the batch: plant a SNP inside EVERY exact seed window of the
+    # default grid (phase 0), so only the shifted/1mm reseed pass can
+    # recover them
+    S1 = params.seeds_per_strand
+    snp_rows = np.arange(0, B, 2)
+    for b in snp_rows:
+        for s in range(S1):
+            j = s * params.seed_stride + params.seed_len // 2
+            if j < L:
+                reads[b, j] = (reads[b, j] + 1) % 4
+    lens = np.full(B, L, np.int32)
+    quals = np.full((B, L), 30, np.uint8)
+
+    step = sharded_align_step(mesh, params, index_sharded=True)
+    gwords = jnp.asarray(ref.packed_words())
+    res, _ = step(sidx, replicate(mesh, gwords), jnp.int32(n),
+                  shard_batch(mesh, jnp.asarray(reads)),
+                  shard_batch(mesh, jnp.asarray(lens)),
+                  shard_batch(mesh, jnp.asarray(quals)))
+    mapped = np.asarray(res["mapped"])
+    gpos = (np.asarray(res["window_start"]).astype(np.int64)
+            + np.asarray(res["text_start"]))
+    ok = mapped & (np.abs(gpos - np.asarray(positions)) <= params.max_dist)
+    assert ok[snp_rows].sum() >= 0.75 * len(snp_rows), \
+        f"SNP-seeded reads recovered: {ok[snp_rows].sum()}/{len(snp_rows)}"
+    assert ok.sum() >= 0.9 * B
+
+    # parity vs replicated-FM on the same (mixed) batch
+    fm_rep = replicate(mesh, build_fmindex(codes).device())
+    step_rep = sharded_align_step(mesh, params)
+    res_r, _ = step_rep(fm_rep, replicate(mesh, gwords), jnp.int32(n),
+                        shard_batch(mesh, jnp.asarray(reads)),
+                        shard_batch(mesh, jnp.asarray(lens)),
+                        shard_batch(mesh, jnp.asarray(quals)))
+    # clean reads must agree field-for-field (SNP reads may legitimately
+    # differ: the two paths sample different SA slots for multi-hit
+    # mutated seeds)
+    clean = np.setdiff1d(np.arange(B), snp_rows)
+    for key in ("mapped", "best_score", "window_start", "mapq"):
+        np.testing.assert_array_equal(
+            np.asarray(res_r[key])[clean], np.asarray(res[key])[clean],
+            err_msg=f"sharded vs replicated FM mismatch on clean reads: {key}")
