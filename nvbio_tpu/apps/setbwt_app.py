@@ -13,8 +13,14 @@ def add_parser(sub):
     p.add_argument("--bgz", action="store_true",
                    help="also write BGZF-compressed ASCII BWT (.txt.bgz)")
     p.add_argument("--incremental", type=int, metavar="BLOCK", default=0,
-                   help="build block-incrementally (BCR multi-string BWT + "
-                        "Holt-McMillan merges) with this block size")
+                   help="build block-incrementally with this block size "
+                        "(per-block native SA-IS + static-rank interleave "
+                        "merges, the bwte.h fast path)")
+    p.add_argument("--method", choices=["rank", "paged", "merge"],
+                   default="rank",
+                   help="incremental engine: rank (static-rank one-pass "
+                        "merge, fastest), paged (PagedText BCR column "
+                        "insertion), merge (Holt-McMillan refinement)")
     p.set_defaults(func=run)
     return p
 
@@ -31,7 +37,13 @@ def run(args):
     if args.incremental:
         from nvbio_tpu.index.setbwt import mse_bwt_incremental
 
-        bwt = mse_bwt_incremental(reads, args.incremental)
+        tb0 = time.time()
+        bwt = mse_bwt_incremental(reads, args.incremental,
+                                  method=args.method)
+        dt = time.time() - tb0
+        log_stats(f"incremental ({args.method}) build: {len(bwt):,} symbols "
+                  f"in {dt:.1f}s = {len(bwt)/max(dt,1e-9)/1e6:.2f} M "
+                  f"symbols/s")
         primary = -1  # multi-string BWT: one '$' per read, no single primary
     else:
         bwt, primary = set_bwt(reads)

@@ -66,21 +66,14 @@ def bwt_to_text(bwt: np.ndarray) -> str:
 # ---------------------------------------------------------------------------
 
 
-def mse_bwt(reads):
-    """BCR-semantics multi-string BWT.
+def _bcr_sa(reads, method: str = "auto"):
+    """Suffix array of the BCR tagged text (distinct increasing sentinels).
 
-    Returns (bwt, tags): one entry per symbol incl. one '$' per read
-    (alphabet {0:'$', 1..4}); ``tags[j]`` is the in-set string index of the
-    '$' at row j (and -1 elsewhere). The tags give each sentinel a distinct
-    identity so merges can LF-map '$' symbols to the right sentinel row —
-    collapsed sentinels would resolve ties by cyclic continuation instead
-    of string rank.
+    Returns (sa over the n text rows — terminator row dropped, text int64,
+    starts int64). Engine: native integer-alphabet SA-IS (O(n)) when the
+    toolchain is available, else the numpy prefix-doubling oracle.
     """
-    from nvbio_tpu.index.sa import _suffix_array_doubling
-
     S = len(reads)
-    if S == 0:
-        return np.zeros(0, np.uint8), np.zeros(0, np.int64)
     lens = [len(r) for r in reads]
     n = sum(lens) + S
     # linear text with DISTINCT increasing sentinels: suffix comparisons
@@ -93,8 +86,36 @@ def mse_bwt(reads):
         text[off:off + len(r)] = np.asarray(r, np.int64) + S
         text[off + len(r)] = i  # $_i
         off += len(r) + 1
+    if method in ("auto", "native") and n < 2**31 - 2:
+        try:
+            from nvbio_tpu import native
+
+            sa = native.sais_i32(text.astype(np.int32), K=S + 4).astype(
+                np.int64)
+            return sa[sa < n], text, starts
+        except Exception:
+            if method == "native":
+                raise
+    from nvbio_tpu.index.sa import _suffix_array_doubling
+
     sa = _suffix_array_doubling(text)
-    sa = sa[sa < n]  # drop the sorter's own global terminator row
+    return sa[sa < n], text, starts  # drop the global terminator row
+
+
+def mse_bwt(reads, method: str = "auto"):
+    """BCR-semantics multi-string BWT.
+
+    Returns (bwt, tags): one entry per symbol incl. one '$' per read
+    (alphabet {0:'$', 1..4}); ``tags[j]`` is the in-set string index of the
+    '$' at row j (and -1 elsewhere). The tags give each sentinel a distinct
+    identity so merges can LF-map '$' symbols to the right sentinel row —
+    collapsed sentinels would resolve ties by cyclic continuation instead
+    of string rank.
+    """
+    S = len(reads)
+    if S == 0:
+        return np.zeros(0, np.uint8), np.zeros(0, np.int64)
+    sa, text, starts = _bcr_sa(reads, method=method)
     # owner string + circular previous symbol
     owner = np.searchsorted(starts, sa, side="right") - 1
     at_start = sa == starts[owner]
@@ -162,16 +183,116 @@ def merge_mse_bwts(bwt1, tags1, bwt2, tags2, max_rounds: int | None = None):
     return bwt, tags
 
 
+def bwte_merge_block_rank(M_bwt, M_tags, reads, S_prev: int,
+                          occ_sample: int = 64):
+    """One-pass BWTE block merge: static-rank interleave insertion.
+
+    The design the reference's BWTE actually uses at speed
+    (``sufsort/bwte.h:57-229``): build the BLOCK's own multi-string BWT
+    (native SA-IS over the tagged text), compute each block suffix's rank
+    against the EXISTING merged BWT with the LF recurrence
+
+        rank(c·T) = C_M[c] + occ_M(c, rank(T)),   rank($_s) = S_prev
+
+    (occ against a STATIC sampled-occurrence table — vectorized across the
+    whole block per round, no mid-block structure mutation), then apply all
+    insertions in ONE interleave pass: block row i lands at rank_i + i.
+    Data movement per block: O(n) for the occ table + merge pass and
+    O(block_symbols * occ_sample) for the rank walks — versus the
+    per-symbol paged insertions of ``bwte_insert_block``.
+
+    Returns (merged_bwt, merged_tags).
+    """
+    m = len(reads)
+    if m == 0:
+        return M_bwt, M_tags
+    # block SA once: serves both the block BWT and the row<->suffix map
+    sa, text, starts64 = _bcr_sa(reads)
+    owner = np.searchsorted(starts64, sa, side="right") - 1
+    at_start = sa == starts64[owner]
+    prev = text[np.maximum(sa - 1, 0)]
+    is_dollar = at_start | (prev < m)
+    B_bwt = np.where(is_dollar, 0, prev - m + 1).astype(np.uint8)
+    B_tags = np.where(at_start, owner, np.where(prev < m, prev, -1))
+    B_tags = np.where(B_tags >= 0, B_tags + S_prev, -1).astype(np.int64)
+    n = len(M_bwt)
+    if n == 0:
+        return B_bwt, B_tags
+
+    # sampled occurrence table over M for symbols 1..4 (the walk never
+    # queries '$': sentinel ranks come from the base case)
+    K = occ_sample
+    pad = (-n) % K + K  # always >= K slack so partial windows never overrun
+    Mp = np.concatenate([M_bwt, np.zeros(pad, np.uint8)])
+    blocks = Mp[:len(Mp) // K * K].reshape(-1, K)
+    per = np.stack([(blocks == c).sum(axis=1) for c in range(1, 5)], axis=1)
+    OCC = np.zeros((len(blocks) + 1, 4), np.int64)
+    np.cumsum(per, axis=0, out=OCC[1:])
+    counts = np.bincount(M_bwt, minlength=5).astype(np.int64)[1:5]
+    C = np.zeros(5, np.int64)
+    C[1] = S_prev
+    C[2:] = S_prev + np.cumsum(counts[:-1])
+    karange = np.arange(K, dtype=np.int64)
+
+    def occ_m(cs, rs):
+        b, rem = rs // K, rs % K
+        win = Mp[(b * K)[:, None] + karange[None, :]]
+        part = ((win == cs[:, None])
+                & (karange[None, :] < rem[:, None])).sum(axis=1)
+        return OCC[b, cs - 1] + part
+
+    # reversed dense block matrix: rev[s, j-1] = j-th-from-last symbol + 1
+    lens = np.asarray([len(r) for r in reads], np.int64)
+    Lmax = int(lens.max()) if m else 0
+    total = int(lens.sum())
+    rev = np.zeros((m, max(Lmax, 1)), np.int64)
+    if total:
+        flat = np.concatenate(
+            [np.asarray(r, np.int64)[::-1] for r in reads if len(r)])
+        rowid = np.repeat(np.arange(m), lens)
+        cstart = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        col = np.arange(total, dtype=np.int64) - np.repeat(cstart, lens)
+        rev[rowid, col] = flat + 1  # symbols 1..4
+
+    # rank walk: suffix starting at text position start_s + L_s - j
+    starts = starts64
+    block_n = total + m
+    ranks_pos = np.empty(block_n, np.int64)
+    ranks_pos[starts + lens] = S_prev  # sentinel suffixes
+    rank = np.full(m, S_prev, np.int64)
+    for j in range(1, Lmax + 1):
+        idx = np.flatnonzero(lens >= j)
+        cs = rev[idx, j - 1]
+        rank[idx] = C[cs] + occ_m(cs, rank[idx])
+        ranks_pos[starts[idx] + lens[idx] - j] = rank[idx]
+
+    # block row r <-> text position sa[r]; interleave at rank + row index
+    r_of_row = ranks_pos[sa]
+    merged = np.insert(M_bwt, r_of_row, B_bwt)
+    merged_tags = np.insert(M_tags, r_of_row, B_tags)
+    return merged, merged_tags
+
+
 def mse_bwt_incremental(reads, block_size: int = 100_000,
                         method: str = "paged") -> np.ndarray:
     """Block-incremental multi-string BWT (the reference's BWTE pipeline
     shape, ``nvSetBWT.cu:64-305``).
 
-    method="paged" (default): BCR column insertion into a PagedText — data
-    movement per block bounded by touched pages, the ``paged_text.h`` +
-    ``bwte.h`` scale-up design (the reference reaches ~100 G symbols this
-    way, ``sufsort/sufsort.h:47-49``).
+    method="rank" (the fast path): per-block native SA-IS + static-rank
+    one-pass interleave insertion (``bwte_merge_block_rank`` — the
+    ``bwte.h:57-229`` design; this is what ``setbwt --incremental`` runs).
+    method="paged": BCR column insertion into a PagedText — data movement
+    per block bounded by touched pages (``paged_text.h`` dynamic structure).
     method="merge": per-block SA-IS + Holt-McMillan interleave merges."""
+    if method == "rank":
+        acc = np.zeros(0, np.uint8)
+        acc_tags = np.zeros(0, np.int64)
+        ns = 0
+        for i in range(0, len(reads), block_size):
+            blk = reads[i:i + block_size]
+            acc, acc_tags = bwte_merge_block_rank(acc, acc_tags, blk, ns)
+            ns += len(blk)
+        return acc
     if method == "paged":
         from nvbio_tpu.index.paged_text import PagedText, bwte_insert_block
 

@@ -80,6 +80,11 @@ def get_sais() -> ctypes.CDLL:
     fn64.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
     ]
+    fni = lib.nvbio_tpu_sais_i32
+    fni.restype = ctypes.c_int
+    fni.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+    ]
     return lib
 
 
@@ -99,6 +104,26 @@ def sais_u8(codes, K: int = 4):
     )
     if rc != 0:
         raise RuntimeError(f"sais failed: {rc}")
+    return sa
+
+
+def sais_i32(codes, K: int):
+    """Integer-alphabet SA-IS: suffix array int32[n+1] of an int32 text in
+    [0, K) (+ implicit sentinel). Serves multi-string BCR texts with
+    distinct per-string sentinels (K = n_strings + 4)."""
+    import numpy as np
+
+    lib = get_sais()
+    codes = np.ascontiguousarray(codes, dtype=np.int32)
+    n = len(codes)
+    if n >= 2**31 - 2:
+        raise ValueError("sais_i32 is 32-bit-indexed; shard the text")
+    sa = np.empty(n + 1, dtype=np.int32)
+    rc = lib.nvbio_tpu_sais_i32(
+        codes.ctypes.data, np.int32(n), np.int32(K), sa.ctypes.data
+    )
+    if rc != 0:
+        raise RuntimeError(f"sais_i32 failed: {rc}")
     return sa
 
 

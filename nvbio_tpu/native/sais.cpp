@@ -147,6 +147,21 @@ int nvbio_tpu_sais_u8(const uint8_t* codes, int32_t n, int32_t K,
   return 0;
 }
 
+// Integer-alphabet variant: codes in [0, K) with K up to ~2^31 (used for
+// multi-string BCR texts whose DISTINCT per-string sentinels 0..S-1 exceed
+// the byte alphabet; bases live at S..S+3). Appends the implicit global
+// terminator like the byte variant.
+int nvbio_tpu_sais_i32(const int32_t* codes, int32_t n, int32_t K,
+                       int32_t* sa_out) {
+  if (n < 0 || K < 1 || K >= INT32_MAX - 2) return -1;
+  if (n == 0) { sa_out[0] = 0; return 0; }
+  std::vector<int32_t> s(static_cast<size_t>(n) + 1);
+  for (int32_t i = 0; i < n; ++i) s[i] = codes[i] + 1;
+  s[n] = 0;
+  sa_is<int32_t, int32_t>(s.data(), sa_out, n + 1, K + 1);
+  return 0;
+}
+
 // 64-bit index variant for multi-GB texts (n up to 2^63; working set
 // ~10 bytes/symbol at the byte level plus the 8(n+1)-byte SA itself).
 int nvbio_tpu_sais_u8_64(const uint8_t* codes, int64_t n, int64_t K,

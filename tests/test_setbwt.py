@@ -139,3 +139,47 @@ def test_paged_bwte_insertion(rng):
     occ = pt.occ_many(probe_sym, probe_pos)
     for s, p, o in zip(probe_sym, probe_pos, occ):
         assert o == int((text[:p] == s).sum())
+
+
+def test_bwte_rank_merge_equals_whole(rng):
+    """Static-rank one-pass block merge (bwte_merge_block_rank, the
+    bwte.h:57-229 fast path) reproduces the whole-set BCR BWT bitwise —
+    bwt AND sentinel tags — across blocks, duplicates, and empty reads."""
+    from nvbio_tpu.index.setbwt import (
+        bwte_merge_block_rank, mse_bwt, mse_bwt_incremental,
+    )
+
+    for trial in range(3):
+        m = int(rng.integers(6, 50))
+        reads = [rng.integers(0, 4, int(rng.integers(0, 40))).astype(np.uint8)
+                 for _ in range(m)]
+        if m > 2:
+            reads[1] = reads[-1].copy()  # duplicate strings share suffixes
+        full, full_tags = mse_bwt(reads)
+        inc = mse_bwt_incremental(reads, block_size=5, method="rank")
+        np.testing.assert_array_equal(full, inc)
+        acc = np.zeros(0, np.uint8)
+        acc_t = np.zeros(0, np.int64)
+        ns = 0
+        for i in range(0, len(reads), 5):
+            acc, acc_t = bwte_merge_block_rank(acc, acc_t, reads[i:i + 5], ns)
+            ns += len(reads[i:i + 5])
+        np.testing.assert_array_equal(acc_t, full_tags)
+
+
+def test_mse_bwt_native_i32_matches_doubling(rng):
+    """Integer-alphabet native SA-IS block engine == the numpy doubling
+    oracle for the tagged BCR text."""
+    from nvbio_tpu import native
+    from nvbio_tpu.index.setbwt import mse_bwt
+
+    if not native.sais_available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    reads = [rng.integers(0, 4, int(rng.integers(1, 60))).astype(np.uint8)
+             for _ in range(35)]
+    a, at = mse_bwt(reads, method="native")
+    b, bt = mse_bwt(reads, method="doubling")
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(at, bt)
