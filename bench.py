@@ -42,9 +42,10 @@ def main():
     L = 100
     genome = rng.integers(0, 4, size=GENOME, dtype=np.uint8)
 
+    # default band/reseed policy (max_dist=15 -> W=31, the reference's own
+    # default band, params.cpp:121; reseed_frac=0.125)
     params = MapParams(
         max_read_len=L, seed_len=22, seed_stride=15, hits_per_seed=6,
-        max_dist=8,
     )
 
     t0 = time.time()
@@ -203,22 +204,25 @@ def main():
                 sc, _ = regtile_score_blocked(
                     pb, plb_, tb, tlb_, mb,
                     scoring=params.scoring, band=Wk, length=L,
-                    seq_f=True, full_text=True, uniform_plen=True, unroll=4)
+                    seq_f=True, full_text=True, uniform_plen=True,
+                    unroll=unroll)
                 return sc
 
             int(np.asarray(krun().reshape(-1)[:1])[0])
-            t0 = time.time()
-            outs = [krun() for _ in range(reps)]
-            for o in outs:
-                int(np.asarray(o.reshape(-1)[:1])[0])
-            dt = (time.time() - t0) / reps
-            return G_blk * 1024 * L * Wk / dt / 1e9
+            passes = []
+            for _ in range(3):  # median-of-3 against relay stalls
+                t0 = time.time()
+                outs = [krun() for _ in range(reps)]
+                for o in outs:
+                    int(np.asarray(o.reshape(-1)[:1])[0])
+                passes.append((time.time() - t0) / reps)
+            return G_blk * 1024 * L * Wk / sorted(passes)[1] / 1e9
 
-        # headline: the kernel's best operating point (W=33, i.e. +-16bp
-        # indel tolerance — wider than the pipeline default AND faster,
-        # since per-row fixed costs amortize over more band cells)
-        gcups = kernel_gcups(33, 4096, 4)
-        gcups_w17 = kernel_gcups(W, 4096, 4)   # the pipeline's band
+        # headline: the PRODUCTION band (W = 2*max_dist+1 = 31, the
+        # pipeline's own extension configuration) with the production
+        # unroll; W=17 kept as an extra for cross-round comparability
+        gcups = kernel_gcups(W, 4096, 10)
+        gcups_w17 = kernel_gcups(17, 4096, 4)
     else:
         pats = jnp.asarray(rng.integers(0, 4, size=(KB, L), dtype=np.int32))
         txts = jnp.asarray(rng.integers(0, 4, size=(KB, TW), dtype=np.int32))
@@ -266,12 +270,18 @@ def main():
             return d
 
         int(np.asarray(mrun()[:1])[0])
+        # 3 independent measurement passes, median — the shared remote
+        # relay occasionally stalls one pass, which made single-pass
+        # numbers swing 30%+ between rounds
         MREPS = 10
-        t0 = time.time()
-        mo = [mrun() for _ in range(MREPS)]
-        for s_ in mo:
-            int(np.asarray(s_[:1])[0])
-        mdt = (time.time() - t0) / MREPS
+        passes = []
+        for _ in range(3):
+            t0 = time.time()
+            mo = [mrun() for _ in range(MREPS)]
+            for s_ in mo:
+                int(np.asarray(s_[:1])[0])
+            passes.append((time.time() - t0) / MREPS)
+        mdt = sorted(passes)[1]
         myers_gcups = MB * L * MT / mdt / 1e9
 
     print(

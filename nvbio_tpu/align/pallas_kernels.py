@@ -742,7 +742,7 @@ def regtile_score_blocked(patsb, plb, txtsb, tlb, mmb, *, scoring,
 
 def _regtile_cand_kernel(fwd_ref, rc_ref, mmf_ref, mmr_ref, plen_ref,
                          txt_ref, tlen_ref, score_ref, kbest_ref,
-                         *, RB, NCH, L, W, match, po, pe, to, te):
+                         *, RB, NCH, L, W, match, po, pe, to, te, unroll=1):
     """Candidate-blocked register-tiled scorer.
 
     Grid g enumerates candidate blocks in slot-major order: read-block
@@ -763,7 +763,7 @@ def _regtile_cand_kernel(fwd_ref, rc_ref, mmf_ref, mmr_ref, plen_ref,
     FIN = [neg] * W
     T = [txt_ref[0, k] for k in range(W)]
 
-    def body(im1, carry):
+    def one_row(im1, carry):
         H, E, FIN, T = carry
         p = jnp.where(is_rc, rc_ref[0, im1], fwd_ref[0, im1])
         mmrow = jnp.where(is_rc, mmr_ref[0, im1], mmf_ref[0, im1])
@@ -796,7 +796,15 @@ def _regtile_cand_kernel(fwd_ref, rc_ref, mmf_ref, mmr_ref, plen_ref,
         T = T[1:] + [txt_ref[0, im1 + W]]
         return Hrow, Erow, FIN, T
 
-    H, E, FIN, T = jax.lax.fori_loop(0, L, body, (H, E, FIN, T))
+    def body(i, carry):
+        # multi-row unroll: several rows of independent work per loop
+        # iteration for the VLIW scheduler (see _regtile_kernel)
+        for r in range(unroll):
+            carry = one_row(i * unroll + r, carry)
+        return carry
+
+    assert L % unroll == 0
+    H, E, FIN, T = jax.lax.fori_loop(0, L // unroll, body, (H, E, FIN, T))
     smax = FIN[0]
     for k in range(1, W):
         smax = jnp.maximum(smax, FIN[k])
@@ -853,10 +861,11 @@ def banded_score_cands_regtile(
     txt_b = _packed.extract_window_blocked(genome_words, w0_b, TWp, 2)
     tlen_b = wlens_slotmajor.astype(jnp.int32).reshape(Gc, 1, 8, 128)
 
+    unroll = next(u for u in (10, 5, 4, 2, 1) if M % u == 0)
     kern = functools.partial(
         _regtile_cand_kernel, RB=RB, NCH=nch, L=M, W=W, match=scoring.match,
         po=scoring.pattern_gap_open, pe=scoring.pattern_gap_ext,
-        to=scoring.text_gap_open, te=scoring.text_gap_ext)
+        to=scoring.text_gap_open, te=scoring.text_gap_ext, unroll=unroll)
     per_read = lambda g: (g % RB, 0, 0, 0)
     per_cand = lambda g: (g, 0, 0, 0)
     score, kbest = pl.pallas_call(

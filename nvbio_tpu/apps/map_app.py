@@ -28,7 +28,7 @@ def add_parser(sub):
     p.add_argument("--seed-len", type=int, default=22)
     p.add_argument("--seed-stride", type=int, default=15)
     p.add_argument("--hits-per-seed", type=int, default=4)
-    p.add_argument("--max-dist", type=int, default=8)
+    p.add_argument("--max-dist", type=int, default=15)
     p.add_argument("--seeding", choices=["qgram", "fmi"], default="qgram")
     p.add_argument("--mode", choices=["sw", "ed"], default="sw",
                    help="sw: quality-aware Gotoh (bowtie2-like, default); "
@@ -57,13 +57,22 @@ def add_parser(sub):
                    help="do not classify discordant pairs")
     p.add_argument("--max-reseed", type=int, default=1,
                    help="extra seeding passes for unaligned reads")
-    p.add_argument("--reseed-frac", type=float, default=0.25,
+    p.add_argument("--reseed-frac", type=float, default=0.125,
                    help="reseed queue capacity as a fraction of the batch")
     p.add_argument("--no-1mm-seeding", action="store_true",
                    help="disable 1-mismatch seeding in reseed passes")
     p.add_argument("--all", action="store_true", dest="all_mode",
                    help="report ALL alignments above threshold "
                         "(secondary records), not just the best")
+    p.add_argument("--dist", action="store_true",
+                   help="multi-host run: jax.distributed init (coordinator "
+                        "from --coordinator or JAX_COORDINATOR_ADDRESS env), "
+                        "round-robin input striping per host, per-host SAM "
+                        "shards merged by process 0")
+    p.add_argument("--coordinator", metavar="HOST:PORT",
+                   help="jax.distributed coordinator address")
+    p.add_argument("--num-processes", type=int)
+    p.add_argument("--process-id", type=int)
     p.set_defaults(func=run)
     return p
 
@@ -136,8 +145,9 @@ def _dump_debug(dbg, mapper, res):
     import jax
     import numpy as np
 
-    keys = ("mapped", "strand", "mapq", "nm", "has_second",
-            "best_score", "second_score", "window_start", "text_start")
+    keys = ("mapped", "strand", "mapq", "nm", "subs", "ins", "dels",
+            "has_second", "best_score", "second_score", "window_start",
+            "text_start")
     small = {k: np.asarray(v) for k, v in
              jax.device_get({k: res[k] for k in keys}).items()}
     gpos = small["window_start"].astype(np.int64) + small["text_start"]
@@ -162,6 +172,23 @@ def run(args):
         raise SystemExit("paired-end needs both -1 and -2")
     if not paired and not args.reads:
         raise SystemExit("provide a reads file (or -1/-2 for paired-end)")
+
+    # multi-host: initialize the distributed runtime, stripe the input per
+    # host, and write a per-host output shard (merged below by process 0) —
+    # the cross-node generalization of the reference's one-ComputeThread-
+    # per-GPU model (nvBowtie.cpp:644-699)
+    dist_on = False
+    out_path = args.output
+    if args.dist or args.coordinator or args.num_processes:
+        import jax as _jaxd
+
+        from nvbio_tpu.parallel import dist as _dist
+
+        _dist.init_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
+        dist_on = _jaxd.process_count() > 1
+        if dist_on and args.output != "-":
+            out_path = _dist.shard_path(args.output)
 
     common = dict(
         max_read_len=args.max_read_len,
@@ -230,12 +257,19 @@ def run(args):
             n_reads += 1
             n_mapped += 0 if rec.flag & 0x4 else 1
 
+    def _stripe(it):
+        if dist_on:
+            from nvbio_tpu.parallel import dist as _dist
+
+            return _dist.host_stripe(it)
+        return it
+
     dbg = None
     if args.debug_output and not paired and not args.all_mode:
         from nvbio_tpu.io.debug import DebugOutput
 
         dbg = DebugOutput(args.debug_output)
-    with open_alignment_output(args.output, ref.names, lengths) as w:
+    with open_alignment_output(out_path, ref.names, lengths) as w:
         if paired:
             from nvbio_tpu.bowtie.paired import (
                 map_pair_batch,
@@ -246,7 +280,7 @@ def run(args):
                                 alphabet=Alphabet.DNA_N)
             it2 = fastq_batches(args.mate2, args.batch, args.max_read_len,
                                 alphabet=Alphabet.DNA_N)
-            for b1, b2 in zip(it1, it2):
+            for b1, b2 in _stripe(zip(it1, it2)):
                 if args.all_mode:  # PE all-mapping: every concordant locus
                     recs = map_pair_batch_all(mapper, b1, b2)
                 else:
@@ -254,8 +288,9 @@ def run(args):
                 for rec in recs:
                     emit(w, rec)
         elif args.all_mode:
-            for batch in fastq_batches(args.reads, args.batch, args.max_read_len,
-                                       alphabet=Alphabet.DNA_N):
+            for batch in _stripe(
+                    fastq_batches(args.reads, args.batch, args.max_read_len,
+                                  alphabet=Alphabet.DNA_N)):
                 for rec in mapper.map_batch_all(batch):
                     emit(w, rec)
         else:
@@ -266,8 +301,9 @@ def run(args):
             st_parse = StageStats("parse")
             st_fmt = StageStats("fetch+format")
             pending = None
-            it = fastq_batches(args.reads, args.batch, args.max_read_len,
-                               alphabet=Alphabet.DNA_N)
+            it = iter(_stripe(
+                fastq_batches(args.reads, args.batch, args.max_read_len,
+                              alphabet=Alphabet.DNA_N)))
             while True:
                 with Timer() as tp:
                     batch = next(it, None)
@@ -307,6 +343,20 @@ def run(args):
     if dbg is not None:
         dbg.close()
         log_info(f"debug records written to {args.debug_output}")
+    if dist_on and args.output != "-":
+        # barrier so every host's shard is closed, then process 0 merges
+        import jax as _jaxd
+        from jax.experimental import multihost_utils
+
+        from nvbio_tpu.parallel import dist as _dist
+
+        multihost_utils.sync_global_devices("nvbio_tpu_sam_shards")
+        if _jaxd.process_index() == 0:
+            paths = [_dist.shard_path(args.output, p)
+                     for p in range(_jaxd.process_count())]
+            nrec = _dist.merge_sam_shards(paths, args.output, remove=True)
+            log_info(f"merged {_jaxd.process_count()} SAM shards -> "
+                     f"{args.output} ({nrec:,} records)")
     if prof is not None:
         prof.close()
         log_info(f"profiler trace written to {args.profile}")

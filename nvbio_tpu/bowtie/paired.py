@@ -609,8 +609,19 @@ def map_pair_batch_all(mapper, batch1, batch2, max_pairs: int = 4):
                 cigar = (f"{n_ops}M" if fin["simple"][b, k] else
                          cigar_to_string(fin["ops"][b, k], n_ops,
                                          reverse=rev_ops))
-                recs.append((flag, ci, local, cigar, seq, qual, strand, m))
-            for (flag, ci, local, cigar, seq, qual, strand, m) in recs:
+                # per-mate NM/MD/XM/XO/XG, same surface as the SE all-mapper
+                nm = int(fin["nm"][b, k])
+                if nm > 0 or not fin["simple"][b, k]:
+                    from nvbio_tpu.align.traceback import md_from_entries
+
+                    md, xm, xo, xg = md_from_entries(
+                        fin["ops"][b, k], n_ops, reverse=rev_ops)
+                else:
+                    md, xm, xo, xg = str(n_ops), 0, 0, 0
+                mate_tags = {"NM": nm, "MD": md, "XM": xm, "XO": xo, "XG": xg}
+                recs.append((flag, ci, local, cigar, seq, qual, strand, m,
+                             mate_tags))
+            for (flag, ci, local, cigar, seq, qual, strand, m, mtags) in recs:
                 o = recs[1 - m]
                 flag |= FLAG_MATE_REVERSE if o[6] else 0
                 out.append(SamRecord(
@@ -619,7 +630,8 @@ def map_pair_batch_all(mapper, batch1, batch2, max_pairs: int = 4):
                     mapq=int(res["mapq"][b]) if rank == 0 else 0,
                     cigar=cigar, seq=seq, qual=qual,
                     rnext="=", pnext=o[2] + 1,
-                    tags={"AS": int(res["pair_score"][b, k]), "YT": "CP"},
+                    tags={"AS": int(res["pair_score"][b, k]), "YT": "CP",
+                          **mtags},
                 ))
         if not len(slots):
             for batch, first in ((batch1, True), (batch2, False)):

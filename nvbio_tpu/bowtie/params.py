@@ -14,7 +14,11 @@ class MapParams:
     seed_len: int = 22            # bowtie2 default seed length
     seed_stride: int = 15         # seed every `stride` bases (ref: interval fn)
     hits_per_seed: int = 8        # SA rows located per seed (select width)
-    max_dist: int = 8             # band radius for extension
+    # band radius for extension: the reference's default (params.cpp:121
+    # max_dist = 15, band = 2*15+1 = 31). Wider bands are FASTER on the
+    # register-tiled TPU kernel (fixed per-row costs amortize over more
+    # band registers) as well as more indel-tolerant.
+    max_dist: int = 15
     # Bowtie2 end-to-end defaults: match 0, mismatch -2..-6 by quality,
     # gap open 5 + first extend 3 => -8, extend -3.
     scoring: GotohScoring = GotohScoring(
@@ -59,7 +63,11 @@ class MapParams:
     # in a fixed-capacity sub-batch (ceil(B * reseed_frac) rows) — the
     # capacity-bounded queue semantics at static shapes.
     max_reseed: int = 1
-    reseed_frac: float = 0.25
+    # queue capacity 1/8 of the batch: measured first-pass failure rates are
+    # well under this (overflow is REPORTED via reseed_overflow when not),
+    # and the reseed tax at this capacity is ~15% of batch time instead of
+    # the 50% a quarter-batch queue cost
+    reseed_frac: float = 0.125
     # 1-mismatch approximate seeding in reseed passes (q-gram key mutation;
     # the analogue of the reference's approx-hybrid seeding,
     # mapping.h:132-163). Reads whose every exact seed covers a SNP become

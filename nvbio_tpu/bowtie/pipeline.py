@@ -503,6 +503,17 @@ def finalize_best(cands, genome_words, n_genome, best_idx, params: MapParams):
     # #I == 0 iff the text span equals plen too — their CIGAR is just "{L}M";
     # the host only needs their op rows when NM > 0 (for the MD tag)
     simple = (tb.n_ops == lens) & ((tb.text_end - tb.text_start) == lens)
+    # substitution/indel split from the packed entries (diagnostic surface:
+    # DebugOutput subs/ins/dels, output_debug.h) — dense reductions, no
+    # host op-row fetch needed
+    ent = tb.ops.astype(jnp.int32)
+    opc = ent & 3
+    vmask = (jnp.arange(ent.shape[1], dtype=jnp.int32)[None, :]
+             < tb.n_ops[:, None])
+    subs = jnp.sum((vmask & (opc == 1) & (((ent >> 2) & 1) == 1))
+                   .astype(jnp.int32), axis=1)
+    ins = jnp.sum((vmask & (opc == 2)).astype(jnp.int32), axis=1)
+    dels = jnp.sum((vmask & (opc == 3)).astype(jnp.int32), axis=1)
     return dict(
         strand=best_strand,
         window_start=best_pos,
@@ -512,6 +523,9 @@ def finalize_best(cands, genome_words, n_genome, best_idx, params: MapParams):
         ops=tb.ops.astype(jnp.uint8),
         n_ops=tb.n_ops,
         nm=nm,
+        subs=subs,
+        ins=ins,
+        dels=dels,
         simple=simple,
         tb_score=tb.score,
     )
@@ -721,6 +735,9 @@ def align_batch_core(index, genome_words, n_genome, reads, lens, quals,
         ops=fin["ops"],
         n_ops=fin["n_ops"],
         nm=fin["nm"],
+        subs=fin["subs"],
+        ins=fin["ins"],
+        dels=fin["dels"],
         simple=fin["simple"],
     )
 

@@ -51,6 +51,11 @@ class DebugOutput:
         rec["pos"] = np.where(mapped, positions, 0).astype(np.uint32)
         rec["mapq"] = np.clip(np.asarray(res["mapq"]), 0, 255)
         rec["ed"] = np.clip(np.asarray(res["nm"]), 0, 255)
+        # substitution/indel split (output_debug.h records them; computed
+        # on device from the traceback entries in finalize_best)
+        for field in ("subs", "ins", "dels"):
+            if field in res:
+                rec[field] = np.clip(np.asarray(res[field]), 0, 255)
         rec["has_second"] = np.asarray(res["has_second"]).astype(np.uint8)
         rec["score"] = np.asarray(res["best_score"])
         rec["sec_score"] = np.asarray(res["second_score"])
