@@ -1,0 +1,133 @@
+"""Device-side suffix sorting: prefix doubling over ``jax.lax.sort``.
+
+TPU-native counterpart of the reference's GPU suffix sorters
+(``nvbio/sufsort/sufsort.h:86-302`` blockwise DCS/CompressionSort,
+``prefix_doubling_sufsort.h`` device prefix doubling): the headline
+reference capability is whole-genome BWT construction measured in minutes
+on 2013 GPUs (``sufsort.h:45-60``, 70 M suffixes/s). The TPU re-design is
+classic Manber-Myers prefix doubling, but laid out for XLA:
+
+- round 0 sorts every suffix by its first 26 symbols at once — two base-5
+  13-symbol integer keys (base-5 keeps the sentinel distinct from 'A'
+  inside an int32) built from 26 STATIC shifted slices, no gathers;
+- each doubling round forms (rank[i], rank[i+k]) where the second key is a
+  ``dynamic_slice`` SHIFT of the zero-padded rank plane (not a gather),
+  then one 2-key ``lax.sort`` + one neighbor-difference scan + one scatter;
+- the loop is a ``lax.while_loop`` that exits as soon as all ranks are
+  unique — random DNA resolves in 1-2 rounds past the 26-symbol bootstrap;
+  repeat-heavy texts take up to log2(n/26).
+
+v5e sorts ~170-310 M int32/s (measured), so a 100 Mbp genome suffix-sorts
+in tens of seconds on one chip — against ~10 minutes for the host SA-IS
+path on one core. Memory: ~6 int32 planes of n+1, comfortably inside one
+chip's HBM for n <= ~200M; larger genomes go through the genome-sliced
+sharded build (``fmi/sharded.py``) with one slice per chip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_B5 = 13  # symbols per base-5 int32 key (5^13 < 2^31)
+
+
+def _base5_keys(c1p: jnp.ndarray, start: int) -> jnp.ndarray:
+    """Base-5 key of symbols [i+start, i+start+13) per position i.
+
+    ``c1p``: int32 text in 1..4 (0 past the end), zero-padded by >= start+13.
+    Static shifted slices only — no gathers.
+    """
+    m = c1p.shape[0] - (2 * _B5 + 1)
+    key = jnp.zeros(m, jnp.int32)
+    for j in range(_B5):
+        key = key * 5 + jax.lax.dynamic_slice(c1p, (start + j,), (m,))
+    return key
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _sa_bootstrap(c1p, m: int):
+    """Round 0: sort all suffixes by their first 26 symbols; 1-based ranks."""
+    k1 = _base5_keys(c1p, 0)
+    k2 = _base5_keys(c1p, _B5)
+    idx = jnp.arange(m, dtype=jnp.int32)
+    s1, s2, sa = jax.lax.sort((k1, k2, idx), num_keys=2)
+    new_grp = jnp.concatenate([
+        jnp.ones(1, jnp.int32),
+        ((s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])).astype(jnp.int32)])
+    rank_sorted = jnp.cumsum(new_grp).astype(jnp.int32)  # 1-based
+    rank = jnp.zeros(m, jnp.int32).at[sa].set(rank_sorted)
+    done = rank_sorted[-1] == m
+    return sa, rank, done
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _sa_doubling(sa, rank, m: int):
+    """Doubling rounds until every rank is unique."""
+
+    def body(carry):
+        sa, rank, k, _ = carry
+        rank_pad = jnp.concatenate([rank, jnp.zeros(m, jnp.int32)])
+        second = jax.lax.dynamic_slice(rank_pad, (k,), (m,))
+        idx = jnp.arange(m, dtype=jnp.int32)
+        s1, s2, sa = jax.lax.sort((rank, second, idx), num_keys=2)
+        new_grp = jnp.concatenate([
+            jnp.ones(1, jnp.int32),
+            ((s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])).astype(jnp.int32)])
+        rank_sorted = jnp.cumsum(new_grp).astype(jnp.int32)
+        rank = jnp.zeros(m, jnp.int32).at[sa].set(rank_sorted)
+        return sa, rank, k * 2, rank_sorted[-1] == m
+
+    def cond(carry):
+        return ~carry[3]
+
+    sa, rank, _, _ = jax.lax.while_loop(
+        cond, body, (sa, rank, jnp.int32(2 * _B5), jnp.bool_(False)))
+    return sa
+
+
+def suffix_array_device(codes, return_device: bool = False):
+    """SA of text + sentinel (n+1 entries, sa[0] == n), computed on the
+    default JAX device. Matches ``index.sa.suffix_array`` bit-for-bit.
+
+    ``codes``: host uint8/int array of 2-bit symbols (or a device array).
+    ``return_device=True`` keeps the result on device (for BWT/FM
+    construction without a host round trip).
+    """
+    n = int(np.asarray(codes).shape[0] if isinstance(codes, np.ndarray)
+            else codes.shape[0])
+    m = n + 1
+    c = jnp.asarray(codes).astype(jnp.int32) + 1
+    c1p = jnp.concatenate(
+        [c, jnp.zeros(1 + 2 * _B5 + 1, jnp.int32)])  # sentinel + key slack
+    sa, rank, done = _sa_bootstrap(c1p, m)
+    sa = jax.lax.cond(done, lambda s, r: s,
+                      lambda s, r: _sa_doubling(s, r, m), sa, rank)
+    return sa if return_device else np.asarray(sa).astype(np.int64)
+
+
+@jax.jit
+def _bwt_full_of(c1p, sa):
+    """Full-BWT symbol plane (0..3; the primary row holds text[0], removed
+    host-side like ``fmi.index.bwt_from_sa``) + primary row index."""
+    prev = jnp.maximum(sa - 1, 0)
+    sym1 = jnp.take(c1p, prev)  # 1..4
+    primary = jnp.argmax((sa == 0).astype(jnp.int32)).astype(jnp.int32)
+    return (sym1 - 1).astype(jnp.uint8), primary
+
+
+def bwt_device(codes):
+    """(bwt uint8[n] with the sentinel row removed, primary row index) —
+    same contract as ``fmi.index.bwt_from_sa``, but SA + BWT are computed
+    on device and only the n+1-byte BWT plane is fetched (the SA — 4x
+    bigger — never crosses the host link)."""
+    n = int(np.asarray(codes).shape[0])
+    c = jnp.asarray(codes).astype(jnp.int32) + 1
+    c1p = jnp.concatenate([c, jnp.zeros(1 + 2 * _B5 + 1, jnp.int32)])
+    sa = suffix_array_device(codes, return_device=True)
+    bwt_full, primary = _bwt_full_of(c1p, sa)
+    primary = int(primary)
+    return np.delete(np.asarray(bwt_full), primary), primary

@@ -144,3 +144,52 @@ def test_debug_output_roundtrip(tmp_path):
     np.testing.assert_array_equal(back["score"][:B], res["best_score"])
     got_unmapped = (back["flag"][:B] & 4) > 0
     np.testing.assert_array_equal(got_unmapped, ~res["mapped"])
+
+
+def test_debug_output_subs_ins_dels(tmp_path):
+    """End-to-end: reads with a substitution / insertion / deletion produce
+    nonzero subs/ins/dels in the DebugOutput records (the split
+    output_debug.h records, computed on device in finalize_best)."""
+    import numpy as np
+
+    from nvbio_tpu.bowtie.params import MapParams
+    from nvbio_tpu.bowtie.pipeline import ReadMapper
+    from nvbio_tpu.io.debug import DebugOutput, read_debug
+    from nvbio_tpu.io.fastq import ReadBatch
+    from nvbio_tpu.io.reference import Reference
+    from nvbio_tpu.alphabet import codes_to_string
+    from nvbio_tpu.apps.map_app import _dump_debug
+
+    rng = np.random.default_rng(5)
+    n = 30000
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    ref = Reference.from_records([("chrD", codes_to_string(codes))])
+    L = 80
+    B = 8
+    starts = rng.integers(100, n - L - 100, size=B)
+    reads = np.stack([codes[s:s + L] for s in starts]).astype(np.uint8)
+    # read 0: clean; read 1: 2 substitutions; read 2: 1-bp deletion from the
+    # reference (skip a genome base); read 3: 1-bp insertion
+    reads[1, 20] = (reads[1, 20] + 1) % 4
+    reads[1, 50] = (reads[1, 50] + 2) % 4
+    s = int(starts[2])
+    reads[2] = np.concatenate([codes[s:s + 40], codes[s + 41:s + L + 1]])
+    s = int(starts[3])
+    reads[3] = np.concatenate(
+        [codes[s:s + 40], [(codes[s + 40] + 1) % 4], codes[s + 40:s + L - 1]])
+    batch = ReadBatch(
+        names=[f"r{i}" for i in range(B)], codes=reads,
+        quals=np.full((B, L), 30, np.uint8), lengths=np.full(B, L, np.int32))
+    mapper = ReadMapper.build(ref, MapParams(
+        max_read_len=L, seed_len=20, seed_stride=15, hits_per_seed=4,
+        max_dist=5, max_reseed=0))
+    res = mapper.dispatch(batch)
+    p = str(tmp_path / "sid.dbg")
+    with DebugOutput(p) as d:
+        _dump_debug(d, mapper, res)
+    back = read_debug(p)
+    assert (back["flag"][:4] & 4 == 0).all(), "first 4 reads must map"
+    assert back["subs"][0] == 0 and back["ins"][0] == 0 and back["dels"][0] == 0
+    assert back["subs"][1] == 2 and back["ed"][1] == 2
+    assert back["dels"][2] == 1, back[2]
+    assert back["ins"][3] == 1, back[3]

@@ -207,3 +207,39 @@ def test_search_kmm_beam(rng):
                                      max_states=4))
     elo, ehi = (np.asarray(x) for x in backward_search(fmi, qs[:1], lens[:1]))
     assert va0[0, 0] and (lo0[0, 0], hi0[0, 0]) == (elo[0], ehi[0])
+
+
+def test_device_suffix_array_matches_host(rng):
+    """Prefix-doubling device SA (index/device_sa.py) is bit-exact vs the
+    host SA-IS across random, repeat-heavy, and degenerate texts, and
+    bwt_device matches bwt_from_sa."""
+    from nvbio_tpu.index.device_sa import bwt_device, suffix_array_device
+
+    texts = [
+        rng.integers(0, 4, size=997, dtype=np.uint8),        # random, odd n
+        np.tile(rng.integers(0, 4, size=37, dtype=np.uint8), 60),  # repeats
+        np.zeros(500, dtype=np.uint8),                       # all-same
+        rng.integers(0, 4, size=8, dtype=np.uint8),          # < one key block
+    ]
+    for codes in texts:
+        want = suffix_array(codes)
+        got = suffix_array_device(codes)
+        np.testing.assert_array_equal(got, want)
+        bw, pr = bwt_device(codes)
+        bw2, pr2 = bwt_from_sa(codes, want)
+        np.testing.assert_array_equal(bw, bw2)
+        assert pr == pr2
+
+
+def test_build_fmindex_device_sa(rng):
+    """build_fmindex over a device-computed SA produces an index identical
+    to the host-built one."""
+    from nvbio_tpu.index.device_sa import suffix_array_device
+
+    codes = rng.integers(0, 4, size=2000, dtype=np.uint8)
+    host = build_fmindex(codes)
+    dev = build_fmindex(codes, sa=suffix_array_device(codes))
+    np.testing.assert_array_equal(host.bwt_words, dev.bwt_words)
+    np.testing.assert_array_equal(host.occ, dev.occ)
+    np.testing.assert_array_equal(host.ssa_vals, dev.ssa_vals)
+    assert host.primary == dev.primary

@@ -90,3 +90,40 @@ def test_sharded_paired_matches_single_device():
                                       err_msg=f"mate1 {k}")
         np.testing.assert_array_equal(np.asarray(ref2[k]), np.asarray(got2[k]),
                                       err_msg=f"mate2 {k}")
+
+
+def test_dist_single_process_helpers(tmp_path):
+    """Multi-host scaffolding degrades to single-process: striping keeps
+    every batch, global_batch == shard_batch, SAM shards merge under one
+    header."""
+    from nvbio_tpu.parallel import dist
+    from nvbio_tpu.parallel.mesh import make_reads_mesh
+
+    assert dist.init_distributed() is False  # no coordinator -> local mode
+    batches = list(range(7))
+    assert list(dist.host_stripe(batches)) == batches
+    # explicit 4-way striping (what each of 4 processes would keep)
+    stripes = [list(dist.host_stripe(batches, p, 4)) for p in range(4)]
+    assert sorted(sum(stripes, [])) == batches
+    assert stripes[0] == [0, 4] and stripes[3] == [3]
+
+    mesh = make_reads_mesh(min(8, len(jax.devices())))
+    arr = np.arange(len(mesh.devices) * 3 * 2, dtype=np.int32).reshape(-1, 2)
+    g = dist.global_batch(mesh, arr)
+    np.testing.assert_array_equal(np.asarray(g), arr)
+
+    # shard merge
+    header = "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:100\n"
+    p0, p1 = str(tmp_path / "o.sam.shard0000"), str(tmp_path / "o.sam.shard0001")
+    with open(p0, "w") as f:
+        f.write(header + "r0\t0\tchr1\t1\t42\t5M\t*\t0\t0\tACGTA\tIIIII\n")
+    with open(p1, "w") as f:
+        f.write(header + "r1\t0\tchr1\t9\t42\t5M\t*\t0\t0\tACGTA\tIIIII\n")
+    out = str(tmp_path / "o.sam")
+    n = dist.merge_sam_shards([p0, p1], out)
+    assert n == 2
+    lines = open(out).read().splitlines()
+    assert sum(1 for l in lines if l.startswith("@")) == 2
+    assert [l.split("\t")[0] for l in lines if not l.startswith("@")] == \
+        ["r0", "r1"]
+    assert dist.shard_path("x.sam", 7) == "x.sam.shard0007"
