@@ -104,8 +104,10 @@ def suffix_array_device(codes, return_device: bool = False):
     c1p = jnp.concatenate(
         [c, jnp.zeros(1 + 2 * _B5 + 1, jnp.int32)])  # sentinel + key slack
     sa, rank, done = _sa_bootstrap(c1p, m)
-    sa = jax.lax.cond(done, lambda s, r: s,
-                      lambda s, r: _sa_doubling(s, r, m), sa, rank)
+    # host-side branch on the 1-byte done flag: a lax.cond OUTSIDE jit
+    # re-traces (and recompiles) both branches on every call
+    if not bool(done):
+        sa = _sa_doubling(sa, rank, m)
     return sa if return_device else np.asarray(sa).astype(np.int64)
 
 
