@@ -23,6 +23,12 @@ def add_parser(sub):
     p.add_argument("--no-qgram", action="store_true", help="skip the q-gram table")
     p.add_argument("-q", type=int, default=12, help="q-gram length (default 12)")
     p.add_argument("--sa-interval", type=int, default=8)
+    p.add_argument("--sa-backend", choices=("auto", "host", "device"),
+                   default="auto",
+                   help="suffix-sort backend for --fmi: host SA-IS, "
+                        "device prefix doubling (TPU), or auto "
+                        "(device when an accelerator is present and the "
+                        "genome is >4 Mbp)")
     p.add_argument("--qgroup", type=int, metavar="Q", default=0,
                    help="also build a Q-Group index with this q "
                         "(compact for large q, e.g. 16)")
@@ -71,13 +77,22 @@ def run(args):
 
     if args.fmi:
         from nvbio_tpu.fmi.index import build_fmindex
+        from nvbio_tpu.index.device_sa import prefer_device_sa
 
         t0 = time.time()
-        fmi = build_fmindex(ref.codes, sa_interval=args.sa_interval)
+        if args.sa_backend == "device" or (
+                args.sa_backend == "auto"
+                and prefer_device_sa(ref.total_length)):
+            method = "device"
+        else:
+            method = "auto"  # host: native SA-IS, numpy fallback
+        fmi = build_fmindex(ref.codes, sa_interval=args.sa_interval,
+                            method=method)
         fmi.save(args.prefix + ".fmi.npz")
         log_stats(
             f"FM-index built in {time.time()-t0:.1f}s "
-            f"(primary={fmi.primary}, SA interval={fmi.sa_interval})"
+            f"({'device' if method == 'device' else 'host'} suffix sort, "
+            f"primary={fmi.primary}, SA interval={fmi.sa_interval})"
         )
         if args.bwt:
             from nvbio_tpu import packed as _packed

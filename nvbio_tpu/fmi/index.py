@@ -109,18 +109,28 @@ def bwt_from_sa(text_codes: np.ndarray, sa: np.ndarray):
 
 
 def build_fmindex(
-    text_codes: np.ndarray, sa: np.ndarray | None = None, sa_interval: int = 8
+    text_codes: np.ndarray, sa: np.ndarray | None = None, sa_interval: int = 8,
+    method: str = "auto",
 ) -> FMIndex:
-    """Build a complete FM-index from 2-bit text codes (host-side).
+    """Build a complete FM-index from 2-bit text codes.
 
-    If ``sa`` is None it is built with nvbio_tpu.index.sa.suffix_array.
+    If ``sa`` is None it is built with nvbio_tpu.index.sa.suffix_array
+    using ``method`` ("auto"/"native"/"doubling" run host-side;
+    "device" runs the whole sort + BWT/SSA plane construction on the
+    default JAX device — see ``index.device_sa.build_fmindex_device``,
+    the TPU analogue of the reference's GPU nvBWT build).
     """
     from nvbio_tpu.index.sa import suffix_array
+
+    if sa is None and method == "device":
+        from nvbio_tpu.index.device_sa import build_fmindex_device
+
+        return build_fmindex_device(text_codes, sa_interval=sa_interval)
 
     text_codes = np.asarray(text_codes, dtype=np.uint8)
     n = len(text_codes)
     if sa is None:
-        sa = suffix_array(text_codes)
+        sa = suffix_array(text_codes, method=method)
     bwt, primary = bwt_from_sa(text_codes, sa)
     bwt_words = packed.pack(bwt, 2)
     occ = rank_mod.build_occ_table(bwt_words, n)
@@ -141,7 +151,8 @@ def build_fmindex(
     n_words = (n_rows + 31) // 32
     marks = np.zeros(n_words, dtype=np.uint32)
     np.bitwise_or.at(marks, rows // 32, (np.uint32(1) << (rows % 32).astype(np.uint32)))
-    popc = np.array([bin(w).count("1") for w in marks.tolist()], dtype=np.int64)
+    popc = np.unpackbits(marks.view(np.uint8)).reshape(-1, 32).sum(
+        axis=1, dtype=np.int64)
     cum = np.zeros(n_words, dtype=np.int64)
     np.cumsum(popc[:-1], out=cum[1:])
     vals = sa[rows]

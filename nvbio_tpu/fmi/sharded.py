@@ -63,12 +63,17 @@ jax.tree_util.register_pytree_node(
 
 
 def shard_fmindex(codes: np.ndarray, n_shards: int,
-                  overlap: int = 256) -> ShardedFMIndex:
-    """Build D equal-shape per-slice FM-indexes (host-side).
+                  overlap: int = 256, method: str = "auto") -> ShardedFMIndex:
+    """Build D equal-shape per-slice FM-indexes.
 
     Every slice covers [d * slice_len, d * slice_len + slice_len + overlap)
     (clamped); short tails are padded by wrapping the genome so all leaf
     shapes match (padded positions are filtered at query time).
+
+    ``method="device"`` runs each slice's suffix sort on the accelerator
+    (``index.device_sa``) — since every slice has the SAME padded length,
+    the sort kernels compile once and are reused across all D slices, so a
+    multi-Gbp genome indexes as D accelerator sorts of n/D symbols each.
     """
     from nvbio_tpu.fmi.index import build_fmindex
 
@@ -81,7 +86,7 @@ def shard_fmindex(codes: np.ndarray, n_shards: int,
         sl = codes[s:s + full]
         if len(sl) < full:  # wrap-pad so every slice has identical length
             sl = np.concatenate([sl, codes[:full - len(sl)]])
-        subs.append(build_fmindex(np.asarray(sl, np.uint8)))
+        subs.append(build_fmindex(np.asarray(sl, np.uint8), method=method))
     stack = lambda f: np.stack([np.asarray(getattr(x, f)) for x in subs])
     return ShardedFMIndex(
         n_shards=n_shards, slice_len=slice_len, overlap=overlap, n=n,

@@ -89,6 +89,39 @@ def _sa_doubling(sa, rank, m: int):
     return sa
 
 
+def prefer_device_sa(n: int) -> bool:
+    """True when the default backend is an accelerator and the text is long
+    enough that the device prefix-doubling sort clearly beats one host
+    core's SA-IS (the crossover is well under 4 Mbp; below it compile time
+    dominates and the host path is instant anyway)."""
+    try:
+        return jax.default_backend() != "cpu" and n >= (1 << 22)
+    except Exception:
+        return False
+
+
+@functools.partial(jax.jit, static_argnames=("pad",))
+def _c1p_jit(c_u8, pad: int):
+    c = c_u8.astype(jnp.int32) + 1
+    return jnp.concatenate([c, jnp.zeros(pad, jnp.int32)])
+
+
+def _c1p_of(codes) -> jnp.ndarray:
+    """Upload the text ONCE as uint8 and build the 1-based padded int32
+    plane on device (sentinel + base-5 key slack)."""
+    c_u8 = jnp.asarray(np.asarray(codes, np.uint8))
+    return _c1p_jit(c_u8, 1 + 2 * _B5 + 1)
+
+
+def _sa_of(c1p: jnp.ndarray, m: int) -> jnp.ndarray:
+    sa, rank, done = _sa_bootstrap(c1p, m)
+    # host-side branch on the 1-byte done flag: a lax.cond OUTSIDE jit
+    # re-traces (and recompiles) both branches on every call
+    if not bool(done):
+        sa = _sa_doubling(sa, rank, m)
+    return sa
+
+
 def suffix_array_device(codes, return_device: bool = False):
     """SA of text + sentinel (n+1 entries, sa[0] == n), computed on the
     default JAX device. Matches ``index.sa.suffix_array`` bit-for-bit.
@@ -99,15 +132,7 @@ def suffix_array_device(codes, return_device: bool = False):
     """
     n = int(np.asarray(codes).shape[0] if isinstance(codes, np.ndarray)
             else codes.shape[0])
-    m = n + 1
-    c = jnp.asarray(codes).astype(jnp.int32) + 1
-    c1p = jnp.concatenate(
-        [c, jnp.zeros(1 + 2 * _B5 + 1, jnp.int32)])  # sentinel + key slack
-    sa, rank, done = _sa_bootstrap(c1p, m)
-    # host-side branch on the 1-byte done flag: a lax.cond OUTSIDE jit
-    # re-traces (and recompiles) both branches on every call
-    if not bool(done):
-        sa = _sa_doubling(sa, rank, m)
+    sa = _sa_of(_c1p_of(codes), n + 1)
     return sa if return_device else np.asarray(sa).astype(np.int64)
 
 
@@ -127,9 +152,79 @@ def bwt_device(codes):
     on device and only the n+1-byte BWT plane is fetched (the SA — 4x
     bigger — never crosses the host link)."""
     n = int(np.asarray(codes).shape[0])
-    c = jnp.asarray(codes).astype(jnp.int32) + 1
-    c1p = jnp.concatenate([c, jnp.zeros(1 + 2 * _B5 + 1, jnp.int32)])
-    sa = suffix_array_device(codes, return_device=True)
+    c1p = _c1p_of(codes)
+    sa = _sa_of(c1p, n + 1)
     bwt_full, primary = _bwt_full_of(c1p, sa)
     primary = int(primary)
     return np.delete(np.asarray(bwt_full), primary), primary
+
+
+@functools.partial(jax.jit, static_argnames=("K", "n_samples"))
+def _fmi_planes(c1p, sa, K: int, n_samples: int):
+    """Device-side FM-index planes from the device SA: the full BWT symbol
+    plane, primary row, and the mark-bitvector sampled SA (rows with
+    SA % K == 0 — exactly n // K + 1 of them, a static count, since SA is
+    a permutation of 0..n). Only these compact planes cross the host link;
+    the 4x-bigger SA never does."""
+    m = sa.shape[0]
+    prev = jnp.maximum(sa - 1, 0)
+    bwt_full = (jnp.take(c1p[:m], prev) - 1).astype(jnp.uint8)
+    primary = jnp.argmax(sa == 0).astype(jnp.int32)
+    marked = (sa % K) == 0
+    pos = jnp.cumsum(marked.astype(jnp.int32)) - 1
+    vals = (jnp.zeros(n_samples, jnp.int32)
+            .at[jnp.where(marked, pos, n_samples)].set(sa, mode="drop"))
+    n_words = (m + 31) // 32
+    bits = (jnp.zeros(n_words * 32, jnp.uint32)
+            .at[:m].set(marked.astype(jnp.uint32))).reshape(n_words, 32)
+    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    marks = (bits * weights).sum(axis=1, dtype=jnp.uint32)  # disjoint bits
+    return bwt_full, primary, marks, vals
+
+
+def build_fmindex_device(codes, sa_interval: int = 8):
+    """Complete FM-index with the suffix sort + BWT/SSA planes computed on
+    the default JAX device; same artifact as ``fmi.index.build_fmindex``.
+
+    TPU counterpart of the reference's GPU index build (nvBWT over
+    ``nvbio/sufsort/sufsort.h:45-60``): the O(n log n) sort runs on the
+    chip, then only the n-byte BWT plane + the 1/K-sampled SA planes are
+    fetched; packing, occ checkpoints, and prefix sums are cheap vectorized
+    numpy on the host.
+    """
+    from nvbio_tpu import packed
+    from nvbio_tpu.fmi.index import FMIndex
+    from nvbio_tpu.fmi.rank import build_occ_table
+
+    codes = np.asarray(codes, dtype=np.uint8)
+    n = len(codes)
+    c1p = _c1p_of(codes)
+    sa = _sa_of(c1p, n + 1)
+    n_samples = n // sa_interval + 1
+    bwt_full, primary, marks, vals = _fmi_planes(
+        c1p, sa, sa_interval, n_samples)
+    primary = int(primary)
+    bwt = np.delete(np.asarray(bwt_full), primary)
+    bwt_words = packed.pack(bwt, 2)
+    occ = build_occ_table(bwt_words, n)
+
+    counts = np.bincount(codes, minlength=4)[:4]
+    count = np.zeros(5, dtype=np.int64)
+    count[1:] = np.cumsum(counts)
+    count += 1
+    count[0] = 1
+    if count.max() >= 2**31:
+        raise ValueError("text too long for int32 FM-index")
+
+    marks_np = np.asarray(marks)
+    popc = np.unpackbits(marks_np.view(np.uint8)).reshape(-1, 32).sum(
+        axis=1, dtype=np.int64)
+    cum = np.zeros(len(marks_np), dtype=np.int64)
+    np.cumsum(popc[:-1], out=cum[1:])
+
+    return FMIndex(
+        bwt_words=bwt_words, occ=occ, count=count.astype(np.int32),
+        primary=primary, n=n, sa_interval=sa_interval,
+        ssa_marks=marks_np, ssa_cum=cum.astype(np.int32),
+        ssa_vals=np.asarray(vals),
+    )

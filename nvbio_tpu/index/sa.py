@@ -6,8 +6,11 @@ typically needs ~12 rounds for megabase genomes). Returns the SA of T$
 (n+1 entries, sa[0] == n).
 
 The reference's equivalents are the GPU blockwise/DCS suffix sorter
-(``nvbio/sufsort``) and libdivsufsort on the host; a native C++ SA-IS
-implementation is the planned upgrade path for >100 Mbp genomes.
+(``nvbio/sufsort``) and libdivsufsort on the host. Here the host fast path
+is the native C++ 64-bit SA-IS engine (``native/sais.cpp``, method
+"native"/"auto"); the accelerator path — prefix doubling over ``lax.sort``,
+the analogue of the reference's GPU sorter — lives in
+``index.device_sa`` (``suffix_array(..., method="device")``).
 """
 
 from __future__ import annotations
@@ -19,8 +22,13 @@ def suffix_array(codes: np.ndarray, method: str = "auto") -> np.ndarray:
     """SA of text + sentinel (n+1 entries, sa[0] == n).
 
     method: "native" (C++ SA-IS, O(n)), "doubling" (numpy, O(n log^2 n)),
+    "device" (prefix doubling over lax.sort on the default JAX device),
     or "auto" (native if the toolchain is available, else doubling).
     """
+    if method == "device":
+        from nvbio_tpu.index.device_sa import suffix_array_device
+
+        return suffix_array_device(codes)
     if method in ("auto", "native"):
         try:
             from nvbio_tpu import native

@@ -1,0 +1,93 @@
+"""Index-construction speed: device suffix sort vs host SA-IS.
+
+Measures, on the default (TPU) backend:
+  - device-only suffix sort of a 100 Mbp genome (suffixes/s), synced via a
+    1-element fetch (full-array fetches would measure the relay tunnel);
+  - end-to-end ``build_fmindex(method="device")`` wall time (includes the
+    BWT/SSA plane fetch + host occ/pack), first call (with compile) and
+    steady state;
+  - the host q-gram table build at the same scale, for the bench context.
+
+Reference anchor: nvBWT builds a whole human-genome BWT in <2 min on a
+2013 K20 and sustains ~70 M suffixes/s blockwise
+(``/root/reference/nvbio/sufsort/sufsort.h:45-60``).
+
+Writes INDEX_SPEED.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    from nvbio_tpu.fmi.index import build_fmindex
+    from nvbio_tpu.index.device_sa import _c1p_of, _sa_of
+
+    platform = jax.devices()[0].platform
+    GENOME = int(os.environ.get("GENOME_BP", 100_000_000))
+    rng = np.random.default_rng(42)
+    genome = rng.integers(0, 4, size=GENOME, dtype=np.uint8)
+    out = {"platform": platform, "genome_bp": GENOME}
+
+    # --- device-only suffix sort --------------------------------------------
+    t0 = time.time()
+    c1p = _c1p_of(genome)
+    int(np.asarray(c1p[:1])[0])  # sync upload
+    out["upload_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    sa = _sa_of(c1p, GENOME + 1)
+    int(np.asarray(sa[:1])[0])
+    out["device_sa_first_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    sa = _sa_of(c1p, GENOME + 1)
+    int(np.asarray(sa[:1])[0])
+    dt = time.time() - t0
+    out["device_sa_s"] = round(dt, 1)
+    out["device_sa_msuffixes_per_s"] = round(GENOME / dt / 1e6, 1)
+    del sa, c1p
+
+    # --- end-to-end FM-index build ------------------------------------------
+    t0 = time.time()
+    fmi = build_fmindex(genome, method="device")
+    out["fmi_build_device_first_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    fmi = build_fmindex(genome, method="device")
+    out["fmi_build_device_s"] = round(time.time() - t0, 1)
+    out["primary"] = int(fmi.primary)
+
+    # spot-check vs the host path on a slice boundary region
+    probe = genome[: 1 << 20]
+    host = build_fmindex(probe)
+    dev = build_fmindex(probe, method="device")
+    assert np.array_equal(np.asarray(host.bwt_words),
+                          np.asarray(dev.bwt_words))
+    assert host.primary == dev.primary
+    out["host_parity_1mbp"] = True
+
+    # --- host q-gram build (bench context) ----------------------------------
+    from nvbio_tpu.qgram import build_qgram_index
+
+    t0 = time.time()
+    build_qgram_index(genome, 12)
+    out["qgram_build_host_s"] = round(time.time() - t0, 1)
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           os.pardir, "INDEX_SPEED.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

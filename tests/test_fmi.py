@@ -243,3 +243,36 @@ def test_build_fmindex_device_sa(rng):
     np.testing.assert_array_equal(host.occ, dev.occ)
     np.testing.assert_array_equal(host.ssa_vals, dev.ssa_vals)
     assert host.primary == dev.primary
+
+
+def test_build_fmindex_device_end_to_end(rng):
+    """method="device" (SA + BWT + SSA planes all on device) reproduces the
+    host-built index field-for-field, including the mark bitvector and its
+    popcount prefix, for several sa_intervals and text shapes."""
+    texts = [
+        rng.integers(0, 4, size=3001, dtype=np.uint8),
+        np.tile(rng.integers(0, 4, size=13, dtype=np.uint8), 77),
+    ]
+    for codes in texts:
+        for K in (4, 8, 16):
+            host = build_fmindex(codes, sa_interval=K)
+            dev = build_fmindex(codes, sa_interval=K, method="device")
+            for f in ("bwt_words", "occ", "count", "ssa_marks", "ssa_cum",
+                      "ssa_vals"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(host, f)), np.asarray(getattr(dev, f)),
+                    err_msg=f"{f} (K={K}, n={len(codes)})")
+            assert host.primary == dev.primary and host.n == dev.n
+
+
+def test_shard_fmindex_device_method(rng):
+    """shard_fmindex(method="device") slices equal the host-method slices."""
+    from nvbio_tpu.fmi.sharded import shard_fmindex
+
+    codes = rng.integers(0, 4, size=5000, dtype=np.uint8)
+    h = shard_fmindex(codes, 4, overlap=64)
+    d = shard_fmindex(codes, 4, overlap=64, method="device")
+    for f in ("bwt_words", "occ", "count", "primary", "ssa_marks",
+              "ssa_cum", "ssa_vals"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(h, f)), np.asarray(getattr(d, f)), err_msg=f)
