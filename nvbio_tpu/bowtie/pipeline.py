@@ -77,7 +77,9 @@ def _mm_penalties(quals, params: MapParams):
         return None
     q = jnp.minimum(quals.astype(jnp.int32), 40)
     span = params.mm_penalty_max - params.mm_penalty_min
-    pen = params.mm_penalty_min + (2 * span * q + 40) // 80  # round-half-up /40
+    # truncating scale, matching bowtie2's q-to-penalty and the reference's
+    # QualCost (scoring.h:83-101 casts the fraction down)
+    pen = params.mm_penalty_min + (span * q) // 40
     return pen.astype(jnp.int32)
 
 
@@ -764,8 +766,11 @@ class ReadMapper:
                                           n_flags=reference.n_flags())
             else:
                 from nvbio_tpu.fmi.index import build_fmindex
+                from nvbio_tpu.index.device_sa import prefer_device_sa
 
-                index = build_fmindex(reference.codes)
+                method = ("device" if prefer_device_sa(reference.total_length)
+                          else "auto")
+                index = build_fmindex(reference.codes, method=method)
         return cls(
             index=index.device(),
             genome_words=jnp.asarray(reference.packed_words()),
