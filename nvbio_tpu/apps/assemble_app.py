@@ -35,6 +35,11 @@ def add_parser(sub):
                    help="prune non-ref edges below this multiplicity")
     p.add_argument("--dot", action="store_true",
                    help="emit graphviz dot instead of haplotypes")
+    p.add_argument("--support", action="store_true",
+                   help="count per-haplotype read support (trie-dictionary "
+                        "k-mer votes) and tag each FASTA record with it")
+    p.add_argument("--support-k", type=int, default=10,
+                   help="k-mer length for support voting (<=20)")
     p.set_defaults(func=run)
     return p
 
@@ -71,11 +76,28 @@ def run(args):
             out.write("\n")
             return 0
         haps = k_best_haplotypes(graph, args.k_best)
+        supp = None
+        if args.support:
+            from nvbio_tpu.assembly import haplotype_support
+
+            t0 = time.time()
+            supp = haplotype_support(haps, codes, lengths, region_ids,
+                                     is_ref, k=args.support_k)
+            n_assigned = sum(int((s.best_hap >= 0).sum())
+                             for s in supp if s is not None)
+            log_stats(f"read support voted in {time.time()-t0:.2f}s "
+                      f"({n_assigned} reads assigned)")
         n_h = 0
         for r, region in enumerate(regions):
             for j, h in enumerate(haps[r]):
+                tag = ""
+                if supp is not None and supp[r] is not None \
+                        and j < len(supp[r].support):
+                    tag = (f" support={int(supp[r].support[j])}"
+                           f"/{supp[r].n_reads}")
                 out.write(f">region{r}_{region.start+1}-{region.stop}"
-                          f"_hap{j} score={h.score:.3f} nodes={h.n_nodes}\n")
+                          f"_hap{j} score={h.score:.3f} "
+                          f"nodes={h.n_nodes}{tag}\n")
                 out.write(str(h) + "\n")
                 n_h += 1
         log_stats(f"{n_h} haplotypes emitted")

@@ -11,3 +11,4 @@ source->sink paths are enumerated as candidate haplotypes.
 from nvbio_tpu.assembly.graph import DebruijnGraph, build_debruijn_graph  # noqa: F401
 from nvbio_tpu.assembly.paths import k_best_haplotypes  # noqa: F401
 from nvbio_tpu.assembly.regions import ActiveRegion, load_active_regions  # noqa: F401
+from nvbio_tpu.assembly.support import HaplotypeSupport, haplotype_support  # noqa: F401

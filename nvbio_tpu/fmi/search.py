@@ -154,9 +154,11 @@ def search_kmm_core(fmi, queries, qlens, k: int, max_states: int = 32):
     (lo, hi, n_mismatch) states per query advances in lockstep over suffix
     positions; each step branches every state through all 4 symbols
     (``extend_backward_all``), charges a mismatch for non-read symbols, and
-    keeps the ``max_states`` best states by mismatch count (a capacity-
-    bounded frontier — the same static-shape queue discipline as the
-    mapping pipeline). Distinct mismatch sets can reach the same SA range;
+    pushes the whole 4-way expansion into a ``max_states``-slot bounded
+    priority queue keyed by -mismatches (``nvbio_tpu.priority``, the
+    batched counterpart of the reference's in-kernel priority containers)
+    — the queue's worst-falls-out semantics IS the capacity-bounded
+    frontier. Distinct mismatch sets can reach the same SA range;
     callers that count occurrences should dedup on (lo, hi).
 
     Returns (lo, hi, n_mis, valid), each (B, max_states), mismatch-sorted.
@@ -172,6 +174,11 @@ def search_kmm_core(fmi, queries, qlens, k: int, max_states: int = 32):
     nm = jnp.zeros((B, S), jnp.int32)
     valid = slot[None, :] == jnp.zeros((B, 1), jnp.int32)
 
+    from nvbio_tpu.priority import NEG_INF as QNEG, BatchPriorityQueue
+
+    flat_idx = jnp.broadcast_to(
+        jnp.arange(S * 4, dtype=jnp.int32)[None, :], (B, S * 4))
+
     def step(carry, s):
         lo, hi, nm, valid = carry
         j = jnp.clip(qlens - 1 - s, 0, L - 1)
@@ -181,14 +188,16 @@ def search_kmm_core(fmi, queries, qlens, k: int, max_states: int = 32):
                != c[:, None, None]).astype(jnp.int32)
         nm4 = nm[:, :, None] + add
         valid4 = valid[:, :, None] & (hi4 > lo4) & (nm4 <= k)
-        key = jnp.where(valid4, nm4, jnp.int32(2 * k + 2)).reshape(B, S * 4)
-        order = jnp.argsort(key, axis=1, stable=True)[:, :S]
+        q = BatchPriorityQueue.make(B, S, xp=jnp).push(
+            -nm4.reshape(B, S * 4), flat_idx,
+            mask=valid4.reshape(B, S * 4))
+        order = q.values  # flat expansion indices of the surviving states
 
         def pick(x4):
             return jnp.take_along_axis(x4.reshape(B, S * 4), order, axis=1)
 
         nlo, nhi = pick(lo4), pick(hi4)
-        nnm, nva = pick(nm4), pick(valid4.astype(jnp.int32)) > 0
+        nnm, nva = pick(nm4), q.keys > QNEG
         active = (s < qlens)[:, None]
         lo = jnp.where(active, nlo, lo)
         hi = jnp.where(active, nhi, hi)

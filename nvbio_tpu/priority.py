@@ -41,16 +41,28 @@ class BatchPriorityQueue:
         return np if isinstance(self.keys, np.ndarray) else _jnp()
 
     def push(self, key, value, mask=None) -> "BatchPriorityQueue":
-        """Insert per-lane (key, value); when full, the worst item falls out
-        (the bounded-deque semantics nvBowtie uses for seed hits). ``mask``
-        disables insertion per lane."""
+        """Insert per-lane items; when full, the worst items fall out
+        (the bounded-deque semantics nvBowtie uses for seed hits).
+
+        ``key``/``value`` are (B,) for a single item per lane or (B, M) for
+        an M-wide batched push (one merge + one sort — how a beam search
+        pushes a whole expansion frontier at once). ``mask`` disables
+        insertion per element. Existing items win ties (stable sort), and
+        equal-key pushed items keep their column order.
+        """
         xp = self._xp()
         key = xp.asarray(key, self.keys.dtype)
         value = xp.asarray(value, self.values.dtype)
+        if key.ndim == 1:
+            key = key[:, None]
+            value = value[:, None]
         if mask is not None:
+            mask = xp.asarray(mask)
+            if mask.ndim == 1:
+                mask = mask[:, None]
             key = xp.where(mask, key, NEG_INF)
-        ext_k = xp.concatenate([self.keys, key[:, None]], axis=1)
-        ext_v = xp.concatenate([self.values, value[:, None]], axis=1)
+        ext_k = xp.concatenate([self.keys, key], axis=1)
+        ext_v = xp.concatenate([self.values, value], axis=1)
         order = xp.argsort(-ext_k, axis=1, stable=True)[:, :self.capacity]
         return BatchPriorityQueue(
             xp.take_along_axis(ext_k, order, axis=1),

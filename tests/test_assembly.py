@@ -164,3 +164,42 @@ def test_cli_assemble(tmp_path):
     out = (tmp_path / "h.fa").read_text().splitlines()
     assert out[0].startswith(">region0_1-200_hap0")
     assert out[1] == seq[:200]
+
+
+def test_haplotype_support_votes():
+    """Trie-dictionary k-mer voting assigns reads to the haplotype they
+    came from (SNP region, two haplotypes)."""
+    from nvbio_tpu.assembly import haplotype_support
+
+    rng = np.random.default_rng(11)
+    ref = rng.integers(0, 4, size=120, dtype=np.uint8)
+    alt = ref.copy()
+    alt[60] = (alt[60] + 2) % 4
+    # 4 reads from ref haplotype, 4 from alt, all covering the SNP
+    seqs, is_ref_flags = [codes_to_string(ref)], [True]
+    truth = []
+    for i in range(8):
+        src = ref if i % 2 == 0 else alt
+        s = int(rng.integers(20, 40))
+        seqs.append(codes_to_string(src[s:s + 60]))
+        is_ref_flags.append(False)
+        truth.append(i % 2)
+    dense = _dense(seqs, [0] * len(seqs), is_ref_flags)
+    g = build_debruijn_graph(*dense, k=15)
+    haps = k_best_haplotypes(g, 4)
+    assert len(haps[0]) >= 2
+    hap_strs = [str(h) for h in haps[0]]
+    assert codes_to_string(ref) in hap_strs
+    assert codes_to_string(alt) in hap_strs
+    codes, lengths, region_ids, is_ref_arr = dense[:4]
+    supp = haplotype_support(haps, codes, lengths, region_ids, is_ref_arr,
+                             k=10)
+    s0 = supp[0]
+    assert s0 is not None and s0.n_reads == 8
+    # every read's best haplotype contains its source sequence
+    ref_id = hap_strs.index(codes_to_string(ref))
+    alt_id = hap_strs.index(codes_to_string(alt))
+    for i, t in enumerate(truth):
+        want = ref_id if t == 0 else alt_id
+        assert s0.best_hap[i] == want, (i, t, s0.votes[i])
+    assert int(s0.support[ref_id]) == 4 and int(s0.support[alt_id]) == 4

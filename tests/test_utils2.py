@@ -125,6 +125,25 @@ def test_priority_queue_push_pop():
     np.testing.assert_array_equal(q2.size(), [3, 3, 3])
 
 
+def test_priority_queue_wide_push():
+    """An M-wide push equals M sequential pushes (the beam-frontier form
+    used by fmi.search.search_kmm)."""
+    rng = np.random.default_rng(3)
+    keys = rng.integers(-50, 50, size=(4, 9)).astype(np.int32)
+    vals = np.broadcast_to(np.arange(9, dtype=np.int32), (4, 9)).copy()
+    mask = rng.random((4, 9)) < 0.7
+    wide = BatchPriorityQueue.make(4, 3).push(keys, vals, mask=mask)
+    seq = BatchPriorityQueue.make(4, 3)
+    for j in range(9):
+        seq = seq.push(keys[:, j], vals[:, j], mask=mask[:, j])
+    np.testing.assert_array_equal(wide.keys, seq.keys)
+    # equal keys may order differently between wide/sequential; values must
+    # agree wherever keys are distinct
+    distinct = np.sum(wide.keys[:, :, None] == wide.keys[:, None, :],
+                      axis=2) == 1
+    np.testing.assert_array_equal(wide.values[distinct], seq.values[distinct])
+
+
 def test_priority_queue_mask_and_empty():
     q = BatchPriorityQueue.make(2, 2)
     q = q.push(np.array([5, 6]), np.array([0, 0]),
