@@ -9,6 +9,7 @@ Behavioral re-implementation of BowtieMapq2's end-to-end (monotone) branch
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def mapq_v2_end_to_end(
@@ -161,10 +162,13 @@ def mapq_v2_local(
 
 
 # BowtieMapq3 lookup tables (``nvBowtie/bowtie2/cuda/mapq.h:43-145``)
-_M3_ONE = jnp.asarray([43, 42, 41, 36, 32, 27, 20, 11, 4, 1, 0], jnp.int32)
-_M3_TWO_PERFECT = jnp.asarray(
-    [2, 16, 23, 30, 31, 32, 34, 36, 38, 40, 42], jnp.int32)
-_M3_TWO = jnp.asarray([
+# numpy at module level: jnp constants here would initialize the backend
+# at IMPORT time (breaking spawned workers / pre-config platform selection);
+# the jitted use sites fold them in as constants anyway
+_M3_ONE = np.asarray([43, 42, 41, 36, 32, 27, 20, 11, 4, 1, 0], np.int32)
+_M3_TWO_PERFECT = np.asarray(
+    [2, 16, 23, 30, 31, 32, 34, 36, 38, 40, 42], np.int32)
+_M3_TWO = np.asarray([
     [2, 2, 2, 1, 1, 0, 0, 0, 0, 0, 0],
     [20, 14, 7, 3, 2, 1, 0, 0, 0, 0, 0],
     [20, 16, 10, 6, 3, 1, 0, 0, 0, 0, 0],
@@ -176,7 +180,7 @@ _M3_TWO = jnp.asarray([
     [30, 26, 29, 0, 0, 0, 0, 0, 0, 0, 0],
     [30, 27, 0, 0, 0, 0, 0, 0, 0, 0, 0],
     [30, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
-], jnp.int32)
+], np.int32)
 
 
 def mapq_v3(
@@ -201,9 +205,9 @@ def mapq_v3(
     diff = (best - second).astype(jnp.float32)
     diff_bin = jnp.clip((diff * norm + 0.5).astype(jnp.int32), 0, 10)
 
-    one = jnp.where(at_max, 44, _M3_ONE[best_bin])
-    two = jnp.where(at_max, _M3_TWO_PERFECT[best_bin],
-                    _M3_TWO[diff_bin, best_bin])
+    one = jnp.where(at_max, 44, jnp.asarray(_M3_ONE)[best_bin])
+    two = jnp.where(at_max, jnp.asarray(_M3_TWO_PERFECT)[best_bin],
+                    jnp.asarray(_M3_TWO)[diff_bin, best_bin])
     q = jnp.where(has_second, two, one)
     q = jnp.where(bestf < minf, 0, q)
     if is_paired is not None:

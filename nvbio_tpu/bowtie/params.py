@@ -12,7 +12,12 @@ from nvbio_tpu.align.types import GotohScoring
 class MapParams:
     max_read_len: int = 128       # reads padded/bucketed to this (ref caps at 512)
     seed_len: int = 22            # bowtie2 default seed length
-    seed_stride: int = 15         # seed every `stride` bases (ref: interval fn)
+    # seed every `stride` bases. 0 = auto: bowtie2's interval function of
+    # read length, -i S,1,1.15 -> ceil(1 + 1.15*sqrt(L)) at L=max_read_len
+    # (the reference's seed_freq SimpleFunc, params.h:93-164 /
+    # params.cpp:84-90; static per compiled batch shape, so evaluated at
+    # the padded read length)
+    seed_stride: int = 15
     hits_per_seed: int = 8        # SA rows located per seed (select width)
     # band radius for extension: the reference's default (params.cpp:121
     # max_dist = 15, band = 2*15+1 = 31). Wider bands are FASTER on the
@@ -44,6 +49,14 @@ class MapParams:
     # compact/bowtie2-faithful path)
     seeding: str = "qgram"
     qgram_q: int = 12
+    # hit selection across seed ranges: "stratified" (deterministic jittered
+    # grid, H slots per seed — the default) or "randomized" (SumTree-CDF
+    # sampling: each of the per-read locate slots draws its seed with
+    # probability proportional to 1/range^2, then a uniform slot within the
+    # range — the reference select stage's randomized hit sampling,
+    # select.h:52-80 / SumTree sum_tree.h:42-104). Replicated indexes only;
+    # sharded paths keep the stratified grid.
+    select_mode: str = "stratified"
     # extension scorer: "pallas" (TPU kernel), "scan" (XLA), or "auto"
     extension: str = "auto"
     # paired-end (bowtie2 defaults: -I 0 -X 500, fr orientation)
@@ -73,6 +86,13 @@ class MapParams:
     # mapping.h:132-163). Reads whose every exact seed covers a SNP become
     # mappable through the mutated-key buckets.
     seeding_1mm: bool = True
+    # pass-0 whole-read exact matching on the FM path: before seeded
+    # mapping, backward-search the ENTIRE read (both strands) and feed any
+    # exact locus in as a guaranteed candidate — the reference's first
+    # seeding pass maps the whole read exactly
+    # (aligner_best_approx.h:162-166). q-gram seeding has no whole-read
+    # search; the flag is ignored there.
+    whole_read_exact: bool = True
 
     @classmethod
     def local(cls, **kw) -> "MapParams":
@@ -105,6 +125,14 @@ class MapParams:
         kw.setdefault("score_min_const", float(-max_dist))
         kw.setdefault("score_min_coeff", 0.0)
         return cls(max_dist=max_dist, **kw)
+
+    def __post_init__(self):
+        if self.seed_stride == 0:
+            # bowtie2 -i S,1,1.15: interval = ceil(1 + 1.15 * sqrt(L))
+            import math
+
+            stride = math.ceil(1.0 + 1.15 * math.sqrt(self.max_read_len))
+            object.__setattr__(self, "seed_stride", int(stride))
 
     @property
     def band(self) -> int:

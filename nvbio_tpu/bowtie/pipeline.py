@@ -115,6 +115,78 @@ def use_pallas_extension(params: MapParams) -> bool:
     )
 
 
+def _sumtree_select(lo, range_size, seed_valid2, starts, S1: int, H: int,
+                    seed_phase):
+    """SumTree-CDF randomized hit selection (select.h:52-80 semantics).
+
+    Each strand half draws its S1*H locate slots by sampling WHICH seed to
+    locate from with probability proportional to 1/range^2 (specific seeds
+    — small SA/bucket ranges — get the budget; repetitive seeds rarely
+    fire), then a uniform slot within the chosen seed's range. The CDF
+    sampling is ``nvbio_tpu.sumtree`` (the prefix-sum re-expression of the
+    reference's ``SumTree``, sum_tree.h:42-104).
+
+    Returns (lo_c, slot, seed_off, vld), all (B, 2*S1, H): the chosen
+    seed's range start, the slot within it, the chosen seed's read offset,
+    and draw validity. Seed gathers go through one-hot contractions over
+    the small seed axis (traced-index gathers lower to scalar loads).
+    """
+    from nvbio_tpu import sumtree
+
+    B = lo.shape[0]
+    rdt = lo.dtype
+    key = jax.random.fold_in(jax.random.PRNGKey(0x5E1EC7), seed_phase)
+    draws = S1 * H
+    eye = jnp.arange(S1, dtype=jnp.int32)
+    outs = []
+    for h in (0, 1):
+        sl = slice(h * S1, (h + 1) * S1)
+        rs_h = range_size[:, sl]
+        valid_h = seed_valid2[:, sl] & (rs_h > 0)
+        rsf = rs_h.astype(jnp.float32)
+        w = jnp.where(valid_h, 1.0 / (rsf * rsf + 1e-30), 0.0)
+        uk, us = jax.random.uniform(jax.random.fold_in(key, h),
+                                    (2, B, draws))
+        choice = jax.vmap(sumtree.sample, in_axes=(None, 1), out_axes=1)(
+            w, uk)                                        # (B, draws)
+        oh = (choice[:, :, None] == eye[None, None, :])   # (B, draws, S1)
+        ohr = oh.astype(rdt)
+        rs_c = jnp.sum(ohr * rs_h[:, None, :], axis=-1)
+        lo_c = jnp.sum(ohr * lo[:, sl][:, None, :], axis=-1)
+        off_c = jnp.sum(oh.astype(jnp.int32)
+                        * starts[None, None, :], axis=-1)
+        slot = jnp.minimum(
+            (us * rs_c.astype(jnp.float32)).astype(rdt),
+            _sub_clip0(rs_c, 1))
+        vld = (jnp.sum(w, axis=-1) > 0)[:, None] & (rs_c > 0)
+        outs.append((lo_c.reshape(B, S1, H), slot.reshape(B, S1, H),
+                     off_c.reshape(B, S1, H), vld.reshape(B, S1, H)))
+    return tuple(jnp.concatenate([a[i] for a in outs], axis=1)
+                 for i in range(4))
+
+
+def _append_pass0(pos, hit_valid, sel_off, pos_e, ok_e, B, S1, starts):
+    """Append the pass-0 whole-read exact loci (fwd = pos_e[:B], rc =
+    pos_e[B:]) as 2 extra hit columns on the offset-0 seed rows. Appended
+    TWICE: the duplicate is a free extra vote in the evidence-ranked dedup,
+    so a pass-0 locus cannot lose its candidate slot to single-seed repeat
+    loci (the reference treats pass-0 hits as authoritative)."""
+    extra_pos = (jnp.zeros((B, 2 * S1, 2), pos.dtype)
+                 .at[:, 0, :].set(pos_e[:B, None].astype(pos.dtype))
+                 .at[:, S1, :].set(pos_e[B:, None].astype(pos.dtype)))
+    extra_ok = (jnp.zeros((B, 2 * S1, 2), bool)
+                .at[:, 0, :].set(ok_e[:B, None])
+                .at[:, S1, :].set(ok_e[B:, None]))
+    pos = jnp.concatenate([pos, extra_pos], axis=-1)
+    hit_valid = jnp.concatenate([hit_valid, extra_ok], axis=-1)
+    if sel_off is not None:
+        seed_off2 = jnp.concatenate([starts, starts])
+        sel_off = jnp.concatenate(
+            [sel_off, jnp.broadcast_to(
+                seed_off2[None, :, None], (B, 2 * S1, 2))], axis=-1)
+    return pos, hit_valid, sel_off
+
+
 def read_candidates(index, genome_words, n_genome, reads, lens, quals,
                     params: MapParams, seed_phase: int = 0,
                     approx_1mm: bool = False):
@@ -174,6 +246,7 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
     from nvbio_tpu.parallel.sharded_index import ShardedQGramIndex
 
     k = jnp.arange(H, dtype=jnp.int32)
+    sel_off = None  # (B, 2S1, H) per-draw seed offsets (randomized select)
     if isinstance(index, ShardedFMIndex):
         # genome-sliced FM-indexes served over the mesh (inside shard_map):
         # local backward search per slice, all_to_all answer routing
@@ -181,6 +254,20 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
 
         pos, hvalid, _rs = sharded_fmi_seed_hits(index, seeds, P.seed_len, H)
         hit_valid = hvalid & seed_valid2[:, :, None]
+        if P.whole_read_exact and seed_phase == 0:
+            # pass 0 at scale: whole-read exact search served by the
+            # sliced index (same contract as the replicated pass below)
+            from nvbio_tpu.fmi.sharded import sharded_fmi_whole_read
+
+            q2 = jnp.concatenate([jnp.minimum(reads, 3),
+                                  jnp.minimum(rc, 3)])
+            l2 = jnp.concatenate([lens, lens])
+            pos_e, ok_e = sharded_fmi_whole_read(index, q2, l2)
+            ok_e = (ok_e & (l2 > 0)
+                    & ~jnp.any(jnp.concatenate([reads, rc]) > 3, axis=1))
+            pos, hit_valid, sel_off = _append_pass0(
+                pos, hit_valid, sel_off, pos_e, ok_e, B, S1, starts)
+            H = H + 2
     elif isinstance(index, ShardedQGramIndex):
         # bucket-range-sharded index served over ICI (inside shard_map):
         # same hit contract as the replicated q-gram path, bitwise
@@ -202,14 +289,19 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
         lo, hi = index_range(index, keys)
         rdt = lo.dtype  # int32, or uint32 for large genomes
         range_size = jnp.maximum(hi - lo, jnp.zeros((), rdt))
-        hit_valid = (
-            (k.astype(rdt)[None, None, :] < range_size[:, :, None])
-            & seed_valid2[:, :, None]
-        )
-        # stratified slot sampling across wide ranges, jittered per seed
-        # (see qgram.stratified_offsets)
-        off = stratified_offsets(range_size, H, 2 * S1)
-        pos = index_locate(index, lo[:, :, None], off)     # (B,2S1,H)
+        if P.select_mode == "randomized":
+            lo_c, slot, sel_off, hit_valid = _sumtree_select(
+                lo, range_size, seed_valid2, starts, S1, H, seed_phase)
+            pos = index_locate(index, lo_c, slot)          # (B,2S1,H)
+        else:
+            hit_valid = (
+                (k.astype(rdt)[None, None, :] < range_size[:, :, None])
+                & seed_valid2[:, :, None]
+            )
+            # stratified slot sampling across wide ranges, jittered per seed
+            # (see qgram.stratified_offsets)
+            off = stratified_offsets(range_size, H, 2 * S1)
+            pos = index_locate(index, lo[:, :, None], off)  # (B,2S1,H)
     else:
         # FM-index backward search + bounded LF locate
         seeds_flat = seeds.reshape(B * 2 * S1, P.seed_len)
@@ -219,15 +311,41 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
         hi = hi.reshape(B, 2 * S1)
         range_size = jnp.maximum(hi - lo, 0)
 
-        # jittered stratified slot sampling (see qgram.stratified_offsets)
-        off = stratified_offsets(range_size, H, 2 * S1)
-        rows = lo[:, :, None] + off                                # (B, 2S1, H)
-        hit_valid = (
-            (k[None, None, :] < range_size[:, :, None]) & seed_valid2[:, :, None]
-        )
+        if P.select_mode == "randomized":
+            lo_c, slot, sel_off, hit_valid = _sumtree_select(
+                lo, range_size, seed_valid2, starts, S1, H, seed_phase)
+            rows = lo_c + slot
+        else:
+            # jittered stratified slot sampling (see qgram.stratified_offsets)
+            off = stratified_offsets(range_size, H, 2 * S1)
+            rows = lo[:, :, None] + off                            # (B, 2S1, H)
+            hit_valid = (
+                (k[None, None, :] < range_size[:, :, None])
+                & seed_valid2[:, :, None]
+            )
         rows_flat = jnp.clip(rows, 0, index.n).reshape(B * 2 * S1 * H)
         pos, _ = locate_core(index, rows_flat)
         pos = pos.reshape(B, 2 * S1, H)
+
+        if P.whole_read_exact and seed_phase == 0:
+            # ---- pass 0: whole-read exact match ---------------------------
+            # the reference's first seeding pass searches the ENTIRE read
+            # exactly (aligner_best_approx.h:162-166) — a guaranteed locus
+            # for exact reads even when every seed bucket is busy. One
+            # backward search of both strands, one located slot each,
+            # appended as an extra hit column on the offset-0 seed rows
+            # (whole-read matches start at read offset 0 == starts[0]).
+            q2 = jnp.concatenate([jnp.minimum(reads, 3),
+                                  jnp.minimum(rc, 3)])          # (2B, L)
+            l2 = jnp.concatenate([lens, lens])
+            lo_e, hi_e = backward_search_core(index, q2, l2)
+            rows_e = jnp.clip(lo_e + (hi_e - lo_e) // 2, 0, index.n)
+            pos_e, _ = locate_core(index, rows_e)
+            ok_e = ((hi_e > lo_e) & (l2 > 0)
+                    & ~jnp.any(jnp.concatenate([reads, rc]) > 3, axis=1))
+            pos, hit_valid, sel_off = _append_pass0(
+                pos, hit_valid, sel_off, pos_e, ok_e, B, S1, starts)
+            H = H + 2
 
     if approx_1mm:
         # ---- 1-mismatch seeding (reseed passes) ---------------------------
@@ -325,6 +443,11 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
         pos_extra = jnp.where(valid_extra, pos_extra, jnp.zeros((), mdt))
         pos = jnp.concatenate([pos, pos_extra], axis=-1)
         hit_valid = jnp.concatenate([hit_valid, valid_extra], axis=-1)
+        if sel_off is not None:  # extra columns belong to their seed row
+            seed_off2 = jnp.concatenate([starts, starts])
+            sel_off = jnp.concatenate(
+                [sel_off, jnp.broadcast_to(
+                    seed_off2[None, :, None], (B, 2 * S1, NK))], axis=-1)
         H = H + NK
 
     # candidate genome window start: seed offset within the (strand) read,
@@ -332,8 +455,12 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
     # 2^31 symbols) — all math via the clip-at-zero helpers.
     pdt = pos.dtype
     nmax = jnp.asarray(n_genome).astype(pdt)
-    seed_off = jnp.concatenate([starts, starts])                    # (2*S1,)
-    w0 = _sub_clip0(pos, (seed_off[None, :, None] + P.max_dist).astype(pdt))
+    if sel_off is not None:
+        off_plane = sel_off  # randomized select: per-draw seed offsets
+    else:
+        seed_off = jnp.concatenate([starts, starts])                # (2*S1,)
+        off_plane = seed_off[None, :, None]
+    w0 = _sub_clip0(pos, (off_plane + P.max_dist).astype(pdt))
     w0 = jnp.minimum(w0, _sub_clip0(nmax, 1))
 
     CH = S1 * H  # candidates per strand half

@@ -62,8 +62,30 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _build_slice_worker(arg):
+    """Top-level worker for process-parallel slice builds (picklable).
+
+    Spawned children force CPU jax BEFORE any jax import: they inherit the
+    parent's backend env but not its plugin registrations, and a host
+    slice build needs no accelerator anyway."""
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    codes, method = arg
+    from nvbio_tpu.fmi.index import build_fmindex
+
+    return build_fmindex(codes, method=method)
+
+
 def shard_fmindex(codes: np.ndarray, n_shards: int,
-                  overlap: int = 256, method: str = "auto") -> ShardedFMIndex:
+                  overlap: int = 256, method: str = "auto",
+                  jobs: int = 1) -> ShardedFMIndex:
     """Build D equal-shape per-slice FM-indexes.
 
     Every slice covers [d * slice_len, d * slice_len + slice_len + overlap)
@@ -74,19 +96,35 @@ def shard_fmindex(codes: np.ndarray, n_shards: int,
     (``index.device_sa``) — since every slice has the SAME padded length,
     the sort kernels compile once and are reused across all D slices, so a
     multi-Gbp genome indexes as D accelerator sorts of n/D symbols each.
+
+    ``jobs>1`` builds host-method slices in that many parallel processes
+    (the slices are independent, so a multi-core host gets near-linear
+    speedup; the reference's analogue is the GPU doing all suffix blocks,
+    ``sufsort/blockwise_sufsort.h``). Ignored for ``method="device"``
+    (one accelerator — the device is the parallelism).
     """
     from nvbio_tpu.fmi.index import build_fmindex
 
     n = len(codes)
     slice_len = (n + n_shards - 1) // n_shards
     full = slice_len + overlap
-    subs = []
+    slices = []
     for d in range(n_shards):
         s = d * slice_len
         sl = codes[s:s + full]
         if len(sl) < full:  # wrap-pad so every slice has identical length
             sl = np.concatenate([sl, codes[:full - len(sl)]])
-        subs.append(build_fmindex(np.asarray(sl, np.uint8), method=method))
+        slices.append(np.ascontiguousarray(sl, np.uint8))
+    if jobs > 1 and method != "device":
+        import multiprocessing as mp
+
+        # spawn: children re-import cleanly (fork after jax/XLA threads
+        # have started is unsafe)
+        with mp.get_context("spawn").Pool(min(jobs, n_shards)) as pool:
+            subs = pool.map(_build_slice_worker,
+                            [(sl, method) for sl in slices])
+    else:
+        subs = [build_fmindex(sl, method=method) for sl in slices]
     stack = lambda f: np.stack([np.asarray(getattr(x, f)) for x in subs])
     return ShardedFMIndex(
         n_shards=n_shards, slice_len=slice_len, overlap=overlap, n=n,
@@ -186,6 +224,47 @@ def sharded_fmi_seed_hits(sidx: ShardedFMIndex, seeds, seed_len: int,
     pos = jnp.take_along_axis(cand, order, axis=-1)
     valid = jnp.take_along_axis(cval, order, axis=-1)
     return pos, valid, range_size
+
+
+def sharded_fmi_whole_read(sidx: ShardedFMIndex, queries, qlens):
+    """Pass-0 whole-read exact search against the sliced index (shard_map).
+
+    The sharded counterpart of the replicated path's whole-read pass 0
+    (``aligner_best_approx.h:162-166``): every device backward-searches ALL
+    devices' full reads against its slice, locates the middle occurrence,
+    and ``all_to_all`` routes answers home; per query the first shard with
+    a hit wins (deterministic). queries: (B_local, L) clipped-to-ACGT
+    symbol rows; qlens: (B_local,).
+
+    Returns (gpos (B_local,) GLOBAL uint32, valid (B_local,)).
+    """
+    from nvbio_tpu.fmi.search import backward_search_core, locate_core
+
+    axis = READS_AXIS
+    d = jax.lax.axis_index(axis)
+    fmi = _local_fmi(sidx)
+
+    allq = jax.lax.all_gather(queries, axis)             # (D, b, L)
+    alll = jax.lax.all_gather(qlens, axis)               # (D, b)
+    Dn, b, L = allq.shape
+    lo, hi = backward_search_core(fmi, allq.reshape(Dn * b, L),
+                                  alll.reshape(Dn * b))
+    rows = jnp.clip(lo + (hi - lo) // 2, 0, fmi.n)
+    ploc, resolved = locate_core(fmi, rows)
+    own = ploc < sidx.slice_len
+    gpos = (d.astype(jnp.uint32) * jnp.uint32(sidx.slice_len)
+            + ploc.astype(jnp.uint32))
+    gvalid = ((hi > lo) & resolved & own
+              & (gpos < jnp.uint32(sidx.n)))
+
+    gpos = jax.lax.all_to_all(
+        gpos.reshape(Dn, b), axis, split_axis=0, concat_axis=0)
+    gvalid = jax.lax.all_to_all(
+        gvalid.reshape(Dn, b), axis, split_axis=0, concat_axis=0)
+    first = jnp.argmax(gvalid, axis=0)                   # (b,)
+    pos = jnp.take_along_axis(gpos, first[None, :], axis=0)[0]
+    valid = jnp.any(gvalid, axis=0)
+    return pos, valid
 
 
 def sharded_fmi_seed_hits_1mm(sidx: ShardedFMIndex, seeds, seed_len: int):

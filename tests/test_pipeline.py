@@ -496,3 +496,67 @@ def test_reseed_1mm_fmi_seeding(rng):
                 if not r.flag & 0x4 and abs(r.pos - 1 - p) <= 5)
     assert mapped0 <= 2, mapped0
     assert good1 >= 1, good1
+
+
+def test_randomized_select_mode(mapper_and_genome, rng):
+    """select_mode="randomized" (SumTree-CDF hit sampling, select.h:52-80)
+    maps clean reads to truth on both seeding backends; results are
+    deterministic (fixed fold_in key per seed phase)."""
+    _, ref, codes = mapper_and_genome
+    batch, positions, strands = sample_reads(rng, codes, mut_rate=0.0)
+    for seeding in ("qgram", "fmi"):
+        params = MapParams(max_read_len=80, seed_len=20, seed_stride=12,
+                           hits_per_seed=4, max_dist=5, seeding=seeding,
+                           select_mode="randomized")
+        m = ReadMapper.build(ref, params)
+        recs = m.map_batch(batch)
+        correct = sum(
+            1 for rec, p, s in zip(recs, positions, strands)
+            if not rec.flag & 0x4 and rec.pos - 1 == p
+            and bool(rec.flag & 0x10) == bool(s))
+        assert correct >= 0.9 * len(recs), (seeding, correct)
+        recs2 = m.map_batch(batch)
+        assert [(r.pos, r.flag) for r in recs] == \
+            [(r.pos, r.flag) for r in recs2]
+
+
+def test_auto_seed_interval():
+    """seed_stride=0 derives bowtie2's -i S,1,1.15 interval function of the
+    read length (params.h:93-164 seed_freq)."""
+    import math
+
+    for L in (50, 100, 250, 512):
+        p = MapParams(max_read_len=L, seed_stride=0)
+        assert p.seed_stride == math.ceil(1.0 + 1.15 * math.sqrt(L))
+    assert MapParams(max_read_len=100, seed_stride=15).seed_stride == 15
+
+
+def test_whole_read_exact_pass0(rng):
+    """Pass-0 whole-read exact search (aligner_best_approx.h:162-166)
+    recovers reads whose every seed lands in a busy repeat bucket."""
+    n = 20000
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    M = rng.integers(0, 4, size=22, dtype=np.uint8)   # repeated seed motif
+    X = rng.integers(0, 4, size=22, dtype=np.uint8)   # repeated 2nd motif
+    spots = np.arange(40) * 480 + 100
+    for i, s in enumerate(spots):
+        codes[s:s + 22] = M
+        codes[s + 240:s + 262] = X
+    Q = 19400
+    codes[Q:Q + 22] = M
+    codes[Q + 22:Q + 44] = X  # the ONLY M+X adjacency = the true locus
+    ref = Reference.from_records([("chr_t", codes_to_string(codes))])
+    batch = ReadBatch(
+        names=["r0"], codes=codes[Q:Q + 44][None, :].copy(),
+        quals=np.full((1, 44), 30, np.uint8),
+        lengths=np.array([44], np.int32))
+    common = dict(max_read_len=44, seed_len=22, seed_stride=22,
+                  hits_per_seed=1, max_dist=5, seeding="fmi", max_reseed=0)
+    m_off = ReadMapper.build(ref, MapParams(whole_read_exact=False, **common))
+    m_on = ReadMapper.build(ref, MapParams(whole_read_exact=True, **common),
+                            index=m_off.index)
+    rec_off = m_off.map_batch(batch)[0]
+    rec_on = m_on.map_batch(batch)[0]
+    assert rec_off.flag & 0x4 or rec_off.pos - 1 != Q  # selection missed it
+    assert not rec_on.flag & 0x4
+    assert rec_on.pos - 1 == Q and rec_on.tags["AS"] == 0
