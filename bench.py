@@ -159,6 +159,48 @@ def main():
     pdt = (time.time() - t0) / PREPS
     pe_reads_per_sec = 2 * B / pdt
 
+    # ---- 512 bp local-mode end-to-end ---------------------------------------
+    # long-read leg (defs.h:96 MAX_READ_LEN sizing): full map step in local
+    # mode at L=512 — VMEM budgets for the banded kernel + fused traceback
+    # only bind on real hardware, so this only runs on TPU
+    local_512_rps = 0.0
+    if platform == "tpu":
+        L5 = 512
+        B5 = 4096
+        params_local = MapParams.local(
+            max_read_len=L5, seed_len=22, seed_stride=60, hits_per_seed=4,
+            max_reseed=0,
+        )
+
+        def make_long_batch(seed):
+            r = np.random.default_rng(seed)
+            starts = r.integers(0, GENOME - L5, size=B5)
+            reads = genome[starts[:, None] + np.arange(L5)].astype(np.int32)
+            nmut = L5 // 100
+            pos = r.integers(0, L5, size=(B5, nmut))
+            val = r.integers(1, 4, size=(B5, nmut))
+            np.put_along_axis(
+                reads, pos, (np.take_along_axis(reads, pos, 1) + val) % 4, 1)
+            lens = np.full(B5, L5, np.int32)
+            quals = np.full((B5, L5), 30, np.uint8)
+            arrs = (jnp.asarray(reads), jnp.asarray(lens),
+                    jnp.asarray(quals))
+            np.asarray(arrs[0][:1])
+            return arrs
+
+        def ldispatch(b):
+            return align_batch_core(fmi, gwords, n_genome, *b, params_local)
+
+        lb0 = make_long_batch(501)
+        sync_scalar(ldispatch(lb0))
+        LREPS = 3
+        lbs = [make_long_batch(502 + i) for i in range(LREPS)]
+        t0 = time.time()
+        louts = [ldispatch(b) for b in lbs]
+        for o in louts:
+            sync_scalar(o)
+        local_512_rps = B5 / ((time.time() - t0) / LREPS)
+
     # ---- banded extension kernel GCUPS --------------------------------------
     # measured on the production path: candidate-blocked register-tiled
     # kernel reading text windows straight from the packed genome
@@ -284,6 +326,19 @@ def main():
         mdt = sorted(passes)[1]
         myers_gcups = MB * L * MT / mdt / 1e9
 
+    # fold in the separately-measured index-construction numbers
+    # (scripts/index_speed.py writes INDEX_SPEED.json) so the BENCH record
+    # carries them
+    index_speed = None
+    try:
+        import os
+
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "INDEX_SPEED.json")) as f:
+            index_speed = json.load(f)
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -307,6 +362,8 @@ def main():
                     "read_len": L,
                     "mapped_frac": round(mapped_frac, 4),
                     "index_build_s": round(build_s, 1),
+                    "local_512_reads_per_sec": round(local_512_rps, 1),
+                    "index_speed": index_speed,
                 },
             }
         )

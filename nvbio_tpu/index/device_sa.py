@@ -182,49 +182,81 @@ def _fmi_planes(c1p, sa, K: int, n_samples: int):
     return bwt_full, primary, marks, vals
 
 
-def build_fmindex_device(codes, sa_interval: int = 8):
-    """Complete FM-index with the suffix sort + BWT/SSA planes computed on
-    the default JAX device; same artifact as ``fmi.index.build_fmindex``.
+@functools.partial(jax.jit, static_argnames=("K", "n_samples", "n"))
+def _fmi_planes_full(c1p, sa, K: int, n_samples: int, n: int):
+    """EVERY FM-index plane computed on device: packed BWT words, occ
+    checkpoints, symbol count offsets, and the mark-bitvector sampled SA
+    with its popcount prefix — bit-exact vs the host builders
+    (packed.pack LSB-first layout, rank.build_occ_table checkpoints).
+
+    Nothing n-sized needs to cross the host link: the biggest fetched
+    plane is the n/16-word BWT (and for device-resident serving even that
+    stays on chip)."""
+    bwt_full, primary, marks, vals = _fmi_planes(c1p, sa, K, n_samples)
+    bwt_full = bwt_full.astype(jnp.uint32)
+    # drop the primary row densely: select between the two static shifts
+    # (a traced-index delete would lower to scalar gathers)
+    i = jnp.arange(n, dtype=jnp.int32)
+    bwt = jnp.where(i < primary, bwt_full[:n], bwt_full[1:n + 1])
+    # 2-bit pack, LSB-first 16 symbols/word (packed.pack layout); bits are
+    # disjoint so the sum IS the bitwise-or
+    nw = (n + 15) // 16
+    padded = jnp.zeros(nw * 16, jnp.uint32).at[:n].set(bwt)
+    shifts = jnp.arange(16, dtype=jnp.uint32) * 2
+    bwt_words = (padded.reshape(nw, 16) << shifts[None, :]).sum(
+        axis=1, dtype=jnp.uint32)
+    # occ checkpoints every 64 symbols (rank.K); padding counts as symbol
+    # 0 exactly like the host builder (the inflated final checkpoint is
+    # never read — kept for bit parity)
+    from nvbio_tpu.fmi.rank import K as OCC_K
+
+    nb = (n + OCC_K - 1) // OCC_K
+    pb = jnp.zeros(nb * OCC_K, jnp.int32).at[:n].set(
+        bwt.astype(jnp.int32)).reshape(nb, OCC_K)
+    per_block = jnp.stack(
+        [(pb == c).sum(axis=1, dtype=jnp.int32) for c in range(4)], axis=-1)
+    occ = jnp.concatenate(
+        [jnp.zeros((1, 4), jnp.int32), jnp.cumsum(per_block, axis=0)])
+    # text symbol counts == BWT symbol counts (the BWT is a permutation)
+    counts = jnp.stack(
+        [(bwt == c).sum(dtype=jnp.int32) for c in range(4)])
+    count = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)]) + 1
+    count = count.at[0].set(1)
+    # sampled-SA popcount prefix
+    popc = jax.lax.population_count(marks).astype(jnp.int32)
+    cum = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                           jnp.cumsum(popc[:-1])])
+    return bwt_words, occ, count, primary, marks, cum, vals
+
+
+def build_fmindex_device(codes, sa_interval: int = 8, to_host: bool = True):
+    """Complete FM-index built ENTIRELY on the default JAX device; same
+    artifact as ``fmi.index.build_fmindex``.
 
     TPU counterpart of the reference's GPU index build (nvBWT over
-    ``nvbio/sufsort/sufsort.h:45-60``): the O(n log n) sort runs on the
-    chip, then only the n-byte BWT plane + the 1/K-sampled SA planes are
-    fetched; packing, occ checkpoints, and prefix sums are cheap vectorized
-    numpy on the host.
+    ``nvbio/sufsort/sufsort.h:45-60``): the O(n log n) sort, BWT, packing,
+    occ checkpoints, and sampled-SA planes all run on the chip in one
+    jitted graph. ``to_host=False`` returns the index with device-resident
+    (jnp) planes — ready to serve queries with zero host round-trip, the
+    natural form when the index is built where it will be used;
+    ``to_host=True`` fetches the compact planes (n/16-word BWT + 1/K SA
+    samples; the 4x-bigger SA never crosses the link) for saving.
     """
-    from nvbio_tpu import packed
     from nvbio_tpu.fmi.index import FMIndex
-    from nvbio_tpu.fmi.rank import build_occ_table
 
     codes = np.asarray(codes, dtype=np.uint8)
     n = len(codes)
+    if n >= 2**31:
+        raise ValueError("text too long for int32 FM-index")
     c1p = _c1p_of(codes)
     sa = _sa_of(c1p, n + 1)
     n_samples = n // sa_interval + 1
-    bwt_full, primary, marks, vals = _fmi_planes(
-        c1p, sa, sa_interval, n_samples)
-    primary = int(primary)
-    bwt = np.delete(np.asarray(bwt_full), primary)
-    bwt_words = packed.pack(bwt, 2)
-    occ = build_occ_table(bwt_words, n)
-
-    counts = np.bincount(codes, minlength=4)[:4]
-    count = np.zeros(5, dtype=np.int64)
-    count[1:] = np.cumsum(counts)
-    count += 1
-    count[0] = 1
-    if count.max() >= 2**31:
-        raise ValueError("text too long for int32 FM-index")
-
-    marks_np = np.asarray(marks)
-    popc = np.unpackbits(marks_np.view(np.uint8)).reshape(-1, 32).sum(
-        axis=1, dtype=np.int64)
-    cum = np.zeros(len(marks_np), dtype=np.int64)
-    np.cumsum(popc[:-1], out=cum[1:])
-
+    bwt_words, occ, count, primary, marks, cum, vals = _fmi_planes_full(
+        c1p, sa, sa_interval, n_samples, n)
+    fetch = np.asarray if to_host else (lambda x: x)
     return FMIndex(
-        bwt_words=bwt_words, occ=occ, count=count.astype(np.int32),
-        primary=primary, n=n, sa_interval=sa_interval,
-        ssa_marks=marks_np, ssa_cum=cum.astype(np.int32),
-        ssa_vals=np.asarray(vals),
+        bwt_words=fetch(bwt_words), occ=fetch(occ), count=fetch(count),
+        primary=int(primary), n=n, sa_interval=sa_interval,
+        ssa_marks=fetch(marks), ssa_cum=fetch(cum), ssa_vals=fetch(vals),
     )

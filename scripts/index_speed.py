@@ -67,6 +67,16 @@ def main():
     out["fmi_build_device_s"] = round(time.time() - t0, 1)
     out["primary"] = int(fmi.primary)
 
+    # device-RESIDENT build: planes stay on chip (the serving form — no
+    # host fetch at all except the primary scalar); on the relay this
+    # isolates compute from the tunnel's ~10-30 MB/s plane download
+    from nvbio_tpu.index.device_sa import build_fmindex_device
+
+    t0 = time.time()
+    fd = build_fmindex_device(genome, to_host=False)
+    int(np.asarray(fd.bwt_words[:1])[0])
+    out["fmi_build_device_resident_s"] = round(time.time() - t0, 1)
+
     # spot-check vs the host path on a slice boundary region
     probe = genome[: 1 << 20]
     host = build_fmindex(probe)
@@ -82,6 +92,30 @@ def main():
     t0 = time.time()
     build_qgram_index(genome, 12)
     out["qgram_build_host_s"] = round(time.time() - t0, 1)
+
+    # --- sharded device build (multi-Gbp form) ------------------------------
+    # SHARDS=D: build a D-slice sharded FM-index with every slice's sort on
+    # the device (the whole-human path: 3.1 Gbp = 8 device sorts of ~390
+    # Mbp; one compile serves all slices since shapes match). Set e.g.
+    # GENOME_BP=3100000000 SHARDS=8.
+    D = int(os.environ.get("SHARDS", 0))
+    if D:
+        del genome
+        from nvbio_tpu.fmi.sharded import shard_fmindex
+
+        NB = int(os.environ.get("SHARD_GENOME_BP", GENOME))
+        big = np.empty(NB, np.uint8)
+        rng2 = np.random.default_rng(7)
+        for s in range(0, NB, 1 << 28):
+            e = min(s + (1 << 28), NB)
+            big[s:e] = rng2.integers(0, 4, size=e - s, dtype=np.uint8)
+        t0 = time.time()
+        sidx = shard_fmindex(big, D, overlap=256, method="device")
+        dt = time.time() - t0
+        out["sharded_genome_bp"] = NB
+        out["sharded_device_build_s"] = round(dt, 1)
+        out["sharded_msuffixes_per_s"] = round(NB / dt / 1e6, 1)
+        del sidx
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            os.pardir, "INDEX_SPEED.json"), "w") as f:

@@ -276,3 +276,34 @@ def test_shard_fmindex_device_method(rng):
               "ssa_cum", "ssa_vals"):
         np.testing.assert_array_equal(
             np.asarray(getattr(h, f)), np.asarray(getattr(d, f)), err_msg=f)
+
+
+def test_build_fmindex_device_resident(rng):
+    """to_host=False keeps every plane on device and the index serves
+    searches directly (the built-where-used form)."""
+    import jax.numpy as jnp
+
+    from nvbio_tpu.fmi.search import backward_search, locate_batch
+    from nvbio_tpu.index.device_sa import build_fmindex_device
+
+    codes = rng.integers(0, 4, size=2000, dtype=np.uint8)
+    fd = build_fmindex_device(codes, to_host=False)
+    assert isinstance(fd.bwt_words, jnp.ndarray)
+    q = codes[500:520].astype(np.int32)[None, :]
+    lo, hi = backward_search(fd, q, np.array([20], np.int32))
+    assert int(hi[0]) - int(lo[0]) >= 1
+    pos, done = locate_batch(fd, lo)
+    assert bool(done[0]) and int(pos[0]) == 500
+
+
+def test_shard_fmindex_parallel_jobs(rng):
+    """jobs>1 (process-parallel slice builds) equals the sequential build."""
+    from nvbio_tpu.fmi.sharded import shard_fmindex
+
+    codes = rng.integers(0, 4, size=4000, dtype=np.uint8)
+    a = shard_fmindex(codes, 2, overlap=64)
+    b = shard_fmindex(codes, 2, overlap=64, jobs=2)
+    for f in ("bwt_words", "occ", "count", "primary", "ssa_marks",
+              "ssa_cum", "ssa_vals"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f)
