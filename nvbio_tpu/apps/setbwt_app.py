@@ -16,7 +16,8 @@ def add_parser(sub):
                    help="build block-incrementally with this block size "
                         "(per-block native SA-IS + static-rank interleave "
                         "merges, the bwte.h fast path)")
-    p.add_argument("--method", choices=["rank", "paged", "merge"],
+    p.add_argument("--method",
+                   choices=["rank", "device", "paged", "merge"],
                    default="rank",
                    help="incremental engine: rank (static-rank one-pass "
                         "merge, fastest), paged (PagedText BCR column "

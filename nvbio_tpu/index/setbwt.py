@@ -266,10 +266,22 @@ def bwte_merge_block_rank(M_bwt, M_tags, reads, S_prev: int,
         rank[idx] = C[cs] + occ_m(cs, rank[idx])
         ranks_pos[starts[idx] + lens[idx] - j] = rank[idx]
 
-    # block row r <-> text position sa[r]; interleave at rank + row index
+    # block row r <-> text position sa[r]; interleave at rank + row index.
+    # One mask-scatter merge shared by both planes (np.insert re-derives
+    # its fancy-index machinery per call and was the profile's top cost)
     r_of_row = ranks_pos[sa]
-    merged = np.insert(M_bwt, r_of_row, B_bwt)
-    merged_tags = np.insert(M_tags, r_of_row, B_tags)
+    bn = len(r_of_row)
+    order = np.argsort(r_of_row, kind="stable")
+    newpos = r_of_row[order] + np.arange(bn, dtype=np.int64)
+    out_n = n + bn
+    keep = np.ones(out_n, bool)
+    keep[newpos] = False
+    merged = np.empty(out_n, M_bwt.dtype)
+    merged[newpos] = B_bwt[order]
+    merged[keep] = M_bwt
+    merged_tags = np.empty(out_n, M_tags.dtype)
+    merged_tags[newpos] = B_tags[order]
+    merged_tags[keep] = M_tags
     return merged, merged_tags
 
 
@@ -278,12 +290,31 @@ def mse_bwt_incremental(reads, block_size: int = 100_000,
     """Block-incremental multi-string BWT (the reference's BWTE pipeline
     shape, ``nvSetBWT.cu:64-305``).
 
-    method="rank" (the fast path): per-block native SA-IS + static-rank
-    one-pass interleave insertion (``bwte_merge_block_rank`` — the
-    ``bwte.h:57-229`` design; this is what ``setbwt --incremental`` runs).
+    method="rank" (the fast host path): per-block native SA-IS +
+    static-rank one-pass interleave insertion (``bwte_merge_block_rank`` —
+    the ``bwte.h:57-229`` design; this is what ``setbwt --incremental``
+    runs by default).
+    method="device": the accelerator-resident engine
+    (``index/bwte_device.py``) — uniform-length reads only; the merged
+    BWT lives on the device across blocks, the reference's GPU BWTE form.
     method="paged": BCR column insertion into a PagedText — data movement
     per block bounded by touched pages (``paged_text.h`` dynamic structure).
     method="merge": per-block SA-IS + Holt-McMillan interleave merges."""
+    if method == "device":
+        from nvbio_tpu.index.bwte_device import BwteDevice
+
+        lens = {len(r) for r in reads}
+        if len(lens) != 1:
+            raise ValueError("device BWTE engine needs uniform-length reads")
+        (L,) = lens
+        mat = np.stack([np.asarray(r, np.uint8) for r in reads])
+        eng = BwteDevice(capacity=len(reads) * (L + 1),
+                         n_strings=len(reads))
+        for i in range(0, len(mat), block_size):
+            blk = mat[i:i + block_size]
+            eng.add_block(blk)
+        bwt, _tags = eng.finalize()
+        return bwt
     if method == "rank":
         acc = np.zeros(0, np.uint8)
         acc_tags = np.zeros(0, np.int64)

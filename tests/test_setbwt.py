@@ -183,3 +183,47 @@ def test_mse_bwt_native_i32_matches_doubling(rng):
     b, bt = mse_bwt(reads, method="doubling")
     np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(at, bt)
+
+
+def test_bwte_device_engine(rng):
+    """Device-resident BWTE (bwte_device.BwteDevice) reproduces the
+    whole-set BCR oracle bitwise — bwt AND sentinel tags — across blocks
+    and capacity padding (capacity > total symbols)."""
+    from nvbio_tpu.index.bwte_device import BwteDevice
+    from nvbio_tpu.index.setbwt import mse_bwt
+
+    for m, L, nb in ((8, 12, 2), (16, 20, 3), (5, 7, 4)):
+        reads = rng.integers(0, 4, size=(m * nb, L), dtype=np.uint8)
+        eng = BwteDevice(capacity=m * nb * (L + 1) + 100,
+                         n_strings=m * nb)
+        for b in range(nb):
+            eng.add_block(reads[b * m:(b + 1) * m])
+        bwt, tags = eng.finalize()
+        want, wtags = mse_bwt(list(reads))
+        np.testing.assert_array_equal(bwt, np.asarray(want),
+                                      err_msg=f"bwt m={m} L={L}")
+        np.testing.assert_array_equal(tags, np.asarray(wtags),
+                                      err_msg=f"tags m={m} L={L}")
+
+
+def test_bwte_device_block_sa_paths_agree(rng):
+    """Device-derived block planes (packed-reads upload + on-device tagged
+    suffix sort) give the same final BWT as the host SA-IS path and the
+    whole-set oracle."""
+    from nvbio_tpu.index.bwte_device import BwteDevice
+    from nvbio_tpu.index.setbwt import mse_bwt
+
+    m, L, nb = 12, 18, 3
+    reads = rng.integers(0, 4, size=(m * nb, L), dtype=np.uint8)
+    ed = BwteDevice(capacity=m * nb * (L + 1), n_strings=m * nb)
+    eh = BwteDevice(capacity=m * nb * (L + 1), n_strings=m * nb)
+    for b in range(nb):
+        ed.add_block(reads[b * m:(b + 1) * m], block_sa="device")
+        eh.add_block(reads[b * m:(b + 1) * m], block_sa="host")
+    bd, td = ed.finalize()
+    bh, th = eh.finalize()
+    want, wtags = mse_bwt(list(reads))
+    np.testing.assert_array_equal(bd, bh)
+    np.testing.assert_array_equal(td, th)
+    np.testing.assert_array_equal(bd, np.asarray(want))
+    np.testing.assert_array_equal(td, np.asarray(wtags))
