@@ -27,3 +27,19 @@ assert jax.devices()[0].platform == "cpu"
 @pytest.fixture
 def rng():
     return np.random.default_rng(0xB10)
+
+
+def cpu_subprocess_env(repo: str) -> dict:
+    """Env for CLI subprocess tests: plain CPU jax, independent of the
+    remote-TPU relay. The parent's PYTHONPATH carries the relay's
+    sitecustomize directory — inheriting it makes the child register the
+    remote backend and (when the relay is down) hang in its reconnect
+    loop, so the child gets ONLY the repo on its path plus an explicit
+    CPU platform selection."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo
+    env["JAX_PLATFORMS"] = "cpu"
+    for k in list(env):
+        if "AXON" in k or k.startswith("TPU_") or k == "PJRT_LIBRARY_PATH":
+            env.pop(k)
+    return env

@@ -155,7 +155,9 @@ def test_cli_assemble(tmp_path):
             w.write(SamRecord(f"r{pos}", 0, "c1", pos + 1, 60, "40M",
                               seq[pos:pos + 40], "I" * 40))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ, PYTHONPATH=repo, JAX_PLATFORMS="cpu")
+    from tests.conftest import cpu_subprocess_env
+
+    env = cpu_subprocess_env(repo)
     r = subprocess.run(
         [sys.executable, "-m", "nvbio_tpu", "assemble", "r.fa", "a.sam",
          "--regions", "1", "--region-size", "200", "-o", "h.fa"],

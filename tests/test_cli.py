@@ -13,9 +13,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run(args, cwd):
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env["JAX_PLATFORMS"] = "cpu"
+    from tests.conftest import cpu_subprocess_env
+
+    env = cpu_subprocess_env(REPO)
     return subprocess.run(
         [sys.executable, "-m", "nvbio_tpu", *args],
         cwd=cwd, env=env, capture_output=True, text=True, timeout=1200,
