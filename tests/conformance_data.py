@@ -106,10 +106,38 @@ def map_all():
     return ref, se_recs, pe_recs
 
 
+def map_extended():
+    """local mode, all-mapping, and mapq-filtered outputs on the same
+    pinned dataset (the remaining output surfaces: --local / --all /
+    --mapq-filter)."""
+    from nvbio_tpu.bowtie import MapParams, ReadMapper
+    from nvbio_tpu.io.sam import SamRecord
+
+    ref, se, _m1, _m2 = build_dataset()
+    base = ReadMapper.build(ref, MapParams(max_read_len=L))
+    local = ReadMapper.build(ref, MapParams.local(max_read_len=L),
+                             index=base.index)
+    local_recs = local.map_batch(se)
+    all_recs = base.map_batch_all(se)
+    filt_recs = []
+    for rec in base.map_batch(se):
+        if not rec.flag & 0x4 and rec.mapq < 20:
+            rec = SamRecord(
+                qname=rec.qname, flag=(rec.flag | 0x4) & ~0x912,
+                rname="*", pos=0, mapq=0, cigar="*",
+                seq=rec.seq, qual=rec.qual)
+        filt_recs.append(rec)
+    return local_recs, all_recs, filt_recs
+
+
 def record(out_dir):
     ref, se_recs, pe_recs = map_all()
+    local_recs, all_recs, filt_recs = map_extended()
     for fname, recs in (("expected_se.sam", se_recs),
-                        ("expected_pe.sam", pe_recs)):
+                        ("expected_pe.sam", pe_recs),
+                        ("expected_local.sam", local_recs),
+                        ("expected_all.sam", all_recs),
+                        ("expected_mapqfilt.sam", filt_recs)):
         with open(os.path.join(out_dir, fname), "w") as f:
             for r in recs:
                 f.write(r.line() + "\n")
@@ -120,4 +148,8 @@ if __name__ == "__main__":
     import sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    # force plain CPU jax (conftest pattern) — recording must not depend
+    # on the remote relay
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     record(os.path.join(os.path.dirname(os.path.abspath(__file__)), "data"))

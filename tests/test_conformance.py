@@ -25,3 +25,14 @@ def test_se_and_pe_conformance():
     _, se_recs, pe_recs = map_all()
     _check(se_recs, "expected_se.sam")
     _check(pe_recs, "expected_pe.sam")
+
+
+def test_local_all_mapqfilter_conformance():
+    """Recorded pins for the remaining output surfaces: --local mode,
+    --all mapping, and the output MAPQ filter."""
+    from tests.conformance_data import map_extended
+
+    local_recs, all_recs, filt_recs = map_extended()
+    _check(local_recs, "expected_local.sam")
+    _check(all_recs, "expected_all.sam")
+    _check(filt_recs, "expected_mapqfilt.sam")
