@@ -74,18 +74,28 @@ def _bcr_sa(reads, method: str = "auto"):
     toolchain is available, else the numpy prefix-doubling oracle.
     """
     S = len(reads)
-    lens = [len(r) for r in reads]
-    n = sum(lens) + S
     # linear text with DISTINCT increasing sentinels: suffix comparisons
     # stop at the first sentinel, so the order is per-string local
-    text = np.zeros(n, np.int64)
-    starts = np.zeros(S, np.int64)
-    off = 0
-    for i, r in enumerate(reads):
-        starts[i] = off
-        text[off:off + len(r)] = np.asarray(r, np.int64) + S
-        text[off + len(r)] = i  # $_i
-        off += len(r) + 1
+    if isinstance(reads, np.ndarray) and reads.ndim == 2:
+        # uniform-length fast path: no per-read python loop
+        m, L = reads.shape
+        n = m * (L + 1)
+        t2 = np.empty((m, L + 1), np.int64)
+        t2[:, :L] = reads.astype(np.int64) + S
+        t2[:, L] = np.arange(m)
+        text = t2.reshape(n)
+        starts = np.arange(S, dtype=np.int64) * (L + 1)
+    else:
+        lens = [len(r) for r in reads]
+        n = sum(lens) + S
+        text = np.zeros(n, np.int64)
+        starts = np.zeros(S, np.int64)
+        off = 0
+        for i, r in enumerate(reads):
+            starts[i] = off
+            text[off:off + len(r)] = np.asarray(r, np.int64) + S
+            text[off + len(r)] = i  # $_i
+            off += len(r) + 1
     if method in ("auto", "native") and n < 2**31 - 2:
         try:
             from nvbio_tpu import native
@@ -206,10 +216,19 @@ def bwte_merge_block_rank(M_bwt, M_tags, reads, S_prev: int,
     m = len(reads)
     if m == 0:
         return M_bwt, M_tags
+    uniform = isinstance(reads, np.ndarray) and reads.ndim == 2
+    if not uniform and len({len(r) for r in reads}) == 1:
+        reads = np.stack([np.asarray(r, np.uint8) for r in reads])
+        uniform = True
     # block SA once: serves both the block BWT and the row<->suffix map
     sa, text, starts64 = _bcr_sa(reads)
-    owner = np.searchsorted(starts64, sa, side="right") - 1
-    at_start = sa == starts64[owner]
+    if uniform:
+        P = reads.shape[1] + 1
+        owner = sa // P
+        at_start = (sa % P) == 0
+    else:
+        owner = np.searchsorted(starts64, sa, side="right") - 1
+        at_start = sa == starts64[owner]
     prev = text[np.maximum(sa - 1, 0)]
     is_dollar = at_start | (prev < m)
     B_bwt = np.where(is_dollar, 0, prev - m + 1).astype(np.uint8)
@@ -242,17 +261,23 @@ def bwte_merge_block_rank(M_bwt, M_tags, reads, S_prev: int,
         return OCC[b, cs - 1] + part
 
     # reversed dense block matrix: rev[s, j-1] = j-th-from-last symbol + 1
-    lens = np.asarray([len(r) for r in reads], np.int64)
-    Lmax = int(lens.max()) if m else 0
-    total = int(lens.sum())
-    rev = np.zeros((m, max(Lmax, 1)), np.int64)
-    if total:
-        flat = np.concatenate(
-            [np.asarray(r, np.int64)[::-1] for r in reads if len(r)])
-        rowid = np.repeat(np.arange(m), lens)
-        cstart = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        col = np.arange(total, dtype=np.int64) - np.repeat(cstart, lens)
-        rev[rowid, col] = flat + 1  # symbols 1..4
+    if uniform:
+        Lmax = reads.shape[1]
+        lens = np.full(m, Lmax, np.int64)
+        total = m * Lmax
+        rev = reads[:, ::-1].astype(np.int64) + 1
+    else:
+        lens = np.asarray([len(r) for r in reads], np.int64)
+        Lmax = int(lens.max()) if m else 0
+        total = int(lens.sum())
+        rev = np.zeros((m, max(Lmax, 1)), np.int64)
+        if total:
+            flat = np.concatenate(
+                [np.asarray(r, np.int64)[::-1] for r in reads if len(r)])
+            rowid = np.repeat(np.arange(m), lens)
+            cstart = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            col = np.arange(total, dtype=np.int64) - np.repeat(cstart, lens)
+            rev[rowid, col] = flat + 1  # symbols 1..4
 
     # rank walk: suffix starting at text position start_s + L_s - j
     starts = starts64
@@ -260,27 +285,33 @@ def bwte_merge_block_rank(M_bwt, M_tags, reads, S_prev: int,
     ranks_pos = np.empty(block_n, np.int64)
     ranks_pos[starts + lens] = S_prev  # sentinel suffixes
     rank = np.full(m, S_prev, np.int64)
-    for j in range(1, Lmax + 1):
-        idx = np.flatnonzero(lens >= j)
-        cs = rev[idx, j - 1]
-        rank[idx] = C[cs] + occ_m(cs, rank[idx])
-        ranks_pos[starts[idx] + lens[idx] - j] = rank[idx]
+    if uniform:
+        for j in range(1, Lmax + 1):
+            rank = C[rev[:, j - 1]] + occ_m(rev[:, j - 1], rank)
+            ranks_pos[starts + (Lmax - j)] = rank
+    else:
+        for j in range(1, Lmax + 1):
+            idx = np.flatnonzero(lens >= j)
+            cs = rev[idx, j - 1]
+            rank[idx] = C[cs] + occ_m(cs, rank[idx])
+            ranks_pos[starts[idx] + lens[idx] - j] = rank[idx]
 
     # block row r <-> text position sa[r]; interleave at rank + row index.
-    # One mask-scatter merge shared by both planes (np.insert re-derives
-    # its fancy-index machinery per call and was the profile's top cost)
+    # r_of_row is already non-decreasing (rank_M is monotone in suffix
+    # order and rows come in SA order), so the merge needs no sort; one
+    # mask-scatter pass shared by both planes (np.insert re-derived its
+    # fancy-index machinery per call and was the profile's top cost)
     r_of_row = ranks_pos[sa]
     bn = len(r_of_row)
-    order = np.argsort(r_of_row, kind="stable")
-    newpos = r_of_row[order] + np.arange(bn, dtype=np.int64)
+    newpos = r_of_row + np.arange(bn, dtype=np.int64)
     out_n = n + bn
     keep = np.ones(out_n, bool)
     keep[newpos] = False
     merged = np.empty(out_n, M_bwt.dtype)
-    merged[newpos] = B_bwt[order]
+    merged[newpos] = B_bwt
     merged[keep] = M_bwt
     merged_tags = np.empty(out_n, M_tags.dtype)
-    merged_tags[newpos] = B_tags[order]
+    merged_tags[newpos] = B_tags
     merged_tags[keep] = M_tags
     return merged, merged_tags
 
