@@ -329,15 +329,19 @@ def main():
     # fold in the separately-measured index-construction numbers
     # (scripts/index_speed.py writes INDEX_SPEED.json) so the BENCH record
     # carries them
-    index_speed = None
-    try:
-        import os
+    import os
 
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "INDEX_SPEED.json")) as f:
-            index_speed = json.load(f)
-    except Exception:
-        pass
+    def _aux_json(name):
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), name)) as f:
+                return json.load(f)
+        except Exception:
+            return None
+
+    index_speed = _aux_json("INDEX_SPEED.json")
+    bwte_speed = _aux_json("BWTE_SPEED.json")
+    bwte_speed_device = _aux_json("BWTE_SPEED_DEVICE.json")
 
     print(
         json.dumps(
@@ -364,6 +368,8 @@ def main():
                     "index_build_s": round(build_s, 1),
                     "local_512_reads_per_sec": round(local_512_rps, 1),
                     "index_speed": index_speed,
+                    "bwte_speed": bwte_speed,
+                    "bwte_speed_device": bwte_speed_device,
                 },
             }
         )
