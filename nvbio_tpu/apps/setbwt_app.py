@@ -14,13 +14,15 @@ def add_parser(sub):
                    help="also write BGZF-compressed ASCII BWT (.txt.bgz)")
     p.add_argument("--incremental", type=int, metavar="BLOCK", default=0,
                    help="build block-incrementally with this block size "
-                        "(per-block native SA-IS + static-rank interleave "
-                        "merges, the bwte.h fast path)")
+                        "(C++ BCR + rank-line interleave merges, the "
+                        "bwte.h fast path)")
     p.add_argument("--method",
-                   choices=["rank", "device", "paged", "merge"],
-                   default="rank",
-                   help="incremental engine: rank (static-rank one-pass "
-                        "merge, fastest), paged (PagedText BCR column "
+                   choices=["native", "rank", "device", "paged", "merge"],
+                   default="native",
+                   help="incremental engine: native (C++ BCR blocks + "
+                        "fused-rank-line merges, fastest; falls back to "
+                        "rank for ragged sets), rank (numpy static-rank "
+                        "one-pass merge), paged (PagedText BCR column "
                         "insertion), merge (Holt-McMillan refinement)")
     p.set_defaults(func=run)
     return p

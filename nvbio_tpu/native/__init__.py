@@ -212,6 +212,74 @@ def qgram_midpos(offsets, positions, sentinel: int):
     return mid
 
 
+def get_bwte() -> ctypes.CDLL:
+    lib = load("nvbio_bwte", ["bwte.cpp"])
+    fn = lib.nvbio_tpu_bcr_block
+    fn.restype = ctypes.c_int
+    fn.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+    ]
+    mg = lib.nvbio_tpu_bwte_merge
+    mg.restype = ctypes.c_int
+    mg.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    return lib
+
+
+def bwte_available() -> bool:
+    try:
+        get_bwte()
+        return True
+    except Exception:
+        return False
+
+
+def bcr_block_bwt(reads):
+    """Multi-string BWT of a uniform-length read matrix (uint8[m, L] of
+    0..3) via native BCR column rounds: uint8[m*(L+1)] over {0:'$',1..4}.
+
+    The block half of the native BWTE engine
+    (``/root/reference/nvbio/sufsort/bwte.h:57-229``)."""
+    import numpy as np
+
+    lib = get_bwte()
+    reads = np.ascontiguousarray(reads, dtype=np.uint8)
+    m, L = reads.shape
+    out = np.empty(m * (L + 1), dtype=np.uint8)
+    rc = lib.nvbio_tpu_bcr_block(
+        reads.ctypes.data, ctypes.c_int64(m), ctypes.c_int64(L),
+        out.ctypes.data,
+    )
+    if rc != 0:
+        raise RuntimeError(f"bcr_block failed: {rc}")
+    return out
+
+
+def bwte_merge(M, S_prev: int, reads, B):
+    """Merge a block (reads uint8[m,L] + its block BWT ``B``) into the
+    accumulated multi-string BWT ``M`` (S_prev strings): dual LF rank walks
+    + one interleave pass. Requires len(M)+len(B) < 2^32 (shard beyond)."""
+    import numpy as np
+
+    lib = get_bwte()
+    M = np.ascontiguousarray(M, dtype=np.uint8)
+    B = np.ascontiguousarray(B, dtype=np.uint8)
+    reads = np.ascontiguousarray(reads, dtype=np.uint8)
+    m, L = reads.shape
+    assert len(B) == m * (L + 1)
+    out = np.empty(len(M) + len(B), dtype=np.uint8)
+    rc = lib.nvbio_tpu_bwte_merge(
+        M.ctypes.data, ctypes.c_int64(len(M)), ctypes.c_int64(S_prev),
+        reads.ctypes.data, ctypes.c_int64(m), ctypes.c_int64(L),
+        B.ctypes.data, out.ctypes.data,
+    )
+    if rc != 0:
+        raise RuntimeError(f"bwte_merge failed: {rc}")
+    return out
+
+
 def get_bgzf() -> ctypes.CDLL:
     """Native multithreaded BGZF compressor (links zlib)."""
     lib = load("nvbio_bgzf", ["bgzf.cpp"], extra_flags=("-lz", "-pthread"))

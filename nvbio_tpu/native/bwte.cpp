@@ -1,0 +1,306 @@
+// Native BWTE engine: incremental multi-string BWT construction for
+// uniform-length read sets (the host-side counterpart of the reference's
+// GPU BWTE, /root/reference/nvbio/sufsort/bwte.h:57-229 and the nvSetBWT
+// app). Two entry points:
+//
+//   nvbio_tpu_bcr_block  — BCR column construction (Bauer-Cox-Rosone) of a
+//       block's own multi-string BWT. Per round the occ() values are read
+//       off a single forward sweep in suffix-position order (queries arrive
+//       pos-sorted by construction), so every round is two sequential
+//       passes over the partial BWT: O(m * L^2 / 2) total byte traffic,
+//       no checkpoint structures, no suffix array.
+//
+//   nvbio_tpu_bwte_merge — merges a block (reads + its block BWT) into the
+//       accumulated BWT with TWO static LF rank walks per read (one against
+//       the accumulated BWT M, one against the block BWT B, both over
+//       sampled-occurrence checkpoints) and a single interleave pass:
+//       merged row of block suffix s = rank_M(s) + rank_B(s). Both walks
+//       share the recurrence rank(c.T) = C[c] + occ(c, rank(T)) with the
+//       sentinel base case rank_M($_i) = S_prev, rank_B($_i) = i.
+//
+// Alphabet: 0 = '$' (per-string sentinel, ordered by global string rank),
+// 1..4 = bases. Input reads hold 0..3. Sentinel symbols are never occ()
+// queried — they enter only through the C[] offsets — so no tag plane is
+// needed (the numpy engine in index/setbwt.py carries tags only for the
+// Holt-McMillan merge path).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
+namespace {
+
+// Fused rank dictionary: each 64-byte cache line holds the four symbol
+// counts before the line (4 x uint32) followed by 48 BWT symbols, so an
+// occ() query costs ONE cache line — the same layout idea as the
+// reference's rank_dictionary bit-planes (nvbio/strings/rank_dictionary.h).
+constexpr uint64_t LSYM = 48;  // symbols per fused line
+
+struct alignas(64) RankLine {
+    uint32_t cnt[4];
+    uint8_t sym[LSYM];
+};
+
+struct OccIndex {
+    std::vector<RankLine> lines;
+    uint64_t cnt[5];
+
+    void build(const uint8_t* b, uint64_t n) {
+        uint64_t nl = n / LSYM + 1;
+        lines.assign(nl, RankLine());
+        uint32_t run[4] = {0, 0, 0, 0};
+        for (int c = 0; c < 5; ++c) cnt[c] = 0;
+        for (uint64_t l = 0; l < nl; ++l) {
+            RankLine& ln = lines[l];
+            for (int c = 0; c < 4; ++c) ln.cnt[c] = run[c];
+            uint64_t base = l * LSYM;
+            uint64_t take = base < n ? (n - base < LSYM ? n - base : LSYM)
+                                     : 0;
+            std::memcpy(ln.sym, b + base, take);
+            std::memset(ln.sym + take, 0, LSYM - take);
+#if defined(__AVX2__)
+            if (take == LSYM) {
+                __m256i d0 = _mm256_loadu_si256((const __m256i*)ln.sym);
+                __m128i d1 = _mm_loadu_si128((const __m128i*)(ln.sym + 32));
+                uint64_t bases = 0;
+                for (int c = 1; c <= 4; ++c) {
+                    uint64_t eq =
+                        (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(
+                            d0, _mm256_set1_epi8((char)c)));
+                    eq |= (uint64_t)(uint32_t)_mm_movemask_epi8(
+                              _mm_cmpeq_epi8(d1, _mm_set1_epi8((char)c)))
+                          << 32;
+                    uint64_t k = (uint64_t)__builtin_popcountll(eq);
+                    run[c - 1] += (uint32_t)k;
+                    cnt[c] += k;
+                    bases += k;
+                }
+                cnt[0] += LSYM - bases;
+                continue;
+            }
+#endif
+            for (uint64_t i = 0; i < take; ++i) {
+                uint8_t s = ln.sym[i];
+                ++cnt[s];
+                if (s) ++run[s - 1];
+            }
+        }
+    }
+
+    inline const RankLine& line(uint64_t p) const { return lines[p / LSYM]; }
+
+    static inline uint64_t occ_line(const RankLine& ln, uint8_t c,
+                                    uint64_t p) {
+        uint64_t rem = p % LSYM;
+        uint64_t r = ln.cnt[c - 1];
+#if defined(__AVX2__)
+        __m256i vc = _mm256_set1_epi8((char)c);
+        __m256i d0 = _mm256_loadu_si256((const __m256i*)ln.sym);
+        uint64_t eq = (uint32_t)_mm256_movemask_epi8(
+            _mm256_cmpeq_epi8(d0, vc));
+        __m128i d1 = _mm_loadu_si128((const __m128i*)(ln.sym + 32));
+        eq |= (uint64_t)(uint32_t)_mm_movemask_epi8(
+                  _mm_cmpeq_epi8(d1, _mm_set1_epi8((char)c)))
+              << 32;
+        r += (uint64_t)__builtin_popcountll(
+            eq & ((rem >= 64 ? 0 : (1ull << rem)) - 1));
+#else
+        for (uint64_t i = 0; i < rem; ++i) r += (ln.sym[i] == c);
+#endif
+        return r;
+    }
+
+    inline uint64_t occ(uint8_t c, uint64_t p) const {
+        return occ_line(line(p), c, p);
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Multi-string BWT of m uniform-length-L reads (values 0..3), BCR rounds.
+// out must hold m*(L+1) bytes. Returns 0 on success.
+int nvbio_tpu_bcr_block(const uint8_t* reads, int64_t m, int64_t L,
+                        uint8_t* out) {
+    if (m <= 0 || L <= 0) return m == 0 ? 0 : -1;
+    const uint64_t um = (uint64_t)m;
+    const uint64_t total = um * (uint64_t)(L + 1);
+    std::vector<uint8_t> bufa(total), bufb(total);
+    uint8_t* cur = bufa.data();
+    uint8_t* nxt = bufb.data();
+    // round 0: sentinel-suffix rows in string order; row i holds the last
+    // base of read i (the symbol cyclically preceding $_i)
+    for (uint64_t i = 0; i < um; ++i)
+        cur[i] = (uint8_t)(reads[i * L + (L - 1)] + 1);
+    uint64_t size = um;
+    std::vector<uint64_t> pos(um);       // row of read i's newest suffix
+    std::vector<uint32_t> order(um);     // string ids sorted by pos
+    for (uint64_t i = 0; i < um; ++i) { pos[i] = i; order[i] = (uint32_t)i; }
+    uint64_t cnt[5] = {um, 0, 0, 0, 0};  // first-symbol counts
+
+    // per-round scratch: 4 insertion buckets in (r, string) FIFO order
+    std::vector<uint64_t> br[4];
+    std::vector<uint32_t> bi[4];
+    std::vector<uint64_t> ins_pos(um);
+    std::vector<uint32_t> ins_str(um);
+
+    for (int64_t round = 1; round <= L; ++round) {
+        const int64_t cidx = L - round;  // first symbol of the new suffix
+        // C must cover the round's OWN inserts too: for c' < c every new
+        // suffix c'.T' sorts before c.T, and occ() below already counts the
+        // new same-symbol peers (their T' rows are in the partial BWT) — so
+        // r = C[c] + occ(c, pos(T)) is the exact final position, no
+        // within-round tie offset.
+        uint64_t newcnt[5] = {0, 0, 0, 0, 0};
+        for (uint64_t i = 0; i < um; ++i)
+            ++newcnt[reads[i * L + cidx] + 1];
+        uint64_t C[5];
+        C[1] = um;
+        C[2] = C[1] + cnt[1] + newcnt[1];
+        C[3] = C[2] + cnt[2] + newcnt[2];
+        C[4] = C[3] + cnt[3] + newcnt[3];
+        for (int c = 0; c < 4; ++c) {
+            br[c].clear(); bi[c].clear();
+            br[c].reserve(um + 1); bi[c].reserve(um);
+        }
+        // forward occ sweep: queries arrive in increasing pos order
+        uint64_t counts[5] = {0, 0, 0, 0, 0};
+        uint64_t ptr = 0;
+        for (uint64_t j = 0; j < um; ++j) {
+            uint32_t i = order[j];
+            uint64_t p = pos[i];
+#if defined(__AVX2__)
+            while (ptr + 32 <= p) {
+                __m256i d = _mm256_loadu_si256((const __m256i*)(cur + ptr));
+                for (int c = 1; c <= 4; ++c)
+                    counts[c] += (uint64_t)__builtin_popcount(
+                        (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(
+                            d, _mm256_set1_epi8((char)c))));
+                ptr += 32;
+            }
+#endif
+            while (ptr < p) ++counts[cur[ptr++]];
+            uint8_t c = (uint8_t)(reads[(uint64_t)i * L + cidx] + 1);
+            br[c - 1].push_back(C[c] + counts[c]);
+            bi[c - 1].push_back(i);
+        }
+        // 4-way merge by r (all r distinct: they are final rows);
+        // branchless min pick over sentinel-terminated sorted lists
+        for (int c = 0; c < 4; ++c) br[c].push_back(~0ull);
+        uint64_t hp[4] = {0, 0, 0, 0};
+        const uint64_t* bp[4] = {br[0].data(), br[1].data(), br[2].data(),
+                                 br[3].data()};
+        for (uint64_t k = 0; k < um; ++k) {
+            uint64_t r0 = bp[0][hp[0]], r1 = bp[1][hp[1]];
+            uint64_t r2 = bp[2][hp[2]], r3 = bp[3][hp[3]];
+            int b01 = r1 < r0, b23 = r3 < r2;
+            uint64_t m01 = b01 ? r1 : r0, m23 = b23 ? r3 : r2;
+            int best = m23 < m01 ? 2 + b23 : b01;
+            uint64_t bestr = m23 < m01 ? m23 : m01;
+            uint32_t i = bi[best][hp[best]++];
+            ins_pos[k] = bestr;
+            ins_str[k] = i;
+            pos[i] = bestr;
+            order[k] = i;
+            ++cnt[best + 1];
+        }
+        // rewrite pass: interleave cur with the round's inserts
+        uint64_t mp = 0, op = 0;
+        for (uint64_t k = 0; k < um; ++k) {
+            uint64_t np = ins_pos[k];
+            uint64_t run = np - op;
+            std::memcpy(nxt + op, cur + mp, run);
+            op = np; mp += run;
+            uint32_t i = ins_str[k];
+            nxt[op++] = cidx > 0
+                            ? (uint8_t)(reads[(uint64_t)i * L + cidx - 1] + 1)
+                            : (uint8_t)0;
+        }
+        std::memcpy(nxt + op, cur + mp, size - mp);
+        std::swap(cur, nxt);
+        size += um;
+    }
+    std::memcpy(out, cur, total);
+    return 0;
+}
+
+// Merge a block (reads + its block BWT B of bn = m*(L+1) rows) into the
+// accumulated BWT M (n rows over S_prev strings). out holds n + bn rows.
+// Requires n + bn < 2^32 (callers shard beyond that). Returns 0 on success.
+int nvbio_tpu_bwte_merge(const uint8_t* M, int64_t n, int64_t S_prev,
+                         const uint8_t* reads, int64_t m, int64_t L,
+                         const uint8_t* B, uint8_t* out) {
+    const uint64_t bn = (uint64_t)m * (uint64_t)(L + 1);
+    if (m <= 0) { std::memcpy(out, M, (size_t)n); return m == 0 ? 0 : -1; }
+    if (n == 0) { std::memcpy(out, B, bn); return 0; }
+    if ((uint64_t)n + bn >= (1ull << 32)) return -2;
+
+    OccIndex oM, oB;
+    oM.build(M, (uint64_t)n);
+    oB.build(B, bn);
+    uint64_t CM[5], CB[5];
+    CM[1] = (uint64_t)S_prev;
+    CB[1] = (uint64_t)m;
+    for (int c = 2; c <= 4; ++c) {
+        CM[c] = CM[c - 1] + oM.cnt[c - 1];
+        CB[c] = CB[c - 1] + oB.cnt[c - 1];
+    }
+
+    // per block row (indexed by rank_B): rank_M and the BWT symbol.
+    // The per-read LF chains are serial, but chains are INDEPENDENT across
+    // reads — walk them in stripes of G reads, issuing a software prefetch
+    // for each read's next rank line right after its current step, so the
+    // ~2 cache misses per step overlap across the stripe.
+    std::vector<uint32_t> rm_of((size_t)bn);
+    std::vector<uint8_t> sym_of((size_t)bn);
+    constexpr int64_t G = 32;
+    std::vector<uint64_t> rMs(G), rBs(G);
+    for (int64_t g = 0; g < m; g += G) {
+        const int64_t ge = g + G < m ? g + G : m;
+        const int64_t gw = ge - g;
+        for (int64_t t = 0; t < gw; ++t) {
+            int64_t i = g + t;
+            rMs[t] = (uint64_t)S_prev;
+            rBs[t] = (uint64_t)i;
+            // sentinel suffix $_i: its row holds the read's last base
+            rm_of[i] = (uint32_t)S_prev;
+            sym_of[i] = (uint8_t)(reads[(uint64_t)i * L + (L - 1)] + 1);
+            __builtin_prefetch(&oB.line(rBs[t]));
+        }
+        for (int64_t k = 1; k <= L; ++k) {
+            for (int64_t t = 0; t < gw; ++t) {
+                const uint64_t ri = (uint64_t)(g + t) * L;
+                uint8_t c = (uint8_t)(reads[ri + (L - k)] + 1);
+                uint64_t rM = CM[c] + oM.occ(c, rMs[t]);
+                uint64_t rB = CB[c] + oB.occ(c, rBs[t]);
+                rMs[t] = rM;
+                rBs[t] = rB;
+                __builtin_prefetch(&oM.line(rM));
+                __builtin_prefetch(&oB.line(rB));
+                rm_of[rB] = (uint32_t)rM;
+                sym_of[rB] = k < L ? (uint8_t)(reads[ri + (L - k - 1)] + 1)
+                                   : (uint8_t)0;
+            }
+        }
+    }
+
+    // interleave: merged position of block row j is rm_of[j] + j, strictly
+    // increasing in j (rank_M is non-decreasing in block suffix order)
+    uint64_t mp = 0, op = 0;
+    for (uint64_t j = 0; j < bn; ++j) {
+        uint64_t np = (uint64_t)rm_of[j] + j;
+        uint64_t run = np - op;
+        std::memcpy(out + op, M + mp, run);
+        op = np; mp += run;
+        out[op++] = sym_of[j];
+    }
+    std::memcpy(out + op, M + mp, (uint64_t)n - mp);
+    return 0;
+}
+
+}  // extern "C"

@@ -1,16 +1,18 @@
 """Set-BWT (BWTE) throughput measurement at the ≥1 G-symbol scale.
 
-Synthesizes N_READS x READ_LEN random reads, runs the incremental
-block-rank BWTE engine (``index/setbwt.py`` ``bwte_merge_block_rank``, the
-TPU-repo counterpart of ``/root/reference/nvbio/sufsort/bwte.h:57-229``),
-and reports symbols/s. Reference anchor: ~80 M symbols/s on a K40
+Synthesizes N_READS x READ_LEN random reads, runs the incremental BWTE
+engine (the TPU-repo counterpart of
+``/root/reference/nvbio/sufsort/bwte.h:57-229``), and reports symbols/s.
+Default engine: the native C++ one (``native/bwte.cpp``: BCR column blocks
++ fused-rank-line merges). Reference anchor: ~80 M symbols/s on a K40
 (``sufsort.h:47-49``). Verifies a small prefix against the whole-set BCR
 oracle before timing.
 
 Writes BWTE_SPEED.json at the repo root.
 
 Env: N_READS (default 10_000_000), READ_LEN (default 100),
-BLOCK (default 1_000_000 reads/block).
+BLOCK (default 250_000 reads/block), DEVICE=1 for the accelerator engine,
+HOST_RANK=1 for the numpy static-rank engine.
 """
 
 from __future__ import annotations
@@ -30,13 +32,14 @@ def main():
 
     n_reads = int(os.environ.get("N_READS", 10_000_000))
     read_len = int(os.environ.get("READ_LEN", 100))
-    block = int(os.environ.get("BLOCK", 1_000_000))
+    block = int(os.environ.get("BLOCK", 250_000))
+    host_method = "rank" if os.environ.get("HOST_RANK") else "native"
     rng = np.random.default_rng(17)
 
     # spot-check the engine against the whole-set oracle first
     probe = [rng.integers(0, 4, size=read_len, dtype=np.uint8)
              for _ in range(512)]
-    got = mse_bwt_incremental(probe, 128, method="rank")
+    got = mse_bwt_incremental(probe, 128, method=host_method)
     want, _tags = mse_bwt(probe)
     assert np.array_equal(np.asarray(got), np.asarray(want)), "engine!=oracle"
 
@@ -63,9 +66,9 @@ def main():
         eng.sync()
         dt = time.time() - t0
     else:
-        out["engine"] = "host:rank"
+        out["engine"] = f"host:{host_method}"
         t0 = time.time()
-        bwt = mse_bwt_incremental(list(reads), block, method="rank")
+        bwt = mse_bwt_incremental(reads, block, method=host_method)
         dt = time.time() - t0
         assert len(bwt) == n_sym
     out["build_s"] = round(dt, 1)

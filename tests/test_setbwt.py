@@ -227,3 +227,43 @@ def test_bwte_device_block_sa_paths_agree(rng):
     np.testing.assert_array_equal(td, th)
     np.testing.assert_array_equal(bd, np.asarray(want))
     np.testing.assert_array_equal(td, np.asarray(wtags))
+
+
+def test_bwte_native_engine_matches_oracle(rng):
+    """C++ BWTE engine (native/bwte.cpp: BCR column blocks + dual LF
+    rank-walk merges over fused rank lines) reproduces the whole-set BCR
+    oracle bitwise across random block splits, duplicates, and the
+    single-block case (``sufsort/bwte.h:57-229`` counterpart)."""
+    from nvbio_tpu import native
+    from nvbio_tpu.index.setbwt import mse_bwt, mse_bwt_incremental
+
+    if not native.bwte_available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    for trial in range(4):
+        m = int(rng.integers(2, 70))
+        L = int(rng.integers(1, 45))
+        reads = rng.integers(0, 4, size=(m, L), dtype=np.uint8)
+        if m > 2:
+            reads[1] = reads[-1]  # duplicate strings share suffixes
+        want, _tags = mse_bwt(reads)
+        bs = int(rng.integers(1, m + 1))
+        got = mse_bwt_incremental(reads, block_size=bs, method="native")
+        np.testing.assert_array_equal(got, want)
+    # block primitives directly: block BWT == whole-set oracle of the block
+    blk = rng.integers(0, 4, size=(9, 13), dtype=np.uint8)
+    want, _ = mse_bwt(blk)
+    np.testing.assert_array_equal(native.bcr_block_bwt(blk), want)
+
+
+def test_bwte_native_ragged_falls_back(rng):
+    """method="native" on a ragged read set transparently produces the
+    rank-path result (the C++ engine is uniform-length only)."""
+    from nvbio_tpu.index.setbwt import mse_bwt, mse_bwt_incremental
+
+    reads = [rng.integers(0, 4, int(rng.integers(1, 30))).astype(np.uint8)
+             for _ in range(21)]
+    want, _ = mse_bwt(reads)
+    got = mse_bwt_incremental(reads, block_size=6, method="native")
+    np.testing.assert_array_equal(got, want)
