@@ -18,7 +18,41 @@ import time
 import numpy as np
 
 
+def _probe_default_backend(timeout_s: float = 150.0) -> bool:
+    """True if the default (TPU relay) backend initializes.
+
+    Probed in a SUBPROCESS with a hard timeout: when the remote relay is
+    down, in-process ``jax.devices()`` hangs ~25 minutes inside the plugin's
+    retry loop before raising — a crashed/absent BENCH record is worse than
+    an honest CPU one, so on probe failure the bench degrades to the CPU
+    configuration and says so in extras.platform."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+        return r.returncode == 0 and "ok" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
+    import os
+
+    if not _probe_default_backend():
+        # conftest-pattern CPU fallback (JAX_PLATFORMS env alone does not
+        # override the relay plugin registration — CLAUDE.md gotcha)
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=1"
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
 

@@ -13,7 +13,7 @@
 //   nvbio_tpu_bwte_merge — merges a block (reads + its block BWT) into the
 //       accumulated BWT with TWO static LF rank walks per read (one against
 //       the accumulated BWT M, one against the block BWT B, both over
-//       sampled-occurrence checkpoints) and a single interleave pass:
+//       fused 64-byte rank lines) and a single interleave pass:
 //       merged row of block suffix s = rank_M(s) + rank_B(s). Both walks
 //       share the recurrence rank(c.T) = C[c] + occ(c, rank(T)) with the
 //       sentinel base case rank_M($_i) = S_prev, rank_B($_i) = i.
@@ -25,14 +25,72 @@
 // Holt-McMillan merge path).
 
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <vector>
+
+#include <sys/mman.h>
 
 #if defined(__AVX2__)
 #include <immintrin.h>
 #endif
 
 namespace {
+
+inline double now_s() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + 1e-9 * ts.tv_nsec;
+}
+
+// NVBIO_TPU_BWTE_TRACE=1: per-phase stderr timings (diagnostics only)
+inline bool trace_on() {
+    static int v = -1;
+    if (v < 0) {
+        const char* e = getenv("NVBIO_TPU_BWTE_TRACE");
+        v = (e && *e && *e != '0') ? 1 : 0;
+    }
+    return v == 1;
+}
+
+// 2MB-extent anonymous mappings with MADV_HUGEPAGE: the rank walks do one
+// random 64-byte access per LF step over multi-GB tables — with 4K pages
+// every step pays a TLB page walk on top of the cache miss; 2M pages keep
+// the whole table TLB-resident (measured ~2x on the walk at n ~ 1G).
+constexpr size_t HUGE_EXT = 2ull << 20;
+
+inline size_t huge_round(size_t bytes) {
+    return (bytes + HUGE_EXT - 1) & ~(HUGE_EXT - 1);
+}
+
+void* big_alloc(size_t bytes) {
+    size_t sz = huge_round(bytes ? bytes : 1);
+    void* p = mmap(nullptr, sz, PROT_READ | PROT_WRITE,
+                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+    if (p == MAP_FAILED) return nullptr;
+    madvise(p, sz, MADV_HUGEPAGE);
+    return p;
+}
+
+void big_free(void* p, size_t bytes) {
+    if (p) munmap(p, huge_round(bytes ? bytes : 1));
+}
+
+template <typename T>
+struct BigBuf {
+    T* p = nullptr;
+    size_t n = 0;
+    explicit BigBuf(size_t count) : n(count) {
+        p = (T*)big_alloc(count * sizeof(T));
+    }
+    ~BigBuf() { big_free(p, n * sizeof(T)); }
+    BigBuf(const BigBuf&) = delete;
+    BigBuf& operator=(const BigBuf&) = delete;
+    T& operator[](size_t i) { return p[i]; }
+    const T& operator[](size_t i) const { return p[i]; }
+};
 
 // Fused rank dictionary: each 64-byte cache line holds the four symbol
 // counts before the line (4 x uint32) followed by 48 BWT symbols, so an
@@ -46,12 +104,15 @@ struct alignas(64) RankLine {
 };
 
 struct OccIndex {
-    std::vector<RankLine> lines;
+    RankLine* lines = nullptr;
+    uint64_t nl = 0;
     uint64_t cnt[5];
 
+    ~OccIndex() { big_free(lines, nl * sizeof(RankLine)); }
+
     void build(const uint8_t* b, uint64_t n) {
-        uint64_t nl = n / LSYM + 1;
-        lines.assign(nl, RankLine());
+        nl = n / LSYM + 1;
+        lines = (RankLine*)big_alloc(nl * sizeof(RankLine));
         uint32_t run[4] = {0, 0, 0, 0};
         for (int c = 0; c < 5; ++c) cnt[c] = 0;
         for (uint64_t l = 0; l < nl; ++l) {
@@ -130,9 +191,10 @@ int nvbio_tpu_bcr_block(const uint8_t* reads, int64_t m, int64_t L,
     if (m <= 0 || L <= 0) return m == 0 ? 0 : -1;
     const uint64_t um = (uint64_t)m;
     const uint64_t total = um * (uint64_t)(L + 1);
-    std::vector<uint8_t> bufa(total), bufb(total);
-    uint8_t* cur = bufa.data();
-    uint8_t* nxt = bufb.data();
+    BigBuf<uint8_t> bufa(total), bufb(total);
+    if (!bufa.p || !bufb.p) return -3;
+    uint8_t* cur = bufa.p;
+    uint8_t* nxt = bufb.p;
     // round 0: sentinel-suffix rows in string order; row i holds the last
     // base of read i (the symbol cyclically preceding $_i)
     for (uint64_t i = 0; i < um; ++i)
@@ -240,9 +302,12 @@ int nvbio_tpu_bwte_merge(const uint8_t* M, int64_t n, int64_t S_prev,
     if (n == 0) { std::memcpy(out, B, bn); return 0; }
     if ((uint64_t)n + bn >= (1ull << 32)) return -2;
 
+    double t0 = now_s();
     OccIndex oM, oB;
     oM.build(M, (uint64_t)n);
     oB.build(B, bn);
+    if (!oM.lines || !oB.lines) return -3;
+    double t1 = now_s();
     uint64_t CM[5], CB[5];
     CM[1] = (uint64_t)S_prev;
     CB[1] = (uint64_t)m;
@@ -256,8 +321,9 @@ int nvbio_tpu_bwte_merge(const uint8_t* M, int64_t n, int64_t S_prev,
     // reads — walk them in stripes of G reads, issuing a software prefetch
     // for each read's next rank line right after its current step, so the
     // ~2 cache misses per step overlap across the stripe.
-    std::vector<uint32_t> rm_of((size_t)bn);
-    std::vector<uint8_t> sym_of((size_t)bn);
+    BigBuf<uint32_t> rm_of((size_t)bn);
+    BigBuf<uint8_t> sym_of((size_t)bn);
+    if (!rm_of.p || !sym_of.p) return -3;
     constexpr int64_t G = 32;
     std::vector<uint64_t> rMs(G), rBs(G);
     for (int64_t g = 0; g < m; g += G) {
@@ -289,6 +355,7 @@ int nvbio_tpu_bwte_merge(const uint8_t* M, int64_t n, int64_t S_prev,
         }
     }
 
+    double t2 = now_s();
     // interleave: merged position of block row j is rm_of[j] + j, strictly
     // increasing in j (rank_M is non-decreasing in block suffix order)
     uint64_t mp = 0, op = 0;
@@ -300,6 +367,10 @@ int nvbio_tpu_bwte_merge(const uint8_t* M, int64_t n, int64_t S_prev,
         out[op++] = sym_of[j];
     }
     std::memcpy(out + op, M + mp, (uint64_t)n - mp);
+    if (trace_on())
+        fprintf(stderr,
+                "[bwte_merge n=%lldM] occ %.2fs walk %.2fs interleave %.2fs\n",
+                (long long)(n / 1000000), t1 - t0, t2 - t1, now_s() - t2);
     return 0;
 }
 
