@@ -323,9 +323,10 @@ def mse_bwt_incremental(reads, block_size: int = 100_000,
 
     method="native" (the fast host path, uniform-length reads): the C++
     BWTE engine (``native/bwte.cpp``) — BCR column construction per block +
-    dual LF rank walks over fused 64-byte rank lines + one interleave pass
-    (~5-6 M symbols/s on one core; falls back to "rank" for ragged sets or
-    past the engine's 2^32-row merge bound).
+    dual LF rank walks over fused 64-byte rank lines (two-level: uint64
+    superblocks, so reach is memory-bound, not 32-bit-bound) + one
+    interleave pass (~5 M symbols/s on one core; falls back to "rank" for
+    ragged sets).
     method="rank": per-block native SA-IS + static-rank one-pass interleave
     insertion in numpy (``bwte_merge_block_rank`` — the ``bwte.h:57-229``
     design).
@@ -360,7 +361,7 @@ def mse_bwt_incremental(reads, block_size: int = 100_000,
                 return mse_bwt_incremental(reads, block_size, method="rank")
             mat = np.stack([np.asarray(r, np.uint8) for r in reads])
         m, L = mat.shape
-        if not native.bwte_available() or m * (L + 1) >= 2**32:
+        if not native.bwte_available():
             return mse_bwt_incremental(reads, block_size, method="rank")
         acc = np.zeros(0, np.uint8)
         ns = 0

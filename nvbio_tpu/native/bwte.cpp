@@ -96,7 +96,13 @@ struct BigBuf {
 // counts before the line (4 x uint32) followed by 48 BWT symbols, so an
 // occ() query costs ONE cache line — the same layout idea as the
 // reference's rank_dictionary bit-planes (nvbio/strings/rank_dictionary.h).
-constexpr uint64_t LSYM = 48;  // symbols per fused line
+// Line counts are DELTAS within a superblock of SB symbols; absolute
+// uint64 counts per superblock live in a small side array, which lifts the
+// addressable BWT past 2^32 rows (the reference's BWTE reach claim is
+// ~100 G symbols, sufsort.h:47-49 — the uint32 line counters alone would
+// cap at 4.3 G).
+constexpr uint64_t LSYM = 48;            // symbols per fused line
+constexpr uint64_t SB = LSYM << 20;      // superblock: ~50.3M symbols
 
 struct alignas(64) RankLine {
     uint32_t cnt[4];
@@ -106,6 +112,7 @@ struct alignas(64) RankLine {
 struct OccIndex {
     RankLine* lines = nullptr;
     uint64_t nl = 0;
+    std::vector<uint64_t> super;  // (nsb) x 4 absolute counts
     uint64_t cnt[5];
 
     ~OccIndex() { big_free(lines, nl * sizeof(RankLine)); }
@@ -113,12 +120,20 @@ struct OccIndex {
     void build(const uint8_t* b, uint64_t n) {
         nl = n / LSYM + 1;
         lines = (RankLine*)big_alloc(nl * sizeof(RankLine));
-        uint32_t run[4] = {0, 0, 0, 0};
+        if (!lines) return;
+        super.assign((n / SB + 1) * 4, 0);
+        uint64_t run[4] = {0, 0, 0, 0};
         for (int c = 0; c < 5; ++c) cnt[c] = 0;
         for (uint64_t l = 0; l < nl; ++l) {
             RankLine& ln = lines[l];
-            for (int c = 0; c < 4; ++c) ln.cnt[c] = run[c];
             uint64_t base = l * LSYM;
+            if (base % SB == 0) {
+                uint64_t* srow = &super[(base / SB) * 4];
+                for (int c = 0; c < 4; ++c) srow[c] = run[c];
+            }
+            const uint64_t* srow = &super[(base / SB) * 4];
+            for (int c = 0; c < 4; ++c)
+                ln.cnt[c] = (uint32_t)(run[c] - srow[c]);
             uint64_t take = base < n ? (n - base < LSYM ? n - base : LSYM)
                                      : 0;
             std::memcpy(ln.sym, b + base, take);
@@ -136,7 +151,7 @@ struct OccIndex {
                               _mm_cmpeq_epi8(d1, _mm_set1_epi8((char)c)))
                           << 32;
                     uint64_t k = (uint64_t)__builtin_popcountll(eq);
-                    run[c - 1] += (uint32_t)k;
+                    run[c - 1] += k;
                     cnt[c] += k;
                     bases += k;
                 }
@@ -176,7 +191,7 @@ struct OccIndex {
     }
 
     inline uint64_t occ(uint8_t c, uint64_t p) const {
-        return occ_line(line(p), c, p);
+        return super[(p / SB) * 4 + (c - 1)] + occ_line(line(p), c, p);
     }
 };
 
@@ -293,14 +308,16 @@ int nvbio_tpu_bcr_block(const uint8_t* reads, int64_t m, int64_t L,
 
 // Merge a block (reads + its block BWT B of bn = m*(L+1) rows) into the
 // accumulated BWT M (n rows over S_prev strings). out holds n + bn rows.
-// Requires n + bn < 2^32 (callers shard beyond that). Returns 0 on success.
+// 64-bit indexed throughout (two-level rank superblocks): the engine's
+// reach is bounded by host memory, not by 32-bit counters — the
+// reference's BWTE targets ~100 G symbols (sufsort.h:47-49).
+// Returns 0 on success.
 int nvbio_tpu_bwte_merge(const uint8_t* M, int64_t n, int64_t S_prev,
                          const uint8_t* reads, int64_t m, int64_t L,
                          const uint8_t* B, uint8_t* out) {
     const uint64_t bn = (uint64_t)m * (uint64_t)(L + 1);
     if (m <= 0) { std::memcpy(out, M, (size_t)n); return m == 0 ? 0 : -1; }
     if (n == 0) { std::memcpy(out, B, bn); return 0; }
-    if ((uint64_t)n + bn >= (1ull << 32)) return -2;
 
     double t0 = now_s();
     OccIndex oM, oB;
@@ -321,7 +338,7 @@ int nvbio_tpu_bwte_merge(const uint8_t* M, int64_t n, int64_t S_prev,
     // reads — walk them in stripes of G reads, issuing a software prefetch
     // for each read's next rank line right after its current step, so the
     // ~2 cache misses per step overlap across the stripe.
-    BigBuf<uint32_t> rm_of((size_t)bn);
+    BigBuf<uint64_t> rm_of((size_t)bn);
     BigBuf<uint8_t> sym_of((size_t)bn);
     if (!rm_of.p || !sym_of.p) return -3;
     constexpr int64_t G = 32;
@@ -334,7 +351,7 @@ int nvbio_tpu_bwte_merge(const uint8_t* M, int64_t n, int64_t S_prev,
             rMs[t] = (uint64_t)S_prev;
             rBs[t] = (uint64_t)i;
             // sentinel suffix $_i: its row holds the read's last base
-            rm_of[i] = (uint32_t)S_prev;
+            rm_of[i] = (uint64_t)S_prev;
             sym_of[i] = (uint8_t)(reads[(uint64_t)i * L + (L - 1)] + 1);
             __builtin_prefetch(&oB.line(rBs[t]));
         }
@@ -348,7 +365,7 @@ int nvbio_tpu_bwte_merge(const uint8_t* M, int64_t n, int64_t S_prev,
                 rBs[t] = rB;
                 __builtin_prefetch(&oM.line(rM));
                 __builtin_prefetch(&oB.line(rB));
-                rm_of[rB] = (uint32_t)rM;
+                rm_of[rB] = rM;
                 sym_of[rB] = k < L ? (uint8_t)(reads[ri + (L - k - 1)] + 1)
                                    : (uint8_t)0;
             }
