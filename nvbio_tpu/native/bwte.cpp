@@ -93,21 +93,61 @@ struct BigBuf {
 };
 
 // Fused rank dictionary: each 64-byte cache line holds the four symbol
-// counts before the line (4 x uint32) followed by 48 BWT symbols, so an
-// occ() query costs ONE cache line — the same layout idea as the
-// reference's rank_dictionary bit-planes (nvbio/strings/rank_dictionary.h).
-// Line counts are DELTAS within a superblock of SB symbols; absolute
-// uint64 counts per superblock live in a small side array, which lifts the
-// addressable BWT past 2^32 rows (the reference's BWTE reach claim is
-// ~100 G symbols, sufsort.h:47-49 — the uint32 line counters alone would
-// cap at 4.3 G).
-constexpr uint64_t LSYM = 48;            // symbols per fused line
-constexpr uint64_t SB = LSYM << 20;      // superblock: ~50.3M symbols
+// counts before the line (4 x uint32 deltas), a 128-bit dollar-validity
+// plane, and 128 symbols 2-BIT PACKED — one cache line per occ() query at
+// 128 symbols/line (2.7x the density of a byte layout), the same
+// bit-plane idea as the reference's rank_dictionary
+// (nvbio/strings/rank_dictionary.h). Line counts are DELTAS within a
+// superblock of SB symbols; absolute uint64 counts per superblock live in
+// a small side array, which lifts the addressable BWT past 2^32 rows (the
+// reference's BWTE reach claim is ~100 G symbols, sufsort.h:47-49).
+constexpr uint64_t LSYM = 128;           // symbols per fused line
+constexpr uint64_t SB = LSYM << 20;      // superblock: ~134M symbols
 
 struct alignas(64) RankLine {
-    uint32_t cnt[4];
-    uint8_t sym[LSYM];
+    uint32_t cnt[4];     // per-symbol counts before this line (superblock-
+                         // relative)
+    uint64_t valid[2];   // bit l set = row l is a base (not '$')
+    uint32_t packed[8];  // 2-bit (symbol-1), 16 rows per word, LSB-first
 };
+
+// match bitmap (1 bit/row) of symbol c over a 64-row half (4 packed words
+// starting at w0)
+inline uint64_t packed_match64(const RankLine& ln, uint8_t c, int w0) {
+    const uint32_t pat = (uint32_t)(c - 1) * 0x55555555u;
+    uint64_t match = 0;
+    for (int w = 0; w < 4; ++w) {
+        uint32_t x = ln.packed[w0 + w] ^ pat;
+        uint32_t nz = (x | (x >> 1)) & 0x55555555u;
+        uint32_t eq2 = ~nz & 0x55555555u;       // 2-bit lanes, even bits
+#if defined(__BMI2__)
+        uint64_t eq16 = _pext_u32(eq2, 0x55555555u);
+#else
+        uint32_t v = eq2;
+        v = (v | (v >> 1)) & 0x33333333u;
+        v = (v | (v >> 2)) & 0x0F0F0F0Fu;
+        v = (v | (v >> 4)) & 0x00FF00FFu;
+        v = (v | (v >> 8)) & 0x0000FFFFu;
+        uint64_t eq16 = v;
+#endif
+        match |= eq16 << (16 * w);
+    }
+    return match;
+}
+
+// count of symbol c (1..4) among the first `rem` rows (rem < 128)
+inline uint64_t packed_count(const RankLine& ln, uint8_t c, uint64_t rem) {
+    uint64_t lo_rem = rem < 64 ? rem : 64;
+    uint64_t lomask = lo_rem >= 64 ? ~0ull : ((1ull << lo_rem) - 1);
+    uint64_t r = (uint64_t)__builtin_popcountll(
+        packed_match64(ln, c, 0) & ln.valid[0] & lomask);
+    if (rem > 64) {
+        uint64_t himask = (1ull << (rem - 64)) - 1;
+        r += (uint64_t)__builtin_popcountll(
+            packed_match64(ln, c, 4) & ln.valid[1] & himask);
+    }
+    return r;
+}
 
 struct OccIndex {
     RankLine* lines = nullptr;
@@ -136,33 +176,62 @@ struct OccIndex {
                 ln.cnt[c] = (uint32_t)(run[c] - srow[c]);
             uint64_t take = base < n ? (n - base < LSYM ? n - base : LSYM)
                                      : 0;
-            std::memcpy(ln.sym, b + base, take);
-            std::memset(ln.sym + take, 0, LSYM - take);
+            ln.valid[0] = ln.valid[1] = 0;
+            for (int w = 0; w < 8; ++w) ln.packed[w] = 0;
 #if defined(__AVX2__)
             if (take == LSYM) {
-                __m256i d0 = _mm256_loadu_si256((const __m256i*)ln.sym);
-                __m128i d1 = _mm_loadu_si128((const __m128i*)(ln.sym + 32));
                 uint64_t bases = 0;
-                for (int c = 1; c <= 4; ++c) {
-                    uint64_t eq =
-                        (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(
-                            d0, _mm256_set1_epi8((char)c)));
-                    eq |= (uint64_t)(uint32_t)_mm_movemask_epi8(
-                              _mm_cmpeq_epi8(d1, _mm_set1_epi8((char)c)))
-                          << 32;
-                    uint64_t k = (uint64_t)__builtin_popcountll(eq);
-                    run[c - 1] += k;
-                    cnt[c] += k;
-                    bases += k;
+                for (int h = 0; h < 4; ++h) {  // 32 symbols per iteration
+                    __m256i d = _mm256_loadu_si256(
+                        (const __m256i*)(b + base + 32 * h));
+                    // validity: byte != 0
+                    uint32_t vm = (uint32_t)_mm256_movemask_epi8(
+                        _mm256_cmpgt_epi8(d, _mm256_setzero_si256()));
+                    ln.valid[h >> 1] |= (uint64_t)vm << (32 * (h & 1));
+                    // 2-bit pack of (byte-1)&3, LSB-first
+                    __m256i x = _mm256_and_si256(
+                        _mm256_sub_epi8(d, _mm256_set1_epi8(1)),
+                        _mm256_set1_epi8(3));
+                    // pairs -> 4-bit in 16-bit lanes: lo + 4*hi
+                    __m256i pair = _mm256_maddubs_epi16(
+                        x, _mm256_set1_epi16(0x0401));
+                    // quads -> 8-bit in 32-bit lanes: lo + 16*hi
+                    __m256i quad = _mm256_madd_epi16(
+                        pair, _mm256_set1_epi32(0x00100001));
+                    // gather the low byte of each 32-bit lane
+                    __m256i sh = _mm256_shuffle_epi8(
+                        quad, _mm256_setr_epi8(
+                            0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1,
+                            -1, -1, -1, -1,
+                            0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1,
+                            -1, -1, -1, -1));
+                    uint32_t lo = (uint32_t)_mm256_extract_epi32(sh, 0);
+                    uint32_t hi = (uint32_t)_mm256_extract_epi32(sh, 4);
+                    ln.packed[2 * h] = lo;
+                    ln.packed[2 * h + 1] = hi;
+                    // symbol counts via byte compares
+                    for (int c = 1; c <= 4; ++c) {
+                        uint32_t eq = (uint32_t)_mm256_movemask_epi8(
+                            _mm256_cmpeq_epi8(d, _mm256_set1_epi8((char)c)));
+                        uint64_t k = (uint64_t)__builtin_popcount(eq);
+                        run[c - 1] += k;
+                        cnt[c] += k;
+                        bases += k;
+                    }
                 }
                 cnt[0] += LSYM - bases;
                 continue;
             }
 #endif
             for (uint64_t i = 0; i < take; ++i) {
-                uint8_t s = ln.sym[i];
+                uint8_t s = b[base + i];
                 ++cnt[s];
-                if (s) ++run[s - 1];
+                if (s) {
+                    ++run[s - 1];
+                    ln.valid[i >> 6] |= 1ull << (i & 63);
+                    ln.packed[i >> 4] |=
+                        (uint32_t)((s - 1) & 3) << (2 * (i & 15));
+                }
             }
         }
     }
@@ -172,22 +241,7 @@ struct OccIndex {
     static inline uint64_t occ_line(const RankLine& ln, uint8_t c,
                                     uint64_t p) {
         uint64_t rem = p % LSYM;
-        uint64_t r = ln.cnt[c - 1];
-#if defined(__AVX2__)
-        __m256i vc = _mm256_set1_epi8((char)c);
-        __m256i d0 = _mm256_loadu_si256((const __m256i*)ln.sym);
-        uint64_t eq = (uint32_t)_mm256_movemask_epi8(
-            _mm256_cmpeq_epi8(d0, vc));
-        __m128i d1 = _mm_loadu_si128((const __m128i*)(ln.sym + 32));
-        eq |= (uint64_t)(uint32_t)_mm_movemask_epi8(
-                  _mm_cmpeq_epi8(d1, _mm_set1_epi8((char)c)))
-              << 32;
-        r += (uint64_t)__builtin_popcountll(
-            eq & ((rem >= 64 ? 0 : (1ull << rem)) - 1));
-#else
-        for (uint64_t i = 0; i < rem; ++i) r += (ln.sym[i] == c);
-#endif
-        return r;
+        return ln.cnt[c - 1] + packed_count(ln, c, rem);
     }
 
     inline uint64_t occ(uint8_t c, uint64_t p) const {

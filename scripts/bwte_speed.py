@@ -73,8 +73,9 @@ def main():
         assert len(bwt) == n_sym
     out["build_s"] = round(dt, 1)
     out["msymbols_per_s"] = round(n_sym / dt / 1e6, 2)
+    artifact = os.environ.get("BWTE_OUT", "BWTE_SPEED.json")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           os.pardir, "BWTE_SPEED.json"), "w") as f:
+                           os.pardir, artifact), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
