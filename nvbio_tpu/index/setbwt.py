@@ -361,7 +361,7 @@ def mse_bwt_incremental(reads, block_size: int = 100_000,
                 return mse_bwt_incremental(reads, block_size, method="rank")
             mat = np.stack([np.asarray(r, np.uint8) for r in reads])
         m, L = mat.shape
-        if not native.bwte_available():
+        if L == 0 or not native.bwte_available():
             return mse_bwt_incremental(reads, block_size, method="rank")
         acc = np.zeros(0, np.uint8)
         ns = 0
