@@ -267,3 +267,12 @@ def test_bwte_native_ragged_falls_back(rng):
     want, _ = mse_bwt(reads)
     got = mse_bwt_incremental(reads, block_size=6, method="native")
     np.testing.assert_array_equal(got, want)
+
+
+def test_bwte_native_zero_length_reads():
+    """Zero-length uniform reads take the rank fallback (sentinels only)."""
+    from nvbio_tpu.index.setbwt import mse_bwt_incremental
+
+    got = mse_bwt_incremental(np.zeros((4, 0), np.uint8), 2,
+                              method="native")
+    np.testing.assert_array_equal(got, np.zeros(4, np.uint8))
