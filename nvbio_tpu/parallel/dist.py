@@ -46,8 +46,10 @@ def init_distributed(coordinator_address: str | None = None,
         process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
         return False
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # NB: probing via jax.process_count() would itself initialize the XLA
+    # backend and make the subsequent initialize() call illegal
+    if jax.distributed.is_initialized():
+        return True
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -93,6 +95,47 @@ def global_batch(mesh, arr: np.ndarray):
         return jax.device_put(arr, sharding)
     global_shape = (arr.shape[0] * jax.process_count(),) + arr.shape[1:]
     return jax.make_array_from_process_local_data(sharding, arr, global_shape)
+
+
+def place_replicated(mesh, tree):
+    """Replicate a host pytree onto every device of a (possibly
+    multi-process) global mesh.
+
+    Single-process placement is a plain ``device_put``; multi-process goes
+    through ``jax.make_array_from_callback`` — every process holds identical
+    host data and contributes the shards it can address, which is the only
+    placement path that works when the sharding spans other processes'
+    devices. The reference replicates its index per GPU the same way, one
+    ``cudaMemcpy`` per ComputeThread (``compute_thread.cu:95-112``).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def leaf(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx])
+
+    return jax.tree.map(leaf, tree)
+
+
+def local_rows(tree):
+    """This process's rows of a batch-sharded global pytree, as host numpy.
+
+    Shards come back ordered by global row offset, so with the 1-D reads
+    mesh the result is the process's contiguous slice of the global batch
+    (rows ``[pid * B/n_proc, (pid+1) * B/n_proc)``) — the rows this host
+    formats into its own SAM shard.
+    """
+    def leaf(x):
+        shards = sorted(x.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+    return jax.tree.map(leaf, tree)
 
 
 def shard_path(base: str, process_id: int | None = None) -> str:
