@@ -144,7 +144,12 @@ def main():
     def dispatch_np(b):
         return align_batch_core(fmi, gwords, n_genome, *b, params_np)
 
-    sync_scalar(dispatch_np(batch0))
+    out_np = dispatch_np(batch0)
+    sync_scalar(out_np)
+    # sensitivity delta bought by the default reseed machinery = mapped_frac
+    # (default) - mapped_frac_single_pass, at the throughput cost visible in
+    # reads_per_sec vs reads_per_sec_single_pass
+    mapped_frac_single_pass = float(np.asarray(out_np["mapped"]).mean())
     t0 = time.time()
     outs = [dispatch_np(b) for b in batches]
     for o in outs:
@@ -399,6 +404,8 @@ def main():
                     "batch": B,
                     "read_len": L,
                     "mapped_frac": round(mapped_frac, 4),
+                    "mapped_frac_single_pass": round(
+                        mapped_frac_single_pass, 4),
                     "index_build_s": round(build_s, 1),
                     "local_512_reads_per_sec": round(local_512_rps, 1),
                     "index_speed": index_speed,
