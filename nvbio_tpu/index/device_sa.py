@@ -17,11 +17,13 @@ classic Manber-Myers prefix doubling, but laid out for XLA:
   unique — random DNA resolves in 1-2 rounds past the 26-symbol bootstrap;
   repeat-heavy texts take up to log2(n/26).
 
-v5e sorts ~170-310 M int32/s (measured), so a 100 Mbp genome suffix-sorts
-in tens of seconds on one chip — against ~10 minutes for the host SA-IS
-path on one core. Memory: ~6 int32 planes of n+1, comfortably inside one
-chip's HBM for n <= ~200M; larger genomes go through the genome-sliced
-sharded build (``fmi/sharded.py``) with one slice per chip.
+Measured on a v5e (INDEX_SPEED.json): 34.5 M suffixes/s steady-state at
+100 Mbp (2.9 s for the sort, 7.1 s for the full device-resident FM-index
+build) — against ~10 minutes for the host SA-IS path on one core. Memory:
+the sort holds ~8 int32 planes of n+1 at its peak and the staged plane
+builds (donated inputs) ~6, so one 16 GB chip covers n up to the ~390 Mbp
+human-slice scale; larger genomes go through the genome-sliced sharded
+build (``fmi/sharded.py``) with one slice per chip.
 """
 
 from __future__ import annotations
@@ -159,17 +161,32 @@ def bwt_device(codes):
     return np.delete(np.asarray(bwt_full), primary), primary
 
 
-@functools.partial(jax.jit, static_argnames=("K", "n_samples"))
-def _fmi_planes(c1p, sa, K: int, n_samples: int):
-    """Device-side FM-index planes from the device SA: the full BWT symbol
-    plane, primary row, and the mark-bitvector sampled SA (rows with
-    SA % K == 0 — exactly n // K + 1 of them, a static count, since SA is
-    a permutation of 0..n). Only these compact planes cross the host link;
-    the 4x-bigger SA never does."""
+@functools.partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+def _bwt_plane(c1p, sa, n: int):
+    """Primary-dropped BWT symbol plane (uint8, 0..3) + primary row.
+
+    The primary row is dropped densely — a select between the two static
+    shifts — because a traced-index delete would lower to scalar gathers.
+    ``c1p`` is donated: after this stage only the n-byte BWT plane and the
+    SA remain live, which is what lets the 390 Mbp human-slice scale fit
+    one chip's HBM (the fused single-graph form OOMed there)."""
     m = sa.shape[0]
     prev = jnp.maximum(sa - 1, 0)
     bwt_full = (jnp.take(c1p[:m], prev) - 1).astype(jnp.uint8)
     primary = jnp.argmax(sa == 0).astype(jnp.int32)
+    i = jnp.arange(n, dtype=jnp.int32)
+    bwt = jnp.where(i < primary, bwt_full[:n], bwt_full[1:n + 1])
+    return bwt, primary
+
+
+@functools.partial(
+    jax.jit, static_argnames=("K", "n_samples"), donate_argnums=(0,))
+def _ssa_planes(sa, K: int, n_samples: int):
+    """Mark-bitvector sampled SA (rows with SA % K == 0 — exactly
+    n // K + 1 of them, a static count, since SA is a permutation of
+    0..n) + popcount prefix. ``sa`` — the largest plane — is donated;
+    nothing n-sized survives this stage."""
+    m = sa.shape[0]
     marked = (sa % K) == 0
     pos = jnp.cumsum(marked.astype(jnp.int32)) - 1
     vals = (jnp.zeros(n_samples, jnp.int32)
@@ -179,25 +196,18 @@ def _fmi_planes(c1p, sa, K: int, n_samples: int):
             .at[:m].set(marked.astype(jnp.uint32))).reshape(n_words, 32)
     weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
     marks = (bits * weights).sum(axis=1, dtype=jnp.uint32)  # disjoint bits
-    return bwt_full, primary, marks, vals
+    popc = jax.lax.population_count(marks).astype(jnp.int32)
+    cum = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                           jnp.cumsum(popc[:-1])])
+    return marks, cum, vals
 
 
-@functools.partial(jax.jit, static_argnames=("K", "n_samples", "n"))
-def _fmi_planes_full(c1p, sa, K: int, n_samples: int, n: int):
-    """EVERY FM-index plane computed on device: packed BWT words, occ
-    checkpoints, symbol count offsets, and the mark-bitvector sampled SA
-    with its popcount prefix — bit-exact vs the host builders
-    (packed.pack LSB-first layout, rank.build_occ_table checkpoints).
-
-    Nothing n-sized needs to cross the host link: the biggest fetched
-    plane is the n/16-word BWT (and for device-resident serving even that
-    stays on chip)."""
-    bwt_full, primary, marks, vals = _fmi_planes(c1p, sa, K, n_samples)
-    bwt_full = bwt_full.astype(jnp.uint32)
-    # drop the primary row densely: select between the two static shifts
-    # (a traced-index delete would lower to scalar gathers)
-    i = jnp.arange(n, dtype=jnp.int32)
-    bwt = jnp.where(i < primary, bwt_full[:n], bwt_full[1:n + 1])
+@functools.partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+def _pack_occ_planes(bwt_u8, n: int):
+    """Packed BWT words + occ checkpoints + count offsets from the
+    primary-dropped BWT plane — bit-exact vs the host builders
+    (packed.pack LSB-first layout, rank.build_occ_table checkpoints)."""
+    bwt = bwt_u8.astype(jnp.uint32)
     # 2-bit pack, LSB-first 16 symbols/word (packed.pack layout); bits are
     # disjoint so the sum IS the bitwise-or
     nw = (n + 15) // 16
@@ -223,11 +233,7 @@ def _fmi_planes_full(c1p, sa, K: int, n_samples: int, n: int):
     count = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)]) + 1
     count = count.at[0].set(1)
-    # sampled-SA popcount prefix
-    popc = jax.lax.population_count(marks).astype(jnp.int32)
-    cum = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                           jnp.cumsum(popc[:-1])])
-    return bwt_words, occ, count, primary, marks, cum, vals
+    return bwt_words, occ, count
 
 
 def build_fmindex_device(codes, sa_interval: int = 8, to_host: bool = True):
@@ -236,12 +242,15 @@ def build_fmindex_device(codes, sa_interval: int = 8, to_host: bool = True):
 
     TPU counterpart of the reference's GPU index build (nvBWT over
     ``nvbio/sufsort/sufsort.h:45-60``): the O(n log n) sort, BWT, packing,
-    occ checkpoints, and sampled-SA planes all run on the chip in one
-    jitted graph. ``to_host=False`` returns the index with device-resident
-    (jnp) planes — ready to serve queries with zero host round-trip, the
-    natural form when the index is built where it will be used;
-    ``to_host=True`` fetches the compact planes (n/16-word BWT + 1/K SA
-    samples; the 4x-bigger SA never crosses the link) for saving.
+    occ checkpoints, and sampled-SA planes all run on the chip, in three
+    staged jits that DONATE their dominant input (text plane -> BWT stage,
+    SA -> sampled-SA stage, BWT plane -> packing stage) so peak HBM stays
+    ~6 n-sized planes — the 390 Mbp human-slice scale fits one v5e where
+    the single fused graph OOMed. ``to_host=False`` returns the index with
+    device-resident (jnp) planes — ready to serve queries with zero host
+    round-trip, the natural form when the index is built where it will be
+    used; ``to_host=True`` fetches the compact planes (n/16-word BWT +
+    1/K SA samples; the 4x-bigger SA never crosses the link) for saving.
     """
     from nvbio_tpu.fmi.index import FMIndex
 
@@ -252,8 +261,12 @@ def build_fmindex_device(codes, sa_interval: int = 8, to_host: bool = True):
     c1p = _c1p_of(codes)
     sa = _sa_of(c1p, n + 1)
     n_samples = n // sa_interval + 1
-    bwt_words, occ, count, primary, marks, cum, vals = _fmi_planes_full(
-        c1p, sa, sa_interval, n_samples, n)
+    bwt_u8, primary = _bwt_plane(c1p, sa, n)
+    del c1p  # donated
+    marks, cum, vals = _ssa_planes(sa, sa_interval, n_samples)
+    del sa  # donated
+    bwt_words, occ, count = _pack_occ_planes(bwt_u8, n)
+    del bwt_u8  # donated
     fetch = np.asarray if to_host else (lambda x: x)
     return FMIndex(
         bwt_words=fetch(bwt_words), occ=fetch(occ), count=fetch(count),

@@ -39,6 +39,16 @@ def main():
     genome = rng.integers(0, 4, size=GENOME, dtype=np.uint8)
     out = {"platform": platform, "genome_bp": GENOME}
 
+    artifact = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            os.pardir,
+                            os.environ.get("OUT", "INDEX_SPEED.json"))
+
+    def flush():
+        # progressive dump: a late-stage failure (e.g. an HBM OOM at a new
+        # scale point) still leaves the measurements taken so far
+        with open(artifact, "w") as f:
+            json.dump(out, f, indent=1)
+
     # --- device-only suffix sort --------------------------------------------
     t0 = time.time()
     c1p = _c1p_of(genome)
@@ -57,6 +67,7 @@ def main():
     out["device_sa_s"] = round(dt, 1)
     out["device_sa_msuffixes_per_s"] = round(GENOME / dt / 1e6, 1)
     del sa, c1p
+    flush()
 
     # --- end-to-end FM-index build ------------------------------------------
     t0 = time.time()
@@ -66,6 +77,7 @@ def main():
     fmi = build_fmindex(genome, method="device")
     out["fmi_build_device_s"] = round(time.time() - t0, 1)
     out["primary"] = int(fmi.primary)
+    flush()
 
     # device-RESIDENT build: planes stay on chip (the serving form — no
     # host fetch at all except the primary scalar); on the relay this
@@ -76,6 +88,8 @@ def main():
     fd = build_fmindex_device(genome, to_host=False)
     int(np.asarray(fd.bwt_words[:1])[0])
     out["fmi_build_device_resident_s"] = round(time.time() - t0, 1)
+    del fd
+    flush()
 
     # spot-check vs the host path on a slice boundary region
     probe = genome[: 1 << 20]
@@ -85,6 +99,7 @@ def main():
                           np.asarray(dev.bwt_words))
     assert host.primary == dev.primary
     out["host_parity_1mbp"] = True
+    flush()
 
     # --- host q-gram build (bench context) ----------------------------------
     from nvbio_tpu.qgram import build_qgram_index
@@ -92,6 +107,7 @@ def main():
     t0 = time.time()
     build_qgram_index(genome, 12)
     out["qgram_build_host_s"] = round(time.time() - t0, 1)
+    flush()
 
     # --- sharded device build (multi-Gbp form) ------------------------------
     # SHARDS=D: build a D-slice sharded FM-index with every slice's sort on
@@ -117,9 +133,7 @@ def main():
         out["sharded_msuffixes_per_s"] = round(NB / dt / 1e6, 1)
         del sidx
 
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           os.pardir, "INDEX_SPEED.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    flush()
     print(json.dumps(out))
 
 
