@@ -246,22 +246,33 @@ def _banded_tb_kernel(
     pat_ref, plen_ref, txt_ref, tlen_ref, mm_ref,
     score_ref, kbest_ref, ops_ref, nops_ref, kfin_ref, nm_ref,
     iend_ref, istart_ref,
-    H, E, FINAL, BST, DIRS,
-    *, L, W, W8, MAXS, match, po, pe, to, te, local,
+    H, E, FINAL, BST, DIRS, CKPT_H=None, CKPT_E=None,
+    *, L, W, W8, MAXS, STRIPE, N_STRIPES, match, po, pe, to, te, local,
 ):
     """Fused banded Gotoh forward + traceback walk, all VMEM-resident.
 
-    Forward identical to ``_banded_dirs_kernel`` but directions stay in a
-    VMEM scratch plane; the walk then runs in-kernel row-synchronously (see
-    ``batch_traceback_banded_fast``), so no direction bytes ever reach HBM —
-    the on-chip equivalent of the reference's checkpointed traceback
-    (``nvbio/alignment/alignment.h:544-628``).
+    Forward identical to ``_banded_kernel`` but directions stay in a VMEM
+    scratch plane; the walk then runs in-kernel row-synchronously (see
+    ``batch_traceback_banded_fast``), so no direction bytes ever reach HBM.
+
+    CHECKPOINTED mode (``N_STRIPES > 1``) — the TPU re-design of the
+    reference's checkpointed traceback (``nvbio/alignment/alignment.h:
+    544-671``): the forward pass stores only the (H, E) band state at every
+    STRIPE-row boundary (CKPT_H/CKPT_E scratch) and no directions; the walk
+    then replays one STRIPE x W8 direction stripe at a time into the small
+    reusable DIRS buffer, walking each stripe before replaying the next
+    (stripes are visited in strictly descending order because the walk is
+    row-synchronous). Scratch drops from O(L*W8) to O(STRIPE*W8 + S*2*W8)
+    per lane at the cost of one forward recompute — the same memory/FLOPs
+    trade the reference's CHECKPOINTS template parameter makes.
     """
     BLK = pat_ref.shape[1]
     neg = jnp.int32(NEG_INF)
     kcol = jax.lax.broadcasted_iota(jnp.int32, (W, BLK), 0)
     kcol8 = jax.lax.broadcasted_iota(jnp.int32, (W8, BLK), 0)
     TILE_T = _round_up(W + _ROWS - 1, _ROWS)
+    S = N_STRIPES
+    spr = STRIPE // _ROWS  # forward blocks per stripe
 
     H[:] = jnp.zeros((W, BLK), jnp.int32)
     E[:] = jnp.full((W, BLK), neg, jnp.int32)
@@ -278,9 +289,10 @@ def _banded_tb_kernel(
         return jnp.concatenate(
             [x[d:], jnp.full((d, BLK), neg, jnp.int32)], axis=0)
 
-    n_blocks = (L + _ROWS - 1) // _ROWS
-
-    def body(t, _):
+    def process_block(t, dirs_base, write_dirs, track):
+        # one _ROWS-row tile of the forward recurrence; ``t`` is the
+        # (dynamic) block index, ``dirs_base`` the first pattern row held by
+        # the DIRS buffer (0 when unstriped, s*STRIPE during stripe replay)
         base = pl.multiple_of(t * _ROWS, _ROWS)
         pat_tile = pat_ref[pl.ds(base, _ROWS), :]
         mm_tile = mm_ref[pl.ds(base, _ROWS), :]
@@ -319,44 +331,69 @@ def _banded_tb_kernel(
             f_ext = F == Fsh + jnp.int32(te)
             Hrow = jnp.maximum(H0r, F)
 
-            hdir = jnp.where(Hrow == diag, 0,
-                             jnp.where(Hrow == Erow, 1, 2))
-            if local:
-                hdir = jnp.where(Hrow == 0, 3, hdir)  # zero-stop cell
-            mism = (p != trow).astype(jnp.int32)  # bit 4: NM during the walk
-            # bits 5-8: the cell's text symbol (4 bits so genome-N codes
-            # 8..11 fit) — lets the walk emit MD ref bases with no gathers
-            byte = (hdir
-                    | (e_ext.astype(jnp.int32) << 2)
-                    | (f_ext.astype(jnp.int32) << 3)
-                    | (mism << 4)
-                    | ((trow & 15) << 5))
-            pad = jnp.zeros((W8 - W, BLK), jnp.int32)
-            DIRS[pl.ds((i - 1) * W8, W8), :] = jnp.concatenate(
-                [byte, pad], axis=0)
+            if write_dirs:
+                hdir = jnp.where(Hrow == diag, 0,
+                                 jnp.where(Hrow == Erow, 1, 2))
+                if local:
+                    hdir = jnp.where(Hrow == 0, 3, hdir)  # zero-stop cell
+                mism = (p != trow).astype(jnp.int32)  # bit 4: walk-time NM
+                # bits 5-8: the cell's text symbol (4 bits so genome-N codes
+                # 8..11 fit) — lets the walk emit MD ref bases, no gathers
+                byte = (hdir
+                        | (e_ext.astype(jnp.int32) << 2)
+                        | (f_ext.astype(jnp.int32) << 3)
+                        | (mism << 4)
+                        | ((trow & 15) << 5))
+                pad = jnp.zeros((W8 - W, BLK), jnp.int32)
+                off = pl.multiple_of((base - dirs_base + r) * W8, _ROWS)
+                DIRS[pl.ds(off, W8), :] = jnp.concatenate([byte, pad], axis=0)
 
             H[:] = Hrow
             E[:] = Erow
-            if local:
-                # track the best in-range cell (the LOCAL sink)
-                row_valid = (i <= plen)[None, :] & (tidx < tlen[None, :])
-                masked = jnp.where(row_valid, Hrow, neg)
-                rb = jnp.max(masked, axis=0)
-                rk = jnp.min(jnp.where(masked == rb[None, :], kcol,
-                                       jnp.int32(W)), axis=0)
-                upd = rb > BST[0, :]
-                BST[0, :] = jnp.where(upd, rb, BST[0, :])
-                BST[1, :] = jnp.where(upd, jnp.int32(i), BST[1, :])
-                BST[2, :] = jnp.where(upd, jnp.minimum(rk, W - 1), BST[2, :])
-            else:
-                at_final = (i == plen)[None, :]
-                FINAL[:] = jnp.where(at_final, Hrow, FINAL[:])
-        return 0
+            if track:
+                if local:
+                    # track the best in-range cell (the LOCAL sink)
+                    row_valid = (i <= plen)[None, :] & (tidx < tlen[None, :])
+                    masked = jnp.where(row_valid, Hrow, neg)
+                    rb = jnp.max(masked, axis=0)
+                    rk = jnp.min(jnp.where(masked == rb[None, :], kcol,
+                                           jnp.int32(W)), axis=0)
+                    upd = rb > BST[0, :]
+                    BST[0, :] = jnp.where(upd, rb, BST[0, :])
+                    BST[1, :] = jnp.where(upd, jnp.int32(i), BST[1, :])
+                    BST[2, :] = jnp.where(upd, jnp.minimum(rk, W - 1),
+                                          BST[2, :])
+                else:
+                    at_final = (i == plen)[None, :]
+                    FINAL[:] = jnp.where(at_final, Hrow, FINAL[:])
 
     BST[0, :] = jnp.zeros((BLK,), jnp.int32)  # LOCAL scores are >= 0
     BST[1, :] = jnp.zeros((BLK,), jnp.int32)
     BST[2, :] = jnp.zeros((BLK,), jnp.int32)
-    jax.lax.fori_loop(0, n_blocks, body, 0)
+
+    if S == 1:
+        def body(t, _):
+            process_block(t, 0, True, True)
+            return 0
+
+        jax.lax.fori_loop(0, spr, body, 0)
+    else:
+        he_pad = jnp.full((W8 - W, BLK), neg, jnp.int32)
+
+        def sbody(s, _):
+            # checkpoint the band state at entry to stripe s
+            off = pl.multiple_of(s * W8, _ROWS)
+            CKPT_H[pl.ds(off, W8), :] = jnp.concatenate([H[:], he_pad], 0)
+            CKPT_E[pl.ds(off, W8), :] = jnp.concatenate([E[:], he_pad], 0)
+
+            def bbody(j, _):
+                process_block(s * spr + j, 0, False, True)
+                return 0
+
+            jax.lax.fori_loop(0, spr, bbody, 0)
+            return 0
+
+        jax.lax.fori_loop(0, S, sbody, 0)
 
     if local:
         smax = BST[0, :]
@@ -377,61 +414,91 @@ def _banded_tb_kernel(
     ops_rows = jax.lax.broadcasted_iota(jnp.int32, (MAXS, BLK), 0)
     ops_ref[:] = jnp.zeros((MAXS, BLK), jnp.int32)
 
-    def walk_cond(c):
-        r, i, k, st, cursor, nm = c
-        return r >= 1
+    def make_walk(lo, dirs_base):
+        # walk rows (lo, r0] of the stripe whose first row is dirs_base+1;
+        # lo/dirs_base are static per (unrolled) stripe
 
-    def walk_step(c):
-        r, i, k, st, cursor, nm = c
-        row = DIRS[pl.ds(pl.multiple_of((r - 1) * W8, _ROWS), W8), :]
-        act = i == r
-        cell = jnp.sum(jnp.where(kcol8 == k[None, :], row, 0), axis=0)
-        hdir = cell & 3
-        e_ext = (cell >> 2) & 1
-        f_ext = (cell >> 3) & 1
-        mism = (cell >> 4) & 1
-        sym = (cell >> 5) & 15
-        if local:
-            # zero-stop: only in the H state (a gap chain may pass through)
-            stop = act & (st == 0) & (hdir == 3)
-            istart_ref[0, :] = jnp.where(stop, i, istart_ref[0, :])
-            kfin_ref[0, :] = jnp.where(stop, k, kfin_ref[0, :])
-            i = jnp.where(stop, 0, i)
-            act = act & ~stop
-        sel = jnp.where(st == 1, 1, jnp.where(st == 2, 2, hdir))
-        op = jnp.where(sel == 0, 1, jnp.where(sel == 1, 2, 3))
-        # NM: mismatching M cells + every gap op
-        nm = nm + jnp.where(act,
-                            jnp.where(sel == 0, mism, 1), 0)
-        di = jnp.where(sel == 2, 0, 1)
-        dk = jnp.where(sel == 0, 0, jnp.where(sel == 1, 1, -1))
-        new_st = jnp.where(
-            sel == 0, 0,
-            jnp.where(sel == 1,
-                      jnp.where(e_ext == 1, 1, 0),
-                      jnp.where(f_ext == 1, 2, 0)))
-        # packed op entry: op(2b) | mism(1b, M cells only) | ref-sym(4b) —
-        # everything the host MD/CIGAR formatter needs, no symbol gathers
-        entry = (op
-                 | (jnp.where(sel == 0, mism, 0) << 2)
-                 | (sym << 3))
-        ops_ref[:] = ops_ref[:] + jnp.where(
-            act[None, :] & (ops_rows == cursor[None, :]), entry[None, :], 0)
-        cursor = jnp.where(act, cursor + 1, cursor)
-        i = jnp.where(act, i - di, i)
-        k = jnp.where(act, jnp.clip(k + dk, 0, W - 1), k)
-        st = jnp.where(act, new_st, st)
-        # advance to the next row only once every lane has left this one
-        r = jnp.where(jnp.any(i == r), r, r - 1)
-        return r, i, k, st, cursor, nm
+        def walk_cond(c):
+            r, i, k, st, cursor, nm = c
+            return (r > lo) & jnp.any(i >= 1)
+
+        def walk_step(c):
+            r, i, k, st, cursor, nm = c
+            off = pl.multiple_of((r - 1 - dirs_base) * W8, _ROWS)
+            row = DIRS[pl.ds(off, W8), :]
+            act = i == r
+            cell = jnp.sum(jnp.where(kcol8 == k[None, :], row, 0), axis=0)
+            hdir = cell & 3
+            e_ext = (cell >> 2) & 1
+            f_ext = (cell >> 3) & 1
+            mism = (cell >> 4) & 1
+            sym = (cell >> 5) & 15
+            if local:
+                # zero-stop: only in the H state (a gap chain may pass
+                # through)
+                stop = act & (st == 0) & (hdir == 3)
+                istart_ref[0, :] = jnp.where(stop, i, istart_ref[0, :])
+                kfin_ref[0, :] = jnp.where(stop, k, kfin_ref[0, :])
+                i = jnp.where(stop, 0, i)
+                act = act & ~stop
+            sel = jnp.where(st == 1, 1, jnp.where(st == 2, 2, hdir))
+            op = jnp.where(sel == 0, 1, jnp.where(sel == 1, 2, 3))
+            # NM: mismatching M cells + every gap op
+            nm = nm + jnp.where(act,
+                                jnp.where(sel == 0, mism, 1), 0)
+            di = jnp.where(sel == 2, 0, 1)
+            dk = jnp.where(sel == 0, 0, jnp.where(sel == 1, 1, -1))
+            new_st = jnp.where(
+                sel == 0, 0,
+                jnp.where(sel == 1,
+                          jnp.where(e_ext == 1, 1, 0),
+                          jnp.where(f_ext == 1, 2, 0)))
+            # packed op entry: op(2b) | mism(1b, M cells only) | ref-sym(4b)
+            # — everything the host MD/CIGAR formatter needs, no gathers
+            entry = (op
+                     | (jnp.where(sel == 0, mism, 0) << 2)
+                     | (sym << 3))
+            ops_ref[:] = ops_ref[:] + jnp.where(
+                act[None, :] & (ops_rows == cursor[None, :]),
+                entry[None, :], 0)
+            cursor = jnp.where(act, cursor + 1, cursor)
+            i = jnp.where(act, i - di, i)
+            k = jnp.where(act, jnp.clip(k + dk, 0, W - 1), k)
+            st = jnp.where(act, new_st, st)
+            # advance to the next row only once every lane has left this one
+            r = jnp.where(jnp.any(i == r), r, r - 1)
+            return r, i, k, st, cursor, nm
+
+        return walk_cond, walk_step
 
     zero_v = jnp.zeros((BLK,), jnp.int32)
     istart_ref[0, :] = zero_v
     kfin_ref[0, :] = zero_v
     r0 = jnp.int32(L)
-    _, iF, kF, _, cursor, nm = jax.lax.while_loop(
-        walk_cond, walk_step, (r0, i0 if local else plen, k0,
-                               zero_v, zero_v, zero_v))
+    state = (r0, i0 if local else plen, k0, zero_v, zero_v, zero_v)
+    if S == 1:
+        cond, step = make_walk(0, 0)
+        state = jax.lax.while_loop(cond, step, state)
+    else:
+        for s in reversed(range(S)):
+            # replay stripe s into DIRS (skipped when every lane is done —
+            # local walks usually stop long before row 0), then walk it
+            alive = jnp.any(state[1] >= 1)
+
+            @pl.when(alive)
+            def _replay(s=s):
+                H[:] = CKPT_H[s * W8:(s + 1) * W8, :][:W, :]
+                E[:] = CKPT_E[s * W8:(s + 1) * W8, :][:W, :]
+
+                def rbody(j, _, s=s):
+                    process_block(s * spr + j, s * STRIPE, True, False)
+                    return 0
+
+                jax.lax.fori_loop(0, spr, rbody, 0)
+
+            cond, step = make_walk(s * STRIPE, s * STRIPE)
+            state = jax.lax.while_loop(cond, step, state)
+    _, iF, kF, _, cursor, nm = state
     if local:
         # lanes that ran to row 0 without a zero-stop keep their walk k
         done_stop = istart_ref[0, :] > 0
@@ -444,30 +511,93 @@ def _banded_tb_kernel(
     nm_ref[0, :] = nm
 
 
+# VMEM budget for the traceback kernel: scratch + (double-buffered) in/out
+# blocks must fit physical VMEM. The v5e carries 128 MiB of VMEM per core;
+# Mosaic's DEFAULT scoped window is a conservative 16 MB, so the kernel
+# raises it via CompilerParams(vmem_limit_bytes) to the planned need.
+# Round 3's bench died on the default window with a budget formula that
+# ignored everything but the direction plane; measured on chip (round 4):
+# scratch grants up to ~120 MB compile+run fine, and with grid > 1 the
+# in/out VMEM blocks are double-buffered and DO count against the window.
+_TB_VMEM_BUDGET = 96 * 2**20
+
+
+def _tb_bytes(M: int, W: int, B: int, blk: int, stripe: int, s: int) -> int:
+    """Total VMEM bytes the kernel needs at this plan: scratch planes plus
+    the in/out blocks (x2 when the batch grid pipelines, i.e. B > blk)."""
+    W8 = _round_up(W, _ROWS)
+    Lp2 = s * stripe
+    TILE_T = _round_up(W + _ROWS - 1, _ROWS)
+    TWp = (Lp2 - _ROWS) + TILE_T
+    MAXS = _round_up(M + W, _ROWS)
+    ck = 2 * s * W8 if s > 1 else 0
+    scratch = 4 * blk * (3 * W + 8 + stripe * W8 + ck)
+    blocks = 4 * blk * (2 * Lp2 + TWp + 2 + MAXS + 7)
+    return scratch + blocks * (2 if B > blk else 1)
+
+
+def _tb_vmem_plan(M: int, W: int, B: int, block: int):
+    """Pick (BLK, STRIPE, N_STRIPES) so the traceback kernel fits VMEM.
+
+    Prefers a wide lane block with few stripes; stripes (checkpointed
+    traceback) kick in before shrinking the block — a narrow BLK multiplies
+    every band op's per-lane cost, while a stripe replay costs one extra
+    forward pass. Returns None when nothing fits (~tens-of-kbp reads at the
+    default band) — callers should fail loudly or take the XLA path.
+    """
+    Lp = _round_up(M, _ROWS)
+    BLK = min(block, _round_up(max(B, 128), 128))
+    while BLK >= 128:
+        if _tb_bytes(M, W, B, BLK, Lp, 1) <= _TB_VMEM_BUDGET:
+            return BLK, Lp, 1
+        # smallest stripe count that fits (the walk/replay loops unroll
+        # N_STRIPES times — cap it to keep Mosaic code size sane)
+        for s in range(2, 17):
+            stripe = _round_up(-(-Lp // s), _ROWS)
+            s_eff = -(-Lp // stripe)
+            if _tb_bytes(M, W, B, BLK, stripe, s_eff) <= _TB_VMEM_BUDGET:
+                return BLK, stripe, s_eff
+        BLK //= 2
+    return None
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("scoring", "band", "block", "interpret", "local"))
+    static_argnames=("scoring", "band", "block", "interpret", "local",
+                     "stripe"))
 def banded_traceback_semiglobal_pallas(
     patterns, pattern_lens, texts, text_lens, scoring: GotohScoring,
     band: int, mismatch_scores=None, block: int = 512, interpret: bool = False,
-    local: bool = False,
+    local: bool = False, stripe: int | None = None,
 ):
     """Fused forward + traceback: returns (score, k_best, ops_rev (B, MAXS),
     n_ops, k_final, nm, i_end, i_start) with ops in end->start order (op
     codes 1/2/3 = M/I/D); nm is the edit-op count (mismatching M cells +
     gap ops). ``local=True`` switches to LOCAL alignment: the sink is the
     best in-band cell (i_end = its pattern row) and the walk stops at
-    zero-score cells (i_start/k_final = where it stopped)."""
+    zero-score cells (i_start/k_final = where it stopped).
+
+    Long patterns automatically use checkpointed striping (see
+    ``_banded_tb_kernel``); ``stripe`` forces a stripe height (rounded to a
+    multiple of 8) for testing.
+    """
     B, M = patterns.shape
     W = band
     W8 = _round_up(W, _ROWS)
     MAXS = _round_up(M + W, _ROWS)
     TW = M + W - 1
-    Lp = _round_up(M, _ROWS)
-    # VMEM budget for the resident direction plane: 16 MB keeps BLK >= 256
-    # at the reference's MAX_READ_LEN=512 (defs.h:96) with W8=24
-    max_blk = max(128, (16 * 2**20 // (Lp * W8 * 4)) // 128 * 128)
-    BLK = min(block, max_blk, _round_up(max(B, 128), 128))
+    if stripe is not None:
+        STRIPE = _round_up(min(stripe, M), _ROWS)
+        S = -(-_round_up(M, _ROWS) // STRIPE)
+        BLK = min(block, _round_up(max(B, 128), 128))
+    else:
+        plan = _tb_vmem_plan(M, W, B, block)
+        if plan is None:
+            raise ValueError(
+                f"banded traceback does not fit VMEM even striped "
+                f"(M={M}, W={W}); use the XLA batch_traceback_banded path")
+        BLK, STRIPE, S = plan
+    Lp = S * STRIPE  # uniform stripes: pad the pattern rows to S*STRIPE
     Bp = _round_up(B, BLK)
     TILE_T = _round_up(W + _ROWS - 1, _ROWS)
     TWp = (Lp - _ROWS) + TILE_T
@@ -486,12 +616,25 @@ def banded_traceback_semiglobal_pallas(
 
     kern = functools.partial(
         _banded_tb_kernel,
-        L=M, W=W, W8=W8, MAXS=MAXS, match=scoring.match,
+        L=M, W=W, W8=W8, MAXS=MAXS, STRIPE=STRIPE, N_STRIPES=S,
+        match=scoring.match,
         po=scoring.pattern_gap_open, pe=scoring.pattern_gap_ext,
         to=scoring.text_gap_open, te=scoring.text_gap_ext, local=local,
     )
     grid = (Bp // BLK,)
     col = lambda j: (0, j)
+    scratch = [
+        pltpu.VMEM((W, BLK), jnp.int32),
+        pltpu.VMEM((W, BLK), jnp.int32),
+        pltpu.VMEM((W, BLK), jnp.int32),
+        pltpu.VMEM((8, BLK), jnp.int32),
+        pltpu.VMEM((STRIPE * W8, BLK), jnp.int32),
+    ]
+    if S > 1:
+        scratch += [
+            pltpu.VMEM((S * W8, BLK), jnp.int32),
+            pltpu.VMEM((S * W8, BLK), jnp.int32),
+        ]
     score, kbest, ops_rev, n_ops, k_fin, nm, i_end, i_start = pl.pallas_call(
         kern,
         grid=grid,
@@ -522,16 +665,16 @@ def banded_traceback_semiglobal_pallas(
             jax.ShapeDtypeStruct((1, Bp), jnp.int32),
             jax.ShapeDtypeStruct((1, Bp), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((W, BLK), jnp.int32),
-            pltpu.VMEM((W, BLK), jnp.int32),
-            pltpu.VMEM((W, BLK), jnp.int32),
-            pltpu.VMEM((8, BLK), jnp.int32),
-            pltpu.VMEM((Lp * W8, BLK), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            # raise Mosaic's conservative 16 MB scoped-vmem default to the
+            # planned need (+margin); v5e carries 128 MiB VMEM per core
+            vmem_limit_bytes=min(
+                _tb_bytes(M, W, B, BLK, STRIPE, S) + 8 * 2**20, 120 * 2**20),
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=16 * Bp * M * W,
+            flops=(32 if S > 1 else 16) * Bp * M * W,
             bytes_accessed=4 * Bp * (2 * M + TW + MAXS),
             transcendentals=0,
         ),

@@ -131,8 +131,13 @@ def gauge_batch_size(mapper, batch_size: int, max_len: int,
             return batch_size
         except Exception as e:  # noqa: BLE001 - backend-specific OOM types
             msg = str(e)
-            oom = ("RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
-                   or "OOM" in msg)
+            low = msg.lower()
+            # covers RESOURCE_EXHAUSTED (HBM), "Ran out of memory in memory
+            # space vmem" (compile-time scoped-VMEM overflow — the failure
+            # mode that killed round 3's bench), and generic OOM spellings
+            oom = ("RESOURCE_EXHAUSTED" in msg or "out of memory" in low
+                   or "OOM" in msg or "vmem" in low
+                   or "exhausted" in low)
             if not oom or batch_size <= floor:
                 raise
             batch_size //= 2

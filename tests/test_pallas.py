@@ -182,3 +182,97 @@ def test_fused_traceback_max_read_len_512(rng):
         got = cigar_to_string(np.asarray(fast.ops)[b], int(fast.n_ops[b]),
                               reverse=True)
         assert want == got, b
+
+
+def test_fused_traceback_checkpointed_stripes(rng):
+    """Checkpointed (striped) traceback — the TPU re-design of the
+    reference's CHECKPOINTS-spaced direction submatrices
+    (nvbio/alignment/alignment.h:544-671) — must be bit-exact vs the
+    single-plane kernel AND the generic scan walk, for semiglobal and
+    local modes, across stripe heights that do and don't divide L."""
+    from nvbio_tpu.align.pallas_kernels import (
+        banded_traceback_semiglobal_pallas,
+    )
+    from nvbio_tpu.align.traceback import (
+        batch_traceback_banded,
+        cigar_to_string,
+    )
+    from nvbio_tpu.align.types import LOCAL
+
+    B, M, W = 24, 72, 9
+    TW = M + W - 1
+    pats = rng.integers(0, 4, size=(B, M)).astype(np.int32)
+    txts = rng.integers(0, 4, size=(B, TW)).astype(np.int32)
+    for b in range(0, B, 2):  # real alignments, some with indels
+        t = txts[b, 4:4 + M].copy()
+        if b % 4 == 0:
+            t = np.concatenate([t[:30], t[32:], t[-2:]])  # 2bp indel
+        pats[b] = t[:M]
+        mut = rng.integers(0, M, 3)
+        pats[b, mut] = (pats[b, mut] + 1) % 4
+    plens = rng.integers(M // 2, M + 1, size=B).astype(np.int32)
+    tlens = np.full(B, TW, np.int32)
+
+    for local in (False, True):
+        sc = GotohScoring(2, -3, -5, -2, -5, -2) if local else SC
+        base = banded_traceback_semiglobal_pallas(
+            jnp.asarray(pats), jnp.asarray(plens), jnp.asarray(txts),
+            jnp.asarray(tlens), sc, W, interpret=True, local=local,
+            stripe=M)  # single stripe == the unstriped kernel
+        for st in (16, 24, 48):  # 16/24 divide Lp=72 unevenly/evenly
+            got = banded_traceback_semiglobal_pallas(
+                jnp.asarray(pats), jnp.asarray(plens), jnp.asarray(txts),
+                jnp.asarray(tlens), sc, W, interpret=True, local=local,
+                stripe=st)
+            for a, g, nm_ in zip(base, got,
+                                 ("score", "kbest", "ops", "nops", "kfin",
+                                  "nm", "iend", "istart")):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(g),
+                    err_msg=f"local={local} stripe={st} field={nm_}")
+        # cross-check the striped result against the generic scan walk
+        aligner = GotohAligner(LOCAL if local else SEMI_GLOBAL, sc)
+        ref = batch_traceback_banded(
+            jnp.asarray(pats), jnp.asarray(plens), jnp.asarray(txts),
+            jnp.asarray(tlens), aligner, W)
+        got = banded_traceback_semiglobal_pallas(
+            jnp.asarray(pats), jnp.asarray(plens), jnp.asarray(txts),
+            jnp.asarray(tlens), sc, W, interpret=True, local=local,
+            stripe=24)
+        np.testing.assert_array_equal(np.asarray(ref.score),
+                                      np.asarray(got[0]))
+        n_ops = np.asarray(got[3])
+        for b in range(B):
+            want = cigar_to_string(np.asarray(ref.ops)[b], int(ref.n_ops[b]))
+            have = cigar_to_string(np.asarray(got[2])[b], int(n_ops[b]),
+                                   reverse=True)
+            assert want == have, (local, b, want, have)
+
+
+def test_tb_vmem_plan():
+    """The VMEM planner must (a) keep the L=100 hot path at a full-width
+    single plane, (b) keep the reference's MAX_READ_LEN=512 (defs.h:96)
+    single-plane too (v5e VMEM comfortably holds it once the scoped limit
+    is raised), (c) engage checkpointed striping rather than narrowing the
+    block once the plane outgrows VMEM (L >= ~2k), and (d) never plan past
+    the budget it promises (including double-buffered in/out blocks)."""
+    from nvbio_tpu.align.pallas_kernels import (
+        _ROWS,
+        _TB_VMEM_BUDGET,
+        _round_up,
+        _tb_bytes,
+        _tb_vmem_plan,
+    )
+
+    blk, stripe, s = _tb_vmem_plan(100, 31, 32768, 512)
+    assert s == 1 and blk == 512  # hot path: unchanged single plane
+    for M in (512, 1024):
+        blk, stripe, s = _tb_vmem_plan(M, 31, 4096, 512)
+        assert blk >= 512 and s == 1, (M, blk, s)
+        assert _tb_bytes(M, 31, 4096, blk, stripe, s) <= _TB_VMEM_BUDGET
+    for M in (2048, 4096):
+        blk, stripe, s = _tb_vmem_plan(M, 31, 4096, 512)
+        assert blk >= 512, (M, blk)   # stripe rather than narrow the block
+        assert s > 1 and stripe % _ROWS == 0
+        assert s * stripe >= _round_up(M, _ROWS)
+        assert _tb_bytes(M, 31, 4096, blk, stripe, s) <= _TB_VMEM_BUDGET
