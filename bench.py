@@ -110,12 +110,17 @@ def main():
 
     def build_fm():
         nonlocal fmi_fm
-        from nvbio_tpu.fmi.index import build_fmindex
+        from nvbio_tpu.fmi.index import attach_ftab, build_fmindex
 
         t0 = time.time()
+        # sa_interval=4 halves the locate LF-walk; ftab k=11 jumps the
+        # first 11 backward-search steps (both pure speed, same results)
         fmi_fm = build_fmindex(
-            genome, method="device" if platform == "tpu" else "auto"
+            genome, sa_interval=4,
+            method="device" if platform == "tpu" else "auto",
         ).device()
+        if platform == "tpu":
+            fmi_fm = attach_ftab(fmi_fm, k=11)
         return round(time.time() - t0, 1)
 
     extras["index_build_s"] = leg("fm_build", build_fm)

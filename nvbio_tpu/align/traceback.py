@@ -429,3 +429,70 @@ def batch_traceback_banded_fast(
         text_start=i_start + k_fin,
         text_end=i_end + k0,
     ), nm
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scoring", "interpret", "local"))
+def batch_traceback_full(
+    patterns: jnp.ndarray,
+    pattern_lens: jnp.ndarray,
+    texts: jnp.ndarray,
+    text_lens: jnp.ndarray,
+    scoring,
+    mismatch_scores: jnp.ndarray | None = None,
+    interpret: bool = False,
+    local: bool = False,
+):
+    """FULL-MATRIX traceback: the pattern may align ANYWHERE in the text
+    window with arbitrary indel drift — no band constraint.
+
+    The reference uses this for PE opposite-mate traceback
+    (``nvbio/alignment/alignment.h:353-402`` full-DP traceback, consumed at
+    ``nvBowtie/bowtie2/cuda/aligner_best_approx_paired.h:404-479``). The
+    TPU realization is EXACT, not approximate: a banded traceback with
+    band W = T + M over the text LEFT-PADDED by M never-match symbols
+    covers every monotone path of the full M x T matrix — the band cell
+    (i, k) addresses text j = i-1+k-M, and any path satisfies
+    j in [i-1-M, i-1+T], i.e. k in [0, W). Costs O(M*(T+M)) like the true
+    full matrix; coordinates are un-shifted before returning.
+
+    Returns ``(TracebackResult, nm)`` with ops END->START (the fused-path
+    convention; host formatters reverse).
+    """
+    B, M = patterns.shape
+    T = texts.shape[1]
+    pad = M
+    W = T + pad
+    # never-match pad: symbol 8 differs from every pattern code (<= 4) and
+    # renders as 'N' in MD bytes if a degenerate path ever touches it
+    texts_p = jnp.concatenate(
+        [jnp.full((B, pad), 8, texts.dtype), texts], axis=1)
+    tlens_p = text_lens.astype(jnp.int32) + pad
+
+    tb, nm = batch_traceback_banded_fast(
+        patterns, pattern_lens, texts_p, tlens_p, scoring, W,
+        mismatch_scores, interpret=interpret, local=local)
+    return tb._replace(
+        text_start=tb.text_start - pad,
+        text_end=tb.text_end - pad,
+    ), nm
+
+
+@functools.partial(jax.jit, static_argnames=("aligner",))
+def batch_traceback_full_scan(
+    patterns, pattern_lens, texts, text_lens, aligner,
+    mismatch_scores=None,
+):
+    """Generic-engine (XLA scan) full-matrix traceback — same pad trick as
+    ``batch_traceback_full``, forward-ordered ops (the scan contract)."""
+    B, M = patterns.shape
+    T = texts.shape[1]
+    pad = M
+    W = T + pad
+    texts_p = jnp.concatenate(
+        [jnp.full((B, pad), 8, texts.dtype), texts], axis=1)
+    tlens_p = text_lens.astype(jnp.int32) + pad
+    tb = batch_traceback_banded(patterns, pattern_lens, texts_p, tlens_p,
+                                aligner, W, mismatch_scores)
+    return tb._replace(text_start=tb.text_start - pad,
+                       text_end=tb.text_end - pad)

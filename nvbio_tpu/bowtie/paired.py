@@ -26,6 +26,7 @@ from nvbio_tpu.bowtie.mapq import mapq_v2_end_to_end
 from nvbio_tpu.bowtie.params import MapParams
 from nvbio_tpu.bowtie.pipeline import (
     finalize_best,
+    n_ceil_of,
     read_candidates,
     score_min_of,
 )
@@ -49,8 +50,14 @@ def align_paired_core(
     score_min1 = score_min_of(c1["lens"], P)
     score_min2 = score_min_of(c2["lens"], P)
 
-    s1 = jnp.where(c1["scores"] >= score_min1[:, None], c1["scores"], neg)
-    s2 = jnp.where(c2["scores"] >= score_min2[:, None], c2["scores"], neg)
+    # --n-ceil filter (see pipeline.n_ceil_of): an over-N mate can neither
+    # anchor a pair nor be rescued
+    n_ok1 = n_ceil_of(reads1, c1["lens"], P)
+    n_ok2 = n_ceil_of(reads2, c2["lens"], P)
+    s1 = jnp.where((c1["scores"] >= score_min1[:, None]) & n_ok1[:, None],
+                   c1["scores"], neg)
+    s2 = jnp.where((c2["scores"] >= score_min2[:, None]) & n_ok2[:, None],
+                   c2["scores"], neg)
     C = s1.shape[1]
 
     # ---- concordance matrix (B, C, C) ---------------------------------------
@@ -181,7 +188,8 @@ def align_paired_core(
             m2_rev[:, None], c2["mm_rc"], c2["mm"]
         )
         r2_score, r2_w0 = rescue(a1_w0, a1_st, c1["lens"], other2, c2["lens"], omm2)
-        r2_score = jnp.where(se1_ok & (r2_score >= score_min2), r2_score, neg)
+        r2_score = jnp.where(se1_ok & (r2_score >= score_min2) & n_ok2,
+                             r2_score, neg)
 
         # rescue mate1 from mate2 anchor
         a2_w0 = jnp.take_along_axis(c2["w0"], se2_idx[:, None], axis=1)[:, 0]
@@ -192,7 +200,8 @@ def align_paired_core(
             m1_rev[:, None], c1["mm_rc"], c1["mm"]
         )
         r1_score, r1_w0 = rescue(a2_w0, a2_st, c2["lens"], other1, c1["lens"], omm1)
-        r1_score = jnp.where(se2_ok & (r1_score >= score_min1), r1_score, neg)
+        r1_score = jnp.where(se2_ok & (r1_score >= score_min1) & n_ok1,
+                             r1_score, neg)
 
         resc2 = ~has_pair & se1_ok & (r2_score > neg // 2)
         resc1 = ~has_pair & se2_ok & (r1_score > neg // 2) & ~resc2
@@ -247,13 +256,16 @@ def align_paired_core(
     fin1_score = jnp.where(has_pair, pair1_score, se1_score)
     fin2_score = jnp.where(has_pair, pair2_score, se2_score)
 
-    # finalize via a synthetic 1-candidate view (traceback re-gathers windows)
+    # finalize via a synthetic 1-candidate view (traceback re-gathers
+    # windows); pe_full_traceback switches to the full-matrix mate
+    # traceback (opposite-mate full-DP, aligner_best_approx_paired.h:404)
     def fin_one(c, w0, strand):
         cands = dict(c)
         cands["w0"] = w0[:, None]
         cands["strand"] = strand[:, None]
         return finalize_best(cands, genome_words, n_genome,
-                             jnp.zeros((B,), jnp.int32), P)
+                             jnp.zeros((B,), jnp.int32), P,
+                             full_matrix=P.pe_full_traceback)
 
     fin1 = fin_one(c1, fin1_w0, fin1_st)
     fin2 = fin_one(c2, fin2_w0, fin2_st)
@@ -478,8 +490,12 @@ def align_paired_all(
     c2 = read_candidates(index, genome_words, n_genome, reads2, lens2, quals2, P)
     score_min1 = score_min_of(c1["lens"], P)
     score_min2 = score_min_of(c2["lens"], P)
-    s1 = jnp.where(c1["scores"] >= score_min1[:, None], c1["scores"], neg)
-    s2 = jnp.where(c2["scores"] >= score_min2[:, None], c2["scores"], neg)
+    s1 = jnp.where((c1["scores"] >= score_min1[:, None])
+                   & n_ceil_of(reads1, c1["lens"], P)[:, None],
+                   c1["scores"], neg)
+    s2 = jnp.where((c2["scores"] >= score_min2[:, None])
+                   & n_ceil_of(reads2, c2["lens"], P)[:, None],
+                   c2["scores"], neg)
     C = s1.shape[1]
 
     pdt = c1["w0"].dtype

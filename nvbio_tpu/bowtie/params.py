@@ -44,6 +44,13 @@ class MapParams:
     mm_penalty_min: int = 2
     mm_penalty_max: int = 6
     use_quality_penalties: bool = True
+    # read-N scoring: flat --np penalty (bowtie2 default 1) charged at N
+    # read positions instead of the quality mismatch cost, and the --n-ceil
+    # filter f(L) = const + coeff*L (default L,0,0.15): reads with more Ns
+    # are reported unmapped (the reference's N handling, scoring.h N_penalty)
+    np_penalty: int = 1
+    n_ceil_const: float = 0.0
+    n_ceil_coeff: float = 0.15
     # seeding index: "qgram" (direct-address k-mer table, 2 gathers/seed — the
     # fast path) or "fmi" (FM-index backward search + sampled-SA locate — the
     # compact/bowtie2-faithful path)
@@ -69,6 +76,12 @@ class MapParams:
     # report discordant pairs (both mates unique but not concordant;
     # aligner_best_approx_paired.h:280-286 mark_discordant)
     pe_discordant: bool = True
+    # full-matrix traceback for paired-mate finalization (the reference's
+    # opposite-mate full-DP traceback, aligner_best_approx_paired.h:404-479):
+    # no band constraint inside the mate window, O(L*(T+L)) per mate — off
+    # by default (the banded traceback covers max_dist of drift at ~1/20th
+    # the cost; enable for indel-heavy libraries)
+    pe_full_traceback: bool = False
     # multi-pass reseeding (the reference's `seeding_pass <= max_reseed`
     # loop with a reseed queue of unaligned reads,
     # aligner_best_approx.h:206,274-282). TPU re-expression: still-unaligned

@@ -71,8 +71,13 @@ def lazy_ops_rows(need: np.ndarray, ops_dev) -> dict:
     return dict(zip(rows.tolist(), np.asarray(ops_dev[jnp.asarray(rows)])))
 
 
-def _mm_penalties(quals, params: MapParams):
-    """Bowtie2 quality-dependent mismatch penalty (positive magnitude)."""
+def _mm_penalties(reads, quals, params: MapParams):
+    """Bowtie2 quality-dependent mismatch penalty (positive magnitude).
+
+    Read-N positions (code > 3) charge the flat ``--np`` penalty (bowtie2
+    default 1; the reference's N scoring, ``scoring.h:83-101`` N_penalty)
+    instead of the quality-scaled mismatch cost — an N never matches, so
+    its cost rides entirely in this plane."""
     if not params.use_quality_penalties:
         return None
     q = jnp.minimum(quals.astype(jnp.int32), 40)
@@ -80,7 +85,19 @@ def _mm_penalties(quals, params: MapParams):
     # truncating scale, matching bowtie2's q-to-penalty and the reference's
     # QualCost (scoring.h:83-101 casts the fraction down)
     pen = params.mm_penalty_min + (span * q) // 40
+    pen = jnp.where(reads > 3, jnp.int32(params.np_penalty), pen)
     return pen.astype(jnp.int32)
+
+
+def n_ceil_of(reads, lens, params: MapParams):
+    """bowtie2 ``--n-ceil`` (default L,0,0.15): reads with more Ns than
+    f(len) = const + coeff*len are filtered (reported unmapped)."""
+    L = reads.shape[1]
+    in_len = jnp.arange(L, dtype=jnp.int32)[None, :] < lens[:, None]
+    n_count = jnp.sum(((reads > 3) & in_len).astype(jnp.int32), axis=1)
+    ceil = jnp.floor(params.n_ceil_const
+                     + params.n_ceil_coeff * lens.astype(jnp.float32))
+    return n_count <= ceil.astype(jnp.int32)
 
 
 def score_min_of(lens, params: MapParams):
@@ -225,7 +242,7 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
     rc = 3 - packed.reverse_rows(jnp.minimum(reads, 3), lens, 2)
     rc = jnp.where(
         packed.reverse_rows(n_read.astype(jnp.int32), lens, 1) > 0, 4, rc)
-    pen = _mm_penalties(quals, P)
+    pen = _mm_penalties(reads, quals, P)
     mm = None if pen is None else -pen
     mm_rc = None if pen is None else -packed.reverse_rows(pen, lens, 8)
 
@@ -399,17 +416,20 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
                 pos1 = _iloc(index, lo1, rs1 // 2)      # middle slot
             valid1 = (rs1 > 0) & seed_valid2[:, :, None]
         else:
-            # FM path: search_1mm's (B*NS, s, 3) mutated-seed SA ranges,
+            # FM path: approx-HYBRID 1-mm ranges (mapping.h:66-73 — exact
+            # right subseed, <=1 mismatch in the left half), state-shared
+            # so the mutated searches cost ~5% of independent re-searches;
             # one located slot per nonempty range
-            from nvbio_tpu.fmi.search import search_1mm
+            from nvbio_tpu.fmi.search import search_1mm_hybrid
 
             NSdim = seeds.shape[1]
             slen = P.seed_len
+            n_approx = (slen + 1) // 2
             seeds_f = seeds.reshape(B * NSdim, slen)
             slens_f = jnp.full((B * NSdim,), slen, jnp.int32)
-            _elo, _ehi, mm_lo, mm_hi, _sym = search_1mm(index, seeds_f,
-                                                        slens_f)
-            NM3 = slen * 3
+            _elo, _ehi, mm_lo, mm_hi, _sym = search_1mm_hybrid(
+                index, seeds_f, slens_f, n_approx)
+            NM3 = n_approx * 3
             mm_lo = mm_lo.reshape(B * NSdim * NM3)
             mm_hi = mm_hi.reshape(B * NSdim * NM3)
             rows1 = jnp.clip(mm_lo + (mm_hi - mm_lo) // 2, 0, index.n)
@@ -592,11 +612,16 @@ def _md_pack_entries(tb, bpat, btext):
     return entries, nm
 
 
-def finalize_best(cands, genome_words, n_genome, best_idx, params: MapParams):
+def finalize_best(cands, genome_words, n_genome, best_idx, params: MapParams,
+                  full_matrix: bool = False):
     """Traceback + NM for one chosen candidate per read.
 
     Re-extracts the winning windows from the genome (B windows) and runs the
-    direction-replay banded traceback.
+    direction-replay banded traceback. ``full_matrix=True`` switches to the
+    FULL-MATRIX traceback (no band constraint inside the window) — the
+    reference's PE opposite-mate traceback mode
+    (``aligner_best_approx_paired.h:404-479``); see
+    ``align.traceback.batch_traceback_full``.
     """
     P = params
     W = P.band
@@ -615,16 +640,29 @@ def finalize_best(cands, genome_words, n_genome, best_idx, params: MapParams):
     bmm = None if mm is None else jnp.where(best_strand[:, None], mm_rc, mm)
     local = P.mode == "local"
     if use_pallas_extension(P):
-        from nvbio_tpu.align.traceback import batch_traceback_banded_fast
+        from nvbio_tpu.align.traceback import (
+            batch_traceback_banded_fast,
+            batch_traceback_full,
+        )
 
         # nm comes out of the fused kernel walk (no symbol gathers needed)
-        tb, nm = batch_traceback_banded_fast(
-            bpat, lens, btext, btlen, P.scoring, W, bmm, local=local)
+        if full_matrix:
+            tb, nm = batch_traceback_full(
+                bpat, lens, btext, btlen, P.scoring, bmm, local=local)
+        else:
+            tb, nm = batch_traceback_banded_fast(
+                bpat, lens, btext, btlen, P.scoring, W, bmm, local=local)
     else:
+        from nvbio_tpu.align.traceback import batch_traceback_full_scan
         from nvbio_tpu.align.types import LOCAL
 
         aligner = GotohAligner(LOCAL if local else SEMI_GLOBAL, P.scoring)
-        tb = batch_traceback_banded(bpat, lens, btext, btlen, aligner, W, bmm)
+        if full_matrix:
+            tb = batch_traceback_full_scan(bpat, lens, btext, btlen,
+                                           aligner, bmm)
+        else:
+            tb = batch_traceback_banded(bpat, lens, btext, btlen, aligner,
+                                        W, bmm)
         entries, nm = _md_pack_entries(tb, bpat, btext)
         tb = tb._replace(ops=entries)
 
@@ -685,7 +723,7 @@ def align_batch_all(index, genome_words, n_genome, reads, lens, quals,
 
     score_min = score_min_of(lens, P)
     keep = cands["valid"] & (scores >= score_min[:, None]) & (
-        lens[:, None] >= P.seed_len)
+        lens[:, None] >= P.seed_len) & n_ceil_of(reads, lens, P)[:, None]
     best_idx = jnp.argmax(scores, axis=1).astype(jnp.int32)
     is_best = (jnp.arange(C, dtype=jnp.int32)[None, :] == best_idx[:, None])
 
@@ -836,7 +874,8 @@ def align_batch_core(index, genome_words, n_genome, reads, lens, quals,
                         jnp.zeros((B,), jnp.int32), P)
 
     # ---- mapq + thresholds --------------------------------------------------
-    mapped = (best_score >= score_min) & (lens >= P.seed_len)
+    mapped = (best_score >= score_min) & (lens >= P.seed_len) & \
+        n_ceil_of(reads, lens, P)
     has_second = second_score >= score_min
     if P.mode == "local":
         from nvbio_tpu.bowtie.mapq import mapq_v2_local
@@ -898,8 +937,16 @@ class ReadMapper:
                 method = ("device" if prefer_device_sa(reference.total_length)
                           else "auto")
                 index = build_fmindex(reference.codes, method=method)
+        index = index.device()
+        if (params.seeding == "fmi" and getattr(index, "ftab_k", 0) == 0
+                and jax.default_backend() != "cpu"):
+            # k-mer jump table for backward search (skipped on CPU: the
+            # 4^k-level build is accelerator-speed work)
+            from nvbio_tpu.fmi.index import attach_ftab
+
+            index = attach_ftab(index, k=11)
         return cls(
-            index=index.device(),
+            index=index,
             genome_words=jnp.asarray(reference.packed_words()),
             n_genome=reference.total_length,
             ref_names=reference.names,

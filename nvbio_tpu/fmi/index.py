@@ -38,6 +38,13 @@ class FMIndex:
     ssa_marks: Any        # uint32[ceil((n+1)/32)] bit i => row i is sampled
     ssa_cum: Any          # int32[n_words] exclusive popcount prefix of marks
     ssa_vals: Any         # int32[n_samples] sampled SA values, in row order
+    # optional k-mer interval lookup table (bowtie2's "ftab"; the
+    # reference's seeding also jumps the first steps through an index,
+    # mapping.h:57-163): SA intervals of ALL 4^k patterns, so a backward
+    # search starts k symbols in — build with ``attach_ftab``
+    ftab_k: int = 0
+    ftab_lo: Any = None   # int32[4^k]
+    ftab_hi: Any = None   # int32[4^k]
 
     def device(self) -> "FMIndex":
         import jax.numpy as jnp
@@ -52,6 +59,9 @@ class FMIndex:
             jnp.asarray(self.ssa_marks),
             jnp.asarray(self.ssa_cum),
             jnp.asarray(self.ssa_vals),
+            int(self.ftab_k),
+            None if self.ftab_lo is None else jnp.asarray(self.ftab_lo),
+            None if self.ftab_hi is None else jnp.asarray(self.ftab_hi),
         )
 
     def save(self, path: str) -> None:
@@ -83,14 +93,60 @@ class FMIndex:
 jax.tree_util.register_pytree_node(
     FMIndex,
     lambda f: (
-        (f.bwt_words, f.occ, f.count, f.primary, f.ssa_marks, f.ssa_cum, f.ssa_vals),
-        (f.n, f.sa_interval),
+        (f.bwt_words, f.occ, f.count, f.primary, f.ssa_marks, f.ssa_cum,
+         f.ssa_vals, f.ftab_lo, f.ftab_hi),
+        (f.n, f.sa_interval, f.ftab_k),
     ),
     lambda aux, ch: FMIndex(
         bwt_words=ch[0], occ=ch[1], count=ch[2], primary=ch[3], n=aux[0],
         sa_interval=aux[1], ssa_marks=ch[4], ssa_cum=ch[5], ssa_vals=ch[6],
+        ftab_k=aux[2], ftab_lo=ch[7], ftab_hi=ch[8],
     ),
 )
+
+
+def attach_ftab(fmi: FMIndex, k: int = 11) -> FMIndex:
+    """Fill the k-mer interval table: one jitted backward search of ALL
+    4^k patterns at once (the lane's KEY is its own query — symbol j is
+    bits [2j, 2j+2), consumed low-to-high exactly as backward search
+    consumes the pattern right-to-left). Bit-exact with per-pattern
+    backward search by construction.
+
+    One compile + k dense rank steps over 4^k lanes (k=11: ~2 s on a
+    v5e — a level-by-level build costs k separate remote compiles).
+    Memory: 2 * 4^k int32 (k=11 -> 33.5 MB). Key layout matches the q-gram
+    convention: first (leftmost) pattern symbol in the HIGH bits.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nvbio_tpu.fmi.search import step_backward
+
+    dev = fmi.device()
+
+    @jax.jit
+    def build():
+        keys = jnp.arange(4 ** k, dtype=jnp.int32)
+        lo = jnp.zeros_like(keys)
+        hi = jnp.full_like(keys, dev.n + 1)
+
+        def step(carry, j):
+            lo, hi = carry
+            c = (keys >> (2 * j)) & 3
+            nlo, nhi = step_backward(dev, c, lo, hi)
+            empty = hi <= lo
+            return (jnp.where(empty, lo, nlo),
+                    jnp.where(empty, hi, nhi)), None
+
+        (lo, hi), _ = jax.lax.scan(step, (lo, hi),
+                                   jnp.arange(k, dtype=jnp.int32))
+        ok = hi > lo
+        return jnp.where(ok, lo, 0), jnp.where(ok, hi, 0)
+
+    lo, hi = build()
+    # keep the table on device (fetching 2*4^k ints through the remote
+    # relay, only to re-upload on .device(), would dominate the build)
+    return dataclasses.replace(fmi, ftab_k=k, ftab_lo=lo, ftab_hi=hi)
 
 
 def bwt_from_sa(text_codes: np.ndarray, sa: np.ndarray):

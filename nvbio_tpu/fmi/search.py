@@ -38,24 +38,52 @@ def step_backward(fmi, c, lo, hi):
 
 
 def backward_search_core(fmi, queries, qlens):
-    """Exact match: SA interval [lo, hi) per query ((B, L) left-aligned)."""
+    """Exact match: SA interval [lo, hi) per query ((B, L) left-aligned).
+
+    When the index carries an ftab (``attach_ftab``), queries of length
+    >= ftab_k start from the precomputed interval of their k-symbol SUFFIX
+    (backward search consumes the pattern right-to-left), skipping the
+    first k rank-pair steps — the scan shrinks from L to L - k steps.
+    """
     queries = jnp.asarray(queries, jnp.int32)
     qlens = jnp.asarray(qlens, jnp.int32)
     B, L = queries.shape
-    lo0 = jnp.zeros((B,), jnp.int32)
-    hi0 = jnp.full((B,), fmi.n + 1, jnp.int32)
+
+    k = fmi.ftab_k if fmi.ftab_lo is not None else 0
+    if k and L >= k:
+        use = qlens >= k
+        # fold the k-symbol suffix into a key (leftmost symbol high bits)
+        j0 = jnp.clip(qlens - k, 0, L - k)
+        win = jnp.take_along_axis(
+            queries, j0[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :],
+            axis=1)
+        key = jnp.zeros((B,), jnp.int32)
+        for t in range(k):
+            key = (key << 2) | jnp.minimum(win[:, t], 3)
+        lo0 = jnp.where(use, jnp.take(fmi.ftab_lo, key), 0)
+        hi0 = jnp.where(use, jnp.take(fmi.ftab_hi, key),
+                        jnp.int32(fmi.n + 1))
+        qeff = jnp.where(use, qlens - k, qlens)
+        # non-ftab lanes (len < k) need at most k-1 steps of their own
+        n_steps = max(L - k, min(k - 1, L))
+    else:
+        lo0 = jnp.zeros((B,), jnp.int32)
+        hi0 = jnp.full((B,), fmi.n + 1, jnp.int32)
+        qeff = qlens
+        n_steps = L
 
     def step(carry, s):
         lo, hi = carry
-        j = jnp.clip(qlens - 1 - s, 0, L - 1)
+        j = jnp.clip(qeff - 1 - s, 0, L - 1)
         c = jnp.take_along_axis(queries, j[:, None], axis=1)[:, 0]
         nlo, nhi = step_backward(fmi, c, lo, hi)
-        active = (s < qlens) & (hi > lo)
+        active = (s < qeff) & (hi > lo)
         lo = jnp.where(active, nlo, lo)
         hi = jnp.where(active, nhi, hi)
         return (lo, hi), None
 
-    (lo, hi), _ = jax.lax.scan(step, (lo0, hi0), jnp.arange(L, dtype=jnp.int32))
+    (lo, hi), _ = jax.lax.scan(step, (lo0, hi0),
+                               jnp.arange(n_steps, dtype=jnp.int32))
     return lo, hi
 
 
@@ -128,6 +156,87 @@ def search_1mm(fmi, queries: jnp.ndarray, qlens: jnp.ndarray):
     pvalid = (jnp.arange(L, dtype=jnp.int32)[None, :] < qlens[:, None])[..., None]
     mm_lo = jnp.where(pvalid, lo.reshape(B, L, 3), 0)
     mm_hi = jnp.where(pvalid, hi.reshape(B, L, 3), 0)
+    return exact_lo, exact_hi, mm_lo, mm_hi, mm_sym
+
+
+def search_1mm_hybrid(fmi, queries, qlens, n_approx: int):
+    """Approx-HYBRID 1-mismatch seeding (the reference's map_approx scheme,
+    ``nvBowtie/bowtie2/cuda/mapping.h:66-73``): 0 mismatches in the seed's
+    right subseed, up to 1 mismatch in the LEFT ``n_approx`` positions.
+
+    Shares all search state right of the mutation: ONE exact backward pass
+    records the per-step intervals, each mutation branches from its saved
+    state and only walks its remaining prefix. Rank-pair cost drops from
+    3*L per mutated position (independent searches) to (1 + j), which is
+    what makes 1-mm FM reseeding affordable on the TPU — the mutated
+    patterns' searches are 95% shared.
+
+    Returns (exact_lo, exact_hi, mm_lo, mm_hi, mm_sym), mm_* of shape
+    (B, n_approx, 3) for mutation positions 0..n_approx-1 (from the left).
+    """
+    queries = jnp.asarray(queries, jnp.int32)
+    qlens = jnp.asarray(qlens, jnp.int32)
+    B, L = queries.shape
+    A = min(n_approx, L)
+
+    # exact pass, CAPTURING the pre-step interval at every step: states[s]
+    # = interval of the exact length-s suffix (s = 0 is the full range)
+    lo0 = jnp.zeros((B,), jnp.int32)
+    hi0 = jnp.full((B,), fmi.n + 1, jnp.int32)
+
+    def step(carry, s):
+        lo, hi = carry
+        j = jnp.clip(qlens - 1 - s, 0, L - 1)
+        c = jnp.take_along_axis(queries, j[:, None], axis=1)[:, 0]
+        nlo, nhi = step_backward(fmi, c, lo, hi)
+        # freeze on empty (value-level parity with backward_search_core;
+        # a branch from a frozen empty state stays empty either way)
+        active = (s < qlens) & (hi > lo)
+        nlo = jnp.where(active, nlo, lo)
+        nhi = jnp.where(active, nhi, hi)
+        return (nlo, nhi), (lo, hi)
+
+    (exact_lo, exact_hi), (st_lo, st_hi) = jax.lax.scan(
+        step, (lo0, hi0), jnp.arange(L, dtype=jnp.int32))
+
+    # branch: mutation at position j (< A, from the left) resumes from the
+    # state after t = qlen-1-j steps with the substituted symbol, then
+    # walks the j remaining original symbols
+    jpos = jnp.arange(A, dtype=jnp.int32)                    # (A,)
+    t = jnp.clip(qlens[:, None] - 1 - jpos[None, :], 0, L - 1)  # (B, A)
+    stL = jnp.transpose(st_lo, (1, 0))                       # (B, L)
+    stH = jnp.transpose(st_hi, (1, 0))
+    blo = jnp.take_along_axis(stL, t, axis=1)                # (B, A)
+    bhi = jnp.take_along_axis(stH, t, axis=1)
+    base_sym = jnp.take_along_axis(
+        queries, jnp.minimum(jpos[None, :], L - 1), axis=1)  # (B, A)
+    deltas = jnp.arange(1, 4, dtype=jnp.int32)
+    mm_sym = (base_sym[:, :, None] + deltas[None, None, :]) % 4  # (B, A, 3)
+
+    mlo, mhi = step_backward(
+        fmi, mm_sym, jnp.broadcast_to(blo[:, :, None], (B, A, 3)),
+        jnp.broadcast_to(bhi[:, :, None], (B, A, 3)))
+
+    # continuation: walk the j remaining ORIGINAL symbols (j-1-u at step u)
+    def cstep(carry, u):
+        lo, hi = carry
+        j_idx = jnp.clip(jpos[None, :] - 1 - u, 0, L - 1)    # (1, A)
+        c = jnp.take_along_axis(queries, jnp.broadcast_to(j_idx, (B, A)),
+                                axis=1)                      # (B, A)
+        nlo, nhi = step_backward(
+            fmi, jnp.broadcast_to(c[:, :, None], (B, A, 3)), lo, hi)
+        active = (u < jpos[None, :, None]) & (hi > lo)
+        lo = jnp.where(active, nlo, lo)
+        hi = jnp.where(active, nhi, hi)
+        return (lo, hi), None
+
+    if A > 1:
+        (mlo, mhi), _ = jax.lax.scan(
+            cstep, (mlo, mhi), jnp.arange(A - 1, dtype=jnp.int32))
+
+    pvalid = jpos[None, :, None] < qlens[:, None, None]
+    mm_lo = jnp.where(pvalid, mlo, 0)
+    mm_hi = jnp.where(pvalid, mhi, 0)
     return exact_lo, exact_hi, mm_lo, mm_hi, mm_sym
 
 

@@ -91,6 +91,34 @@ def _paired_step(fmi, genome_words, n_genome, r1, l1, q1, r2, l2, q2, params):
     return res1, res2, pinfo, stats
 
 
+def _all_step(fmi, genome_words, n_genome, reads, lens, quals, params):
+    """Per-shard ALL-mapping step (every above-threshold locus) + stats."""
+    from nvbio_tpu.bowtie.pipeline import align_batch_all
+
+    res = align_batch_all(fmi, genome_words, n_genome, reads, lens, quals,
+                          params)
+    stats = dict(
+        n_reads=jnp.sum((lens > 0).astype(jnp.int32)),
+        n_alignments=jnp.sum(res["keep"].astype(jnp.int32)),
+    )
+    stats = {k: jax.lax.psum(v, READS_AXIS) for k, v in stats.items()}
+    return res, stats
+
+
+def sharded_all_step(mesh: Mesh, params: MapParams):
+    """Jitted SPMD all-mapping step (align_batch_all under shard_map)."""
+    repl = P()
+    shard = P(READS_AXIS)
+    fn = jax.shard_map(
+        functools.partial(_all_step, params=params),
+        mesh=mesh,
+        in_specs=(repl, repl, repl, shard, shard, shard),
+        out_specs=(shard, repl),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def sharded_paired_step(mesh: Mesh, params: MapParams):
     """Jitted SPMD paired-end alignment step over ``mesh`` (both mates'
     batches sharded over READS_AXIS; index replicated; pair stats psum'd)."""

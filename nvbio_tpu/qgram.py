@@ -452,3 +452,141 @@ def index_locate(index, lo, slot):
     if isinstance(index, QGroupIndex):
         return qgroup_locate(index, lo, slot)
     return qgram_locate(index, lo, slot)
+
+
+# ---------------------------------------------------------------------------
+# String-set q-gram index (QGramSetIndexDevice parity, qgram.h:414-662):
+# q-grams extracted from a STRING-SET (e.g. the reads themselves), kept as a
+# sorted unique-key list + slots + (string, pos) coordinate pairs. Memory is
+# O(#qgrams) — no 4^q plane — and queries are O(log unique) via a leading-
+# symbols LUT + a fixed-iteration in-bucket binary search (the TPU form of
+# the reference's lut + lower_bound, qgram.h:558-580). This is the structure
+# for read-vs-read workloads (overlap finding, all-mapping filters) where
+# building a genome-sized direct-address table per batch would be absurd.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class QGramSetIndex:
+    q: int
+    qgrams: Any      # (U,) sorted unique q-gram keys (int32, q <= 15)
+    slots: Any       # (U + 1,) int32: coords of key u live in slots[u:u+1]
+    coord_str: Any   # (N,) int32 string ids, sorted by (key, string, pos)
+    coord_pos: Any   # (N,) int32 in-string positions
+    qlut: int        # leading symbols resolved by the LUT
+    lut: Any         # (4^qlut + 1,) int32 bounds into qgrams
+    max_probe: int   # binary-search iterations covering the widest LUT bin
+
+    def device(self) -> "QGramSetIndex":
+        import jax.numpy as jnp
+
+        return dataclasses.replace(
+            self, qgrams=jnp.asarray(self.qgrams),
+            slots=jnp.asarray(self.slots),
+            coord_str=jnp.asarray(self.coord_str),
+            coord_pos=jnp.asarray(self.coord_pos),
+            lut=jnp.asarray(self.lut))
+
+
+jax.tree_util.register_pytree_node(
+    QGramSetIndex,
+    lambda s: ((s.qgrams, s.slots, s.coord_str, s.coord_pos, s.lut),
+               (s.q, s.qlut, s.max_probe)),
+    lambda aux, ch: QGramSetIndex(
+        q=aux[0], qgrams=ch[0], slots=ch[1], coord_str=ch[2],
+        coord_pos=ch[3], qlut=aux[1], lut=ch[4], max_probe=aux[2]),
+)
+
+
+def build_qgram_set_index(seqs: np.ndarray, lens: np.ndarray, q: int,
+                          stride: int = 1, qlut: int = 8) -> QGramSetIndex:
+    """Host build over a padded (B, Lmax) code matrix + lengths.
+
+    ``stride`` extracts q-grams at every ``stride``-th in-string position
+    (the reference's seed-functor extraction, qgram.h:382-396); windows
+    containing N codes (> 3) are excluded like the string index builder.
+    """
+    if q < 1 or q > 15:
+        raise ValueError("q must be in [1, 15] for int32 keys")
+    seqs = np.asarray(seqs)
+    lens = np.asarray(lens)
+    B, Lm = seqs.shape
+    npos = Lm - q + 1
+    if npos <= 0:
+        raise ValueError("strings shorter than q")
+    qlut = min(qlut, q)
+    keys = np.zeros((B, npos), np.int64)
+    bad = np.zeros((B, npos), bool)
+    for j in range(q):
+        col = seqs[:, j:j + npos].astype(np.int64)
+        bad |= col > 3
+        keys = (keys << 2) | np.minimum(col, 3)
+    in_len = (np.arange(npos, dtype=np.int64)[None, :] + q) <= lens[:, None]
+    valid = ~bad & in_len
+    if stride > 1:
+        keep = np.zeros(npos, bool)
+        keep[::stride] = True
+        valid &= keep[None, :]
+    sid, spos = np.nonzero(valid)
+    kflat = keys[sid, spos].astype(np.int64)
+    order = np.argsort(kflat, kind="stable")  # stable: coords stay
+    kflat = kflat[order]                      # (key, string, pos)-sorted
+    coord_str = sid[order].astype(np.int32)
+    coord_pos = spos[order].astype(np.int32)
+    if len(kflat):
+        new = np.concatenate([[True], kflat[1:] != kflat[:-1]])
+        qgrams = kflat[new].astype(np.int32)
+        slots = np.concatenate(
+            [np.flatnonzero(new), [len(kflat)]]).astype(np.int32)
+    else:
+        qgrams = np.zeros(0, np.int32)
+        slots = np.zeros(1, np.int32)
+    shift = 2 * (q - qlut)
+    lut = np.searchsorted(
+        qgrams >> shift, np.arange((1 << (2 * qlut)) + 1),
+        side="left").astype(np.int32)
+    widest = int((lut[1:] - lut[:-1]).max()) if len(qgrams) else 1
+    max_probe = max(1, int(np.ceil(np.log2(max(widest, 1) + 1))))
+    return QGramSetIndex(q=q, qgrams=qgrams, slots=slots,
+                         coord_str=coord_str, coord_pos=coord_pos,
+                         qlut=qlut, lut=lut, max_probe=max_probe)
+
+
+def set_index_range(index: QGramSetIndex, keys):
+    """(lo, hi) coordinate ranges for a batch of q-gram keys (device).
+
+    LUT bounds + a fixed-iteration lower_bound: ``max_probe`` halvings
+    always suffice for the widest LUT bin, so the search is a static
+    unrolled loop of dense gathers — no data-dependent control flow.
+    """
+    import jax.numpy as jnp
+
+    q, qlut = index.q, index.qlut
+    keys = jnp.asarray(keys).astype(jnp.int32)
+    g_lut = (keys >> (2 * (q - qlut))) & ((1 << (2 * qlut)) - 1)
+    lo_b = jnp.take(index.lut, g_lut)
+    hi_b = jnp.take(index.lut, g_lut + 1)
+    U = index.qgrams.shape[0]
+    # lower_bound of key in qgrams[lo_b:hi_b)
+    lo, hi = lo_b, hi_b
+    for _ in range(index.max_probe):
+        mid = (lo + hi) // 2
+        v = jnp.take(index.qgrams, jnp.clip(mid, 0, max(U - 1, 0)))
+        go_right = v < keys
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    i = jnp.clip(lo, 0, max(U - 1, 0))
+    found = (lo < hi_b) & (jnp.take(index.qgrams, i) == keys) & (U > 0)
+    rlo = jnp.where(found, jnp.take(index.slots, i), 0)
+    rhi = jnp.where(found, jnp.take(index.slots, i + 1), 0)
+    return rlo, rhi
+
+
+def set_index_locate(index: QGramSetIndex, slot):
+    """(string_id, pos) coordinate of occurrence ``slot`` (the reference's
+    uint2 coord, qgram.h:491)."""
+    import jax.numpy as jnp
+
+    n = index.coord_pos.shape[0]
+    s = jnp.clip(jnp.asarray(slot), 0, max(n - 1, 0))
+    return jnp.take(index.coord_str, s), jnp.take(index.coord_pos, s)

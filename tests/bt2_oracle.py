@@ -29,10 +29,17 @@ import re
 import numpy as np
 
 # Bowtie2 end-to-end defaults (bowtie2 manual: --mp MX,MN; --rdg / --rfg
-# 5,3 => open = 5 + first-extend 3 = 8, extend = 3; --score-min L,-0.6,-0.6)
+# 5,3 => open = 5 + first-extend 3 = 8, extend = 3; --score-min L,-0.6,-0.6;
+# --np 1 flat penalty at read-N positions; --n-ceil L,0,0.15)
 MX, MN = 6, 2
+NP = 1
 GAP_OPEN, GAP_EXT = 8, 3
 NEG = -(1 << 30)
+
+
+def n_ceil(read_len: int, *, const=0.0, coeff=0.15) -> int:
+    """bowtie2 --n-ceil: max read Ns before the read is filtered."""
+    return int(const + coeff * read_len)
 
 _COMP = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
 _CODE = {"A": 0, "C": 1, "G": 2, "T": 3}
@@ -53,15 +60,19 @@ def score_min(read_len: int, *, const=-0.6, coeff=-0.6, log=False) -> int:
 
 
 def revcomp_codes(codes: np.ndarray) -> np.ndarray:
-    return (3 - np.asarray(codes))[::-1]
+    c = np.asarray(codes)
+    return np.where(c > 3, c, 3 - c)[::-1]  # N (code 4) complements to N
 
 
 def _sub_scores(read: np.ndarray, quals: np.ndarray, match_bonus: int):
-    """(L, 4) substitution score table: +bonus on match, -pen(q) else."""
+    """(L, 4) substitution score table: +bonus on match, -pen(q) else;
+    read-N rows (code > 3) never match and charge the flat --np penalty."""
     L = len(read)
     pen = np.array([mm_penalty(q) for q in quals], np.int64)
+    pen = np.where(np.asarray(read) > 3, NP, pen)
     tab = np.full((L, 4), 0, np.int64) - pen[:, None]
-    tab[np.arange(L), read] = match_bonus
+    acgt = np.asarray(read) < 4
+    tab[np.flatnonzero(acgt), np.asarray(read)[acgt]] = match_bonus
     return tab
 
 
@@ -172,13 +183,15 @@ def rescore_record(genome_str: str, rec, *, match_bonus=0):
     quals = [ord(c) - 33 for c in rec.qual] if rec.qual != "*" else None
 
     def qp(k):
+        if seq[k] == "N":
+            return NP  # flat --np penalty at read-N positions
         return mm_penalty(quals[k]) if quals is not None else MX
 
     for cnt, op in ops:
         cnt = int(cnt)
         if op in ("M", "=", "X"):
             for _ in range(cnt):
-                if seq[r] == genome_str[g]:
+                if seq[r] == genome_str[g] and seq[r] != "N":
                     score += match_bonus
                     run += 1
                 else:

@@ -200,3 +200,85 @@ def test_per_position_mismatch_scores(rng):
                 H[i, k] = max(H[i-1, k] + s, E[i, k], F[i, k])
         want = H[plen].max()
         assert got[b] == want
+
+
+def test_full_matrix_traceback(rng):
+    """Full-matrix traceback (batch_traceback_full / _scan): scores must
+    equal the wavefront full-matrix scorer, the CIGAR must re-walk to the
+    score, and a 25 bp deletion far outside any practical band must be
+    recovered exactly."""
+    import jax.numpy as jnp
+
+    from nvbio_tpu.align.batch import batch_score_full
+    from nvbio_tpu.align.traceback import (
+        batch_traceback_full,
+        batch_traceback_full_scan,
+        cigar_to_string,
+    )
+    from nvbio_tpu.align.types import SEMI_GLOBAL, GotohAligner, GotohScoring
+
+    sc = GotohScoring(match=0, mismatch=-3, pattern_gap_open=-5,
+                      pattern_gap_ext=-1, text_gap_open=-5, text_gap_ext=-1)
+    B, M, T = 16, 70, 150
+    texts = rng.integers(0, 4, size=(B, T)).astype(np.int32)
+    pats = np.zeros((B, M), np.int32)
+    for b in range(B):
+        if b % 2 == 0:     # 25 bp deletion: way outside a +-15 band
+            # 35 matched bases on each side make the deletion strictly
+            # cheaper than clipping a flank via pattern gaps
+            seg = np.concatenate([texts[b, 10:10 + 35],
+                                  texts[b, 70:70 + M - 35]])
+        else:              # plain offset alignment with 2 mismatches
+            seg = texts[b, 30:30 + M].copy()
+            seg[5] = (seg[5] + 1) % 4
+            seg[40] = (seg[40] + 2) % 4
+        pats[b] = seg[:M]
+    plens = np.full(B, M, np.int32)
+    tlens = np.full(B, T, np.int32)
+
+    aligner = GotohAligner(SEMI_GLOBAL, sc)
+    want = batch_score_full(jnp.asarray(pats), jnp.asarray(plens),
+                            jnp.asarray(texts), jnp.asarray(tlens), aligner)
+    tb = batch_traceback_full_scan(
+        jnp.asarray(pats), jnp.asarray(plens), jnp.asarray(texts),
+        jnp.asarray(tlens), aligner)
+    np.testing.assert_array_equal(np.asarray(tb.score), np.asarray(want.score))
+
+    fast, nm = batch_traceback_full(
+        jnp.asarray(pats), jnp.asarray(plens), jnp.asarray(texts),
+        jnp.asarray(tlens), sc, interpret=True)
+    np.testing.assert_array_equal(np.asarray(fast.score),
+                                  np.asarray(want.score))
+    for b in range(B):
+        wantc = cigar_to_string(np.asarray(tb.ops)[b], int(tb.n_ops[b]))
+        got = cigar_to_string(np.asarray(fast.ops)[b], int(fast.n_ops[b]),
+                              reverse=True)
+        assert wantc == got, (b, wantc, got)
+        if b % 2 == 0:
+            assert "25D" in got, (b, got)  # the big deletion is recovered
+        # the walked path re-scores to the reported score
+        ts = int(np.asarray(fast.text_start)[b])
+        assert 0 <= ts < T
+        score = 0
+        p, t = int(np.asarray(fast.pattern_start)[b]), ts
+        ops = np.asarray(fast.ops)[b][:int(fast.n_ops[b])][::-1] & 3
+        i = 0
+        while i < len(ops):
+            j = i
+            while j < len(ops) and ops[j] == ops[i]:
+                j += 1
+            run = j - i
+            if ops[i] == 1:
+                for _ in range(run):
+                    score += (sc.match if pats[b, p] == texts[b, t]
+                              else sc.mismatch)
+                    p += 1
+                    t += 1
+            elif ops[i] == 2:
+                score += sc.pattern_gap_open + sc.pattern_gap_ext * (run - 1)
+                p += run
+            else:
+                score += sc.text_gap_open + sc.text_gap_ext * (run - 1)
+                t += run
+            i = j
+        assert score == int(np.asarray(fast.score)[b]), b

@@ -307,3 +307,135 @@ def test_shard_fmindex_parallel_jobs(rng):
               "ssa_cum", "ssa_vals"):
         np.testing.assert_array_equal(
             np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f)
+
+
+def test_ftab_backward_search(rng):
+    """ftab-jumped backward search must be bit-identical to the plain scan
+    (mixed lengths: above, at, and below ftab_k)."""
+    from nvbio_tpu.fmi.index import attach_ftab
+
+    text = rng.integers(0, 4, size=3000).astype(np.uint8)
+    fmi = build_fmindex(text).device()
+    fmi_ft = attach_ftab(fmi, k=5)
+
+    B, L = 64, 14
+    qs = []
+    for b in range(B):
+        p = int(rng.integers(0, len(text) - L))
+        q = text[p:p + L].astype(np.int32).copy()
+        if b % 3 == 0:  # some non-matching
+            q[int(rng.integers(0, L))] ^= 1
+        qs.append(q)
+    queries = jnp.asarray(np.stack(qs))
+    qlens = jnp.asarray(
+        rng.integers(3, L + 1, size=B).astype(np.int32))  # some < k
+
+    lo0, hi0 = backward_search(fmi, queries, qlens)
+    lo1, hi1 = backward_search(fmi_ft, queries, qlens)
+    # sizes everywhere; values where non-empty (empty intervals freeze at
+    # different garbage values in the two paths — callers mask on size)
+    s0 = np.asarray(hi0 - lo0)
+    np.testing.assert_array_equal(s0, np.asarray(hi1 - lo1))
+    nz = s0 > 0
+    assert nz.sum() > 0
+    np.testing.assert_array_equal(np.asarray(lo0)[nz], np.asarray(lo1)[nz])
+    np.testing.assert_array_equal(np.asarray(hi0)[nz], np.asarray(hi1)[nz])
+
+
+def test_search_1mm_hybrid_vs_full(rng):
+    """The hybrid (state-shared) 1-mm ranges must equal the independent
+    full re-searches restricted to the approximate positions."""
+    import jax
+
+    from nvbio_tpu.fmi.search import search_1mm, search_1mm_hybrid
+
+    text = rng.integers(0, 4, size=4000).astype(np.uint8)
+    fmi = build_fmindex(text).device()
+    B, L = 48, 16
+    A = 8
+    qs = []
+    for b in range(B):
+        p = int(rng.integers(0, len(text) - L))
+        q = text[p:p + L].astype(np.int32).copy()
+        if b % 2 == 0:  # plant a SNP in the approximate half
+            q[int(rng.integers(0, A))] = (q[int(rng.integers(0, A))] + 1) % 4
+        qs.append(q)
+    queries = jnp.asarray(np.stack(qs))
+    qlens = jnp.full((B,), L, jnp.int32)
+
+    e_lo, e_hi, f_lo, f_hi, f_sym = jax.jit(search_1mm)(fmi, queries, qlens)
+    he_lo, he_hi, h_lo, h_hi, h_sym = jax.jit(
+        search_1mm_hybrid, static_argnames=("n_approx",))(
+        fmi, queries, qlens, n_approx=A)
+    np.testing.assert_array_equal(np.asarray(e_lo), np.asarray(he_lo))
+    np.testing.assert_array_equal(np.asarray(e_hi), np.asarray(he_hi))
+    np.testing.assert_array_equal(np.asarray(f_sym)[:, :A], np.asarray(h_sym))
+    # range SIZES must agree everywhere; (lo, hi) values only where the
+    # range is non-empty (empty intervals freeze at different garbage in
+    # the two formulations — callers mask on size > 0)
+    fs = np.asarray(f_hi - f_lo)[:, :A]
+    hs = np.asarray(h_hi - h_lo)
+    np.testing.assert_array_equal(fs, hs)
+    nz = fs > 0
+    np.testing.assert_array_equal(np.asarray(f_lo)[:, :A][nz],
+                                  np.asarray(h_lo)[nz])
+    np.testing.assert_array_equal(np.asarray(f_hi)[:, :A][nz],
+                                  np.asarray(h_hi)[nz])
+    # at least some planted SNPs must be recovered through a mutated range
+    assert nz.sum() > 0
+
+
+def test_ftab_with_hybrid_and_variable_lens(rng):
+    """ftab + hybrid compose; variable qlens keep exact parity."""
+    from nvbio_tpu.fmi.index import attach_ftab
+    from nvbio_tpu.fmi.search import search_1mm, search_1mm_hybrid
+    import jax
+
+    text = rng.integers(0, 4, size=2500).astype(np.uint8)
+    fmi = build_fmindex(text).device()
+    fmi_ft = attach_ftab(fmi, k=4)
+    B, L, A = 32, 12, 6
+    queries = jnp.asarray(
+        rng.integers(0, 4, size=(B, L)).astype(np.int32))
+    qlens = jnp.asarray(rng.integers(A, L + 1, size=B).astype(np.int32))
+    e0, eh0, l0, h0, _ = jax.jit(search_1mm)(fmi, queries, qlens)
+    e1, eh1, l1, h1, _ = jax.jit(
+        search_1mm_hybrid, static_argnames=("n_approx",))(
+        fmi_ft, queries, qlens, n_approx=A)
+    # exact interval: sizes everywhere, values where non-empty (the ftab
+    # start makes empty intervals freeze at different garbage)
+    s0 = np.asarray(eh0 - e0)
+    np.testing.assert_array_equal(s0, np.asarray(eh1 - e1))
+    nz0 = s0 > 0
+    np.testing.assert_array_equal(np.asarray(e0)[nz0], np.asarray(e1)[nz0])
+    fs = np.asarray(h0 - l0)[:, :A]
+    hs = np.asarray(h1 - l1)
+    np.testing.assert_array_equal(fs, hs)
+    nz = fs > 0
+    np.testing.assert_array_equal(np.asarray(l0)[:, :A][nz],
+                                  np.asarray(l1)[nz])
+
+
+def test_device_sa_tie_paths(rng):
+    """The tie-compacted doubling (group-start ranks, subset resolution)
+    and the full-plane fallback must both match SA-IS bit-for-bit on
+    repeat-heavy and pathological run texts."""
+    from nvbio_tpu.index.device_sa import suffix_array_device
+    from nvbio_tpu.index.sa import suffix_array
+
+    unit = rng.integers(0, 4, size=37).astype(np.uint8)
+    cases = {
+        # tandem + dispersed copies: thousands of long ties (compact path)
+        "repeats": np.concatenate([
+            np.tile(unit, 200), rng.integers(0, 4, 20_000).astype(np.uint8),
+            np.tile(unit, 60)]),
+        # homopolymer runs: ties overflow any subset (fallback path)
+        "runs": np.concatenate([
+            np.zeros(30_000, np.uint8), np.ones(15_000, np.uint8),
+            rng.integers(0, 4, size=2_000).astype(np.uint8)]),
+        "all_same": np.zeros(20_000, np.uint8),
+    }
+    for name, t in cases.items():
+        got = suffix_array_device(t)
+        want = suffix_array(t)
+        assert np.array_equal(got, want), name

@@ -26,18 +26,23 @@ def _ref_span(cigar: str) -> int:
 
 
 def _check_se_record(rec, codes, genome_str, genome_codes, *, mode="end-to-end",
-                     match_bonus=0, min_s=None):
+                     match_bonus=0, min_s=None, quals=None):
     """Full independent validation of one primary SE record."""
     if min_s is None:
         min_s = oracle.score_min(len(codes))
-    opt = oracle.best_alignments(genome_codes, codes,
-                                 np.full(len(codes), 30),
+    if quals is None:
+        quals = np.full(len(codes), 30)
+    # --n-ceil: over-N reads are filtered regardless of score
+    filtered = int(np.sum(np.asarray(codes) > 3)) > oracle.n_ceil(len(codes))
+    opt = oracle.best_alignments(genome_codes, codes, quals,
                                  mode=mode, match_bonus=match_bonus)
     if rec.flag & 0x4:
-        assert opt["best"] < min_s, (
+        assert filtered or opt["best"] < min_s, (
             f"{rec.qname}: reported unmapped but an alignment scoring "
             f"{opt['best']} >= {min_s} exists")
         return
+    assert not filtered, (
+        f"{rec.qname}: mapped but exceeds the --n-ceil N filter")
     assert opt["best"] >= min_s, (
         f"{rec.qname}: mapped with no above-threshold alignment "
         f"(exhaustive best {opt['best']} < {min_s})")
@@ -235,3 +240,235 @@ def test_local_mode_against_oracle(mapped_se):
     for rec, codes in zip(recs, rows):
         _check_se_record(rec, codes, gstr, gcodes, mode="local",
                          match_bonus=2, min_s=min_s)
+
+
+def _map_rows(ref, rows, names, params=None, quals=None):
+    from nvbio_tpu.bowtie import MapParams, ReadMapper
+    from nvbio_tpu.io.fastq import ReadBatch
+
+    Lr = rows[0].shape[0]
+    batch = ReadBatch(
+        names=names, codes=np.stack(rows),
+        quals=(quals if quals is not None
+               else np.full((len(rows), Lr), 30, np.uint8)),
+        lengths=np.full(len(rows), Lr, np.int32))
+    mapper = ReadMapper.build(ref, params or MapParams(max_read_len=Lr))
+    return [r for r in mapper.map_batch(batch) if not (r.flag & 0x100)]
+
+
+def test_end_indels_against_oracle(mapped_se):
+    """Indels at the read ENDS (the band's weakest region): deletions and
+    insertions within a few bases of either end must still produce
+    exhaustively-optimal, correctly re-scoring records."""
+    ref, _se, _r, gstr, gcodes = mapped_se
+    rng = np.random.default_rng(0xE7D5)
+    n = len(gcodes)
+    rows, names = [], []
+    for i in range(24):
+        p = int(rng.integers(0, n - L - 8))
+        r = gcodes[p:p + L + 6].astype(np.uint8).copy()
+        d = int(rng.integers(1, 4))          # 1-3 bp event
+        kind = i % 4
+        if kind == 0:                        # deletion near the start
+            at = int(rng.integers(2, 6))
+            r = np.delete(r, np.arange(at, at + d))
+        elif kind == 1:                      # deletion near the end
+            at = int(rng.integers(L - 6, L - 2))
+            r = np.delete(r, np.arange(at, at + d))
+        elif kind == 2:                      # insertion near the start
+            at = int(rng.integers(2, 6))
+            r = np.insert(r, at, (r[at:at + d] + 2) % 4)
+        else:                                # insertion near the end
+            at = int(rng.integers(L - 6, L - 2))
+            r = np.insert(r, at, (r[at:at + d] + 2) % 4)
+        r = r[:L]
+        if rng.random() < 0.5:
+            r = oracle.revcomp_codes(r).astype(np.uint8)
+        rows.append(r)
+        names.append(f"endindel{i}")
+    recs = _map_rows(ref, rows, names)
+    for rec, codes in zip(recs, rows):
+        _check_se_record(rec, codes, gstr, gcodes)
+
+
+@pytest.fixture(scope="module")
+def repeat_ref():
+    """Genome with an exact 3 kbp duplicated family (two copies, 50 kbp
+    apart) and a diverged third copy (2% substitutions)."""
+    from nvbio_tpu.alphabet import codes_to_string
+    from nvbio_tpu.io.reference import Reference
+
+    rng = np.random.default_rng(0x5E9D)
+    g = rng.integers(0, 4, size=120_000, dtype=np.uint8)
+    seg = g[30_000:33_000].copy()
+    g[80_000:83_000] = seg                      # exact copy
+    div = seg.copy()
+    mut = rng.integers(0, len(div), size=60)
+    div[mut] = (div[mut] + rng.integers(1, 4, size=60)) % 4
+    g[55_000:58_000] = div                      # 2%-diverged copy
+    ref = Reference.from_records([("rep1", codes_to_string(g))])
+    return ref, codes_to_string(g), g
+
+
+def test_repeat_family_ties_against_oracle(repeat_ref):
+    """Reads inside an EXACT repeat family: the optimum is tied across
+    copies, so MAPQ must collapse to 0/1 (the oracle's V2 model decides
+    exactly which) and XS must equal AS. A positional candidate cap that
+    silently drops the twin locus would inflate MAPQ here."""
+    ref, gstr, gcodes = repeat_ref
+    rng = np.random.default_rng(1)
+    rows, names = [], []
+    for i in range(12):
+        p = 30_000 + int(rng.integers(0, 3000 - L))
+        r = gcodes[p:p + L].astype(np.uint8).copy()
+        if i % 3 == 1:                       # 1 mismatch still ties
+            j = int(rng.integers(0, L))
+            r[j] = (r[j] + 1) % 4
+        if i % 2:
+            r = oracle.revcomp_codes(r).astype(np.uint8)
+        rows.append(r)
+        names.append(f"rep{i}")
+    recs = _map_rows(ref, rows, names)
+    for rec, codes in zip(recs, rows):
+        _check_se_record(rec, codes, gstr, gcodes)
+        assert not rec.flag & 0x4, rec.qname
+        assert rec.mapq <= 1, (rec.qname, rec.mapq, "tied loci must not "
+                               "get a confident MAPQ")
+        assert rec.tags.get("XS") == rec.tags["AS"], rec.qname
+
+
+def test_n_runs_against_oracle(mapped_se):
+    """Read-N handling: Ns charge the flat --np=1 penalty (not the quality
+    mismatch cost), and reads over the --n-ceil (0.15*L) are filtered."""
+    ref, _se, _r, gstr, gcodes = mapped_se
+    rng = np.random.default_rng(2)
+    n = len(gcodes)
+    rows, names = [], []
+    for i, n_count in enumerate((1, 5, 12, 15, 16, 40)):
+        p = 3000 + 9000 * i
+        r = gcodes[p:p + L].astype(np.uint8).copy()
+        at = int(rng.integers(10, L - n_count - 10))
+        r[at:at + n_count] = 4               # an N run
+        if i % 2:
+            r = oracle.revcomp_codes(r).astype(np.uint8)
+        rows.append(r)
+        names.append(f"nrun{n_count}")
+    recs = _map_rows(ref, rows, names)
+    ceil = oracle.n_ceil(L)
+    for rec, codes in zip(recs, rows):
+        n_count = int(np.sum(codes > 3))
+        _check_se_record(rec, codes, gstr, gcodes)
+        if n_count <= ceil:
+            # np=1 each: even 15 Ns only cost -15, far above score-min
+            assert not rec.flag & 0x4, (rec.qname, "should map: Ns cost "
+                                        "--np=1 each")
+            assert rec.tags["AS"] == -n_count, (rec.qname, rec.tags["AS"])
+        else:
+            assert rec.flag & 0x4, (rec.qname, "over n-ceil must be "
+                                    "filtered")
+
+
+def test_quality_extremes_against_oracle(mapped_se):
+    """Mismatch penalties at quality extremes: q=0 charges MN=2, q>=40
+    charges MX=6; AS/MAPQ must track the per-position quality plane."""
+    ref, _se, _r, gstr, gcodes = mapped_se
+    rng = np.random.default_rng(3)
+    n = len(gcodes)
+    rows, names, quals = [], [], []
+    for i in range(12):
+        p = int(rng.integers(0, n - L))
+        r = gcodes[p:p + L].astype(np.uint8).copy()
+        q = np.full(L, 30, np.uint8)
+        nm = int(rng.integers(1, 4))
+        for j in rng.integers(0, L, size=nm):
+            r[j] = (r[j] + int(rng.integers(1, 4))) % 4
+            q[j] = 0 if i % 2 else 40        # extreme quality AT the error
+        # background quality also varies
+        q[rng.integers(0, L, size=10)] = rng.integers(0, 42, size=10)
+        rows.append(r)
+        quals.append(q)
+        names.append(f"qx{i}")
+    recs = _map_rows(ref, rows, names,
+                     quals=np.stack(quals).astype(np.uint8))
+    for rec, codes, q in zip(recs, rows, quals):
+        _check_se_record(rec, codes, gstr, gcodes, quals=q)
+
+
+def test_score_min_functions_against_oracle(mapped_se):
+    """A custom linear score-min (L,-1,-0.2): reads right at the threshold
+    boundary must map/unmap exactly as the oracle's function decides."""
+    from nvbio_tpu.bowtie import MapParams
+
+    ref, _se, _r, gstr, gcodes = mapped_se
+    rng = np.random.default_rng(4)
+    n = len(gcodes)
+    rows, names = [], []
+    # q30 mismatch penalty is 5 => 4 mismatches = -20 (maps at min=-21),
+    # 5 mismatches = -25 (must not map)
+    for i, nm in enumerate((0, 3, 4, 5, 6)):
+        p = 2000 + 11000 * i
+        r = gcodes[p:p + L].astype(np.uint8).copy()
+        for j in range(nm):
+            at = 5 + 17 * j
+            r[at] = (r[at] + 1) % 4
+        rows.append(r)
+        names.append(f"smin{nm}")
+    params = MapParams(max_read_len=L, score_min_const=-1.0,
+                       score_min_coeff=-0.2)
+    recs = _map_rows(ref, rows, names, params=params)
+    min_s = oracle.score_min(L, const=-1.0, coeff=-0.2)
+    for rec, codes in zip(recs, rows):
+        _check_se_record(rec, codes, gstr, gcodes, min_s=min_s)
+    assert not recs[0].flag & 0x4 and not recs[2].flag & 0x4
+    assert recs[3].flag & 0x4 and recs[4].flag & 0x4
+
+
+def test_pe_mate_in_repeat(repeat_ref):
+    """PE with one mate inside the exact repeat family: the unique mate
+    must anchor the pair to the CONCORDANT copy (YT:Z:CP, proper-pair
+    geometry), even though the repeat mate's SE evidence is tied."""
+    from nvbio_tpu.bowtie import MapParams, ReadMapper
+    from nvbio_tpu.bowtie.paired import map_pair_batch
+    from nvbio_tpu.io.fastq import ReadBatch
+
+    ref, gstr, gcodes = repeat_ref
+    rng = np.random.default_rng(5)
+    m1, m2, names = [], [], []
+    for i in range(6):
+        # mate1 unique (just left of the first copy), mate2 inside the
+        # repeat; fragment ~ 300
+        frag = 280 + 10 * i
+        p = 30_000 - 150 + 60 * i            # straddles the copy boundary
+        m1.append(gcodes[p:p + L].astype(np.uint8).copy())
+        m2.append(oracle.revcomp_codes(
+            gcodes[p + frag - L:p + frag]).astype(np.uint8).copy())
+        names.append(f"per{i}")
+    params = MapParams(max_read_len=L)
+    mapper = ReadMapper.build(ref, params)
+    quals = np.full((6, L), 30, np.uint8)
+    lens = np.full(6, L, np.int32)
+    b1 = ReadBatch(names=names, codes=np.stack(m1), quals=quals, lengths=lens)
+    b2 = ReadBatch(names=names, codes=np.stack(m2), quals=quals, lengths=lens)
+    recs = [r for r in map_pair_batch(mapper, b1, b2)
+            if not (r.flag & 0x100)]
+    by = {}
+    for r in recs:
+        by.setdefault(r.qname, []).append(r)
+    for i, name in enumerate(names):
+        r1 = next(r for r in by[name] if r.flag & 0x40)
+        r2 = next(r for r in by[name] if r.flag & 0x80)
+        assert not (r1.flag | r2.flag) & 0x4, name
+        assert r1.tags["YT"] == "CP", (name, r1.tags["YT"])
+        assert r1.flag & 0x2 and r2.flag & 0x2, name
+        # the pair must sit at the FIRST copy (mate1's unique locus)
+        p = 30_000 - 150 + 60 * i
+        assert abs(r1.pos - 1 - p) <= 2, (name, r1.pos, p)
+        frag = 280 + 10 * i
+        want2 = p + frag - L
+        assert abs(r2.pos - 1 - want2) <= 2, (name, r2.pos, want2)
+        # geometry: concordant under fr within [minins, maxins]
+        proper = oracle.is_proper_fr(
+            r1.pos, r1.pos + _ref_span(r1.cigar) - 1,
+            r2.pos, r2.pos + _ref_span(r2.cigar) - 1,
+            params.minins, params.maxins)
+        assert proper, name
