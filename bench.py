@@ -112,16 +112,30 @@ def main():
         nonlocal fmi_fm
         from nvbio_tpu.fmi.index import attach_ftab, build_fmindex
 
-        t0 = time.time()
-        # sa_interval=4 halves the locate LF-walk; ftab k=11 jumps the
-        # first 11 backward-search steps (both pure speed, same results)
-        fmi_fm = build_fmindex(
-            genome, sa_interval=4,
-            method="device" if platform == "tpu" else "auto",
-        ).device()
-        if platform == "tpu":
-            fmi_fm = attach_ftab(fmi_fm, k=11)
-        return round(time.time() - t0, 1)
+        def once():
+            # sa_interval=4 halves the locate LF-walk; ftab k=11 jumps the
+            # first 11 backward-search steps (both pure speed, same
+            # results)
+            t0 = time.time()
+            idx = build_fmindex(
+                genome, sa_interval=4,
+                method="device" if platform == "tpu" else "auto",
+            ).device()
+            if platform == "tpu":
+                idx = attach_ftab(idx, k=11)
+                import numpy as _np
+
+                _np.asarray(idx.ftab_lo[:1])  # sync
+            return idx, round(time.time() - t0, 1)
+
+        fmi_fm, first_s = once()
+        extras["index_build_first_s"] = first_s
+        if platform != "tpu":
+            return first_s
+        # steady state (the first call is jit-compile dominated on the
+        # remote relay: 10-300 s of service-load-dependent compiles)
+        fmi_fm, steady_s = once()
+        return steady_s
 
     extras["index_build_s"] = leg("fm_build", build_fm)
 

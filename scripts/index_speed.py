@@ -49,6 +49,15 @@ def main():
         with open(artifact, "w") as f:
             json.dump(out, f, indent=1)
 
+    if os.environ.get("SKIP_SINGLE"):
+        # sharded-only run (e.g. the 3.1 Gbp point): skip the single-slice
+        # legs so the record is pure
+        genome = None
+        _run_sharded(out, flush)
+        flush()
+        print(json.dumps(out))
+        return
+
     # --- device-only suffix sort --------------------------------------------
     t0 = time.time()
     c1p = _c1p_of(genome)
@@ -110,31 +119,39 @@ def main():
     flush()
 
     # --- sharded device build (multi-Gbp form) ------------------------------
-    # SHARDS=D: build a D-slice sharded FM-index with every slice's sort on
-    # the device (the whole-human path: 3.1 Gbp = 8 device sorts of ~390
-    # Mbp; one compile serves all slices since shapes match). Set e.g.
-    # GENOME_BP=3100000000 SHARDS=8.
-    D = int(os.environ.get("SHARDS", 0))
-    if D:
-        del genome
-        from nvbio_tpu.fmi.sharded import shard_fmindex
-
-        NB = int(os.environ.get("SHARD_GENOME_BP", GENOME))
-        big = np.empty(NB, np.uint8)
-        rng2 = np.random.default_rng(7)
-        for s in range(0, NB, 1 << 28):
-            e = min(s + (1 << 28), NB)
-            big[s:e] = rng2.integers(0, 4, size=e - s, dtype=np.uint8)
-        t0 = time.time()
-        sidx = shard_fmindex(big, D, overlap=256, method="device")
-        dt = time.time() - t0
-        out["sharded_genome_bp"] = NB
-        out["sharded_device_build_s"] = round(dt, 1)
-        out["sharded_msuffixes_per_s"] = round(NB / dt / 1e6, 1)
-        del sidx
-
+    del genome
+    _run_sharded(out, flush)
     flush()
     print(json.dumps(out))
+
+
+def _run_sharded(out, flush):
+    """SHARDS=D: build a D-slice sharded FM-index with every slice's sort
+    on the device (the whole-human path: 3.1 Gbp = 8 device sorts of ~390
+    Mbp; one compile serves all slices since shapes match). Set e.g.
+    SHARD_GENOME_BP=3100000000 SHARDS=8."""
+    import time as _t
+
+    D = int(os.environ.get("SHARDS", 0))
+    if not D:
+        return
+    from nvbio_tpu.fmi.sharded import shard_fmindex
+
+    NB = int(os.environ.get("SHARD_GENOME_BP",
+                            int(os.environ.get("GENOME_BP", 100_000_000))))
+    big = np.empty(NB, np.uint8)
+    rng2 = np.random.default_rng(7)
+    for s in range(0, NB, 1 << 28):
+        e = min(s + (1 << 28), NB)
+        big[s:e] = rng2.integers(0, 4, size=e - s, dtype=np.uint8)
+    t0 = _t.time()
+    sidx = shard_fmindex(big, D, overlap=256, method="device")
+    dt = _t.time() - t0
+    out["shards"] = D
+    out["sharded_genome_bp"] = NB
+    out["sharded_device_build_s"] = round(dt, 1)
+    out["sharded_msuffixes_per_s"] = round(NB / dt / 1e6, 1)
+    del sidx
 
 
 if __name__ == "__main__":
