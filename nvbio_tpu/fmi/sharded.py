@@ -85,7 +85,7 @@ def _build_slice_worker(arg):
 
 def shard_fmindex(codes: np.ndarray, n_shards: int,
                   overlap: int = 256, method: str = "auto",
-                  jobs: int = 1) -> ShardedFMIndex:
+                  jobs: int = 1, resident: bool = False) -> ShardedFMIndex:
     """Build D equal-shape per-slice FM-indexes.
 
     Every slice covers [d * slice_len, d * slice_len + slice_len + overlap)
@@ -123,6 +123,27 @@ def shard_fmindex(codes: np.ndarray, n_shards: int,
         with mp.get_context("spawn").Pool(min(jobs, n_shards)) as pool:
             subs = pool.map(_build_slice_worker,
                             [(sl, method) for sl in slices])
+    elif resident and method == "device":
+        # DEVICE-RESIDENT slices: planes never touch the host (the serving
+        # form — on a pod each of D chips builds ITS slice locally like
+        # this, so the whole-genome build's wall-clock is ONE slice's; on
+        # one chip the D builds serialize but still skip the plane
+        # downloads that dominate on a remote relay)
+        import jax.numpy as jnp
+
+        from nvbio_tpu.index.device_sa import build_fmindex_device
+
+        subs = [build_fmindex_device(sl, to_host=False) for sl in slices]
+        stack = lambda f: jnp.stack([getattr(x, f) for x in subs])
+        return ShardedFMIndex(
+            n_shards=n_shards, slice_len=slice_len, overlap=overlap, n=n,
+            sa_interval=subs[0].sa_interval,
+            bwt_words=stack("bwt_words"), occ=stack("occ"),
+            count=stack("count"),
+            primary=jnp.asarray([x.primary for x in subs], jnp.int32),
+            ssa_marks=stack("ssa_marks"), ssa_cum=stack("ssa_cum"),
+            ssa_vals=stack("ssa_vals"),
+        )
     else:
         subs = [build_fmindex(sl, method=method) for sl in slices]
     stack = lambda f: np.stack([np.asarray(getattr(x, f)) for x in subs])

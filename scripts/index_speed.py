@@ -144,10 +144,15 @@ def _run_sharded(out, flush):
     for s in range(0, NB, 1 << 28):
         e = min(s + (1 << 28), NB)
         big[s:e] = rng2.integers(0, 4, size=e - s, dtype=np.uint8)
+    resident = bool(os.environ.get("RESIDENT"))
     t0 = _t.time()
-    sidx = shard_fmindex(big, D, overlap=256, method="device")
+    sidx = shard_fmindex(big, D, overlap=256, method="device",
+                         resident=resident)
+    if resident:  # sync: planes are device arrays
+        np.asarray(sidx.bwt_words[-1, :1])
     dt = _t.time() - t0
     out["shards"] = D
+    out["resident"] = resident
     out["sharded_genome_bp"] = NB
     out["sharded_device_build_s"] = round(dt, 1)
     out["sharded_msuffixes_per_s"] = round(NB / dt / 1e6, 1)

@@ -76,3 +76,20 @@ def test_shard_qgram_index_partition():
         total.append(np.asarray(sidx.positions[d, :n_local]))
     got = np.concatenate(total)
     np.testing.assert_array_equal(got, np.asarray(index.positions))
+
+
+def test_shard_fmindex_resident_parity(rng):
+    """Device-RESIDENT sharded build (planes never fetched; the pod
+    serving form) must equal the host-fetched build bit-for-bit."""
+    import numpy as np
+
+    from nvbio_tpu.fmi.sharded import shard_fmindex
+
+    g = rng.integers(0, 4, size=120_000, dtype=np.uint8)
+    a = shard_fmindex(g, 4, overlap=64, method="device", resident=True)
+    b = shard_fmindex(g, 4, overlap=64, method="device")
+    for f in ("bwt_words", "occ", "count", "primary", "ssa_marks",
+              "ssa_cum", "ssa_vals"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+            err_msg=f)
