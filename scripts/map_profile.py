@@ -41,6 +41,11 @@ def main():
     n = jnp.int32(G)
     L = 100
 
+    def _flush(out):
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               os.pardir, "MAP_PROFILE.json"), "w") as f:
+            json.dump(out, f, indent=1)
+
     def t(f, *a, reps=4):
         r = f(*a)
         leaf = jax.tree_util.tree_leaves(r)[0]
@@ -65,21 +70,27 @@ def main():
 
         # full default (reseed on)
         f_full = jax.jit(functools.partial(align_batch_core, params=params))
+        print(f"B={B} default...", flush=True)
         dt = t(f_full, idx, gwords, n, *args)
         out[f"default_B{B}_s"] = round(dt, 4)
         out[f"default_B{B}_rps"] = round(B / dt, 0)
+        _flush(out)
 
         # single-pass
         p0 = dataclasses.replace(params, max_reseed=0)
         f_sp = jax.jit(functools.partial(align_batch_core, params=p0))
+        print(f"B={B} single...", flush=True)
         dt = t(f_sp, idx, gwords, n, *args)
         out[f"single_B{B}_s"] = round(dt, 4)
         out[f"single_B{B}_rps"] = round(B / dt, 0)
+        _flush(out)
 
         # candidates only (seed + locate + dedup + extension scores)
         f_c = jax.jit(functools.partial(read_candidates, params=p0))
+        print(f"B={B} candidates...", flush=True)
         dt = t(f_c, idx, gwords, n, *args)
         out[f"candidates_B{B}_s"] = round(dt, 4)
+        _flush(out)
 
         # candidates + finalize (adds the fused traceback)
         def cand_fin(idx, gwords, n, reads, lens, quals, params):
@@ -89,6 +100,7 @@ def main():
                                  params)
 
         f_cf = jax.jit(functools.partial(cand_fin, params=p0))
+        print(f"B={B} cand+finalize...", flush=True)
         dt = t(f_cf, idx, gwords, n, *args)
         out[f"cand_finalize_B{B}_s"] = round(dt, 4)
 
