@@ -99,6 +99,16 @@ class MapParams:
     # mapping.h:132-163). Reads whose every exact seed covers a SNP become
     # mappable through the mutated-key buckets.
     seeding_1mm: bool = True
+    # unique-locus extension slots kept per strand half after the dedup
+    # vote tournament (0 = auto: min(2*hits_per_seed, seeds*hits)). The
+    # slots are evidence-ranked, so capping trades extension work for tail
+    # sensitivity: measured on 100 Mbp (SLOT_STATS.json, 1%-error reads)
+    # the winning slot ranks 0 in 99.7% of reads on uniform genomes; on a
+    # 40%-repeat genome cap 8 keeps 99.15% of cap-12's 99.30% single-pass
+    # sensitivity (the reseed pass recovers reads that fall under
+    # score_min). nvBowtie's analogue is max-effort/trys bail-out
+    # (reduce.h:45-64) — effort capped by evidence rank, not time.
+    dedup_slots: int = 0
     # pass-0 whole-read exact matching on the FM path: before seeded
     # mapping, backward-search the ENTIRE read (both strands) and feed any
     # exact locus in as a guaranteed candidate — the reference's first
@@ -160,6 +170,13 @@ class MapParams:
         return 2 * self.seeds_per_strand  # both strands
 
     @property
+    def nch(self) -> int:
+        """Dedup slots per strand half (evidence-ranked, see dedup_slots)."""
+        auto = min(self.hits_per_seed * 2,
+                   self.seeds_per_strand * self.hits_per_seed)
+        return min(self.dedup_slots, auto) if self.dedup_slots else auto
+
+    @property
     def num_candidates(self) -> int:
         """Unique-locus extension slots after dedup (per read, both strands)."""
-        return 2 * min(self.hits_per_seed * 2, self.seeds_per_strand * self.hits_per_seed)
+        return 2 * self.nch

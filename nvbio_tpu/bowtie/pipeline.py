@@ -316,9 +316,17 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
                 & seed_valid2[:, :, None]
             )
             # stratified slot sampling across wide ranges, jittered per seed
-            # (see qgram.stratified_offsets)
-            off = stratified_offsets(range_size, H, 2 * S1)
-            pos = index_locate(index, lo[:, :, None], off)  # (B,2S1,H)
+            from nvbio_tpu.qgram import QGramIndex as _QGI
+
+            if isinstance(index, _QGI):
+                # 2 row-gathers/seed instead of H flat gathers (16 ns each
+                # on TPU): see qgram.stratified_locate_rows
+                from nvbio_tpu.qgram import stratified_locate_rows
+
+                pos = stratified_locate_rows(index, lo, range_size, H, 2 * S1)
+            else:  # QGroup index: per-slot locate (different slot layout)
+                off = stratified_offsets(range_size, H, 2 * S1)
+                pos = index_locate(index, lo[:, :, None], off)  # (B,2S1,H)
     else:
         # FM-index backward search + bounded LF locate
         seeds_flat = seeds.reshape(B * 2 * S1, P.seed_len)
@@ -491,7 +499,7 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
     # (the reference scores every selected hit; most hits of a well-mapped
     # read land on one locus — dedup slashes extension work ~3x at fixed
     # shapes. Candidates within 2*max_dist collapse to their leftmost start.)
-    NCH = min(P.hits_per_seed * 2, CH)
+    NCH = min(P.nch, CH)
     tol = 2 * P.max_dist
 
     def dedup_half(w0h, validh):

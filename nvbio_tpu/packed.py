@@ -123,15 +123,80 @@ def extract_window(words, start, win_len: int, bits: int, xp=None):
     return gather_symbols(words, idx, bits)
 
 
+def gather_word_runs(words, word0, n_words: int):
+    """wds[..., k] = words[word0[...] + k] for k < n_words, gather-cheap.
+
+    TPU gathers cost ~15 ns per INDEX regardless of slice width — a
+    tile-aligned (1, 128)-word row costs the same as one scalar (measured:
+    GATHER_MICRO.json, flat_M 35.6 ms vs tilerow_M 28.6 ms for 2.36M
+    indices). So instead of ``n_words + 1`` per-word gathers per window,
+    fetch ONE covering 128-word row from a stride-overlapped row table
+    (stride = 128 - n_words guarantees containment) and align in-register
+    with two levels of static-slice variants (coarse 16-word, fine 1-word)
+    — all dense VPU selects. Out-of-range tails read zeros (callers mask
+    by window length). Requires 1 <= n_words <= 120.
+    """
+    import jax.numpy as jnp
+
+    if n_words > 120:  # very wide windows: two half-width runs, stacked
+        half = (n_words + 1) // 2
+        lo = gather_word_runs(words, word0, half)
+        hi = gather_word_runs(words, word0 + half, n_words - half)
+        import jax.numpy as jnp
+
+        return jnp.concatenate([lo, hi], axis=-1)
+    stride = 128 - n_words
+    Nw = words.shape[0]
+    R = max(1, (Nw - 1) // stride + 1)
+    # strided overlapping rows: row r = words[stride*r : stride*r + 128],
+    # assembled from ceil(128/stride) shifted copies of the stride-chunked
+    # base (a row spans multiple chunks when n_words > stride)
+    wp = jnp.pad(words, (0, R * stride - Nw))
+    base = wp.reshape(R, stride)
+    n_chunks = (128 + stride - 1) // stride
+    base_ext = jnp.concatenate(
+        [base, jnp.zeros((n_chunks, stride), words.dtype)], axis=0)
+    rows = jnp.concatenate(
+        [base_ext[i: i + R] for i in range(n_chunks)], axis=1)[:, :128]
+
+    shape = word0.shape
+    w0f = jnp.clip(word0.reshape(-1), 0, Nw - 1).astype(jnp.int32)
+    r = w0f // stride
+    col = w0f - r * stride                                 # [0, stride)
+    got = jnp.take(rows, r, axis=0)                        # (Q, 128)
+
+    # coarse align: 16-word granularity static variants
+    n_var = (stride - 1) // 16 + 1
+    CW = n_words + 15
+    pad = max(0, 16 * (n_var - 1) + CW - 128)
+    if pad:
+        got = jnp.pad(got, ((0, 0), (0, pad)))
+    ch = col // 16
+    acc = got[:, :CW]
+    for h in range(1, n_var):
+        acc = jnp.where((ch == h)[:, None], got[:, 16 * h: 16 * h + CW], acc)
+    # fine align: 1-word granularity
+    cl = col % 16
+    out = acc[:, :n_words]
+    for low in range(1, 16):
+        out = jnp.where((cl == low)[:, None],
+                        acc[:, low: low + n_words], out)
+    # out-of-range reads are zeros (clean semantics for the recursive
+    # wide-window split; callers mask by window length anyway)
+    k = jnp.arange(n_words, dtype=jnp.int32)
+    out = jnp.where(word0.reshape(-1)[:, None] + k[None, :] < Nw,
+                    out, jnp.zeros((), words.dtype))
+    return out.reshape(*shape, n_words)
+
+
 def extract_window_aligned(words, start, win_len: int, bits: int):
     """Gather-efficient batched window extraction (jnp only).
 
-    Instead of one gather per symbol (``extract_window``), gathers only the
-    covering *words* (16 symbols each at 2 bits) and bit-aligns them with a
-    funnel shift, so a 116-symbol window costs ~9 word-gathers + vector bit
-    ops instead of 116 element-gathers. This is the TPU analogue of the
-    reference's word-aligned vectorized string loads
-    (``nvbio/strings/vectorized_string.h``).
+    Gathers one covering 128-word row per window (``gather_word_runs``)
+    and bit-aligns with a funnel shift, so a 116-symbol window costs ~1
+    row-gather + vector bit ops instead of 116 element-gathers. This is
+    the TPU analogue of the reference's word-aligned vectorized string
+    loads (``nvbio/strings/vectorized_string.h``).
 
     start: (B,) int32; returns (B, win_len) int32 symbol codes.
     """
@@ -145,8 +210,7 @@ def extract_window_aligned(words, start, win_len: int, bits: int):
     word0 = (start // spw).astype(jnp.int32)  # word index always < 2^28
     off = (start % spw).astype(jnp.int32)
 
-    widx = word0[:, None] + jnp.arange(n_words_needed, dtype=jnp.int32)[None, :]
-    wds = jnp.take(words, jnp.clip(widx, 0, words.shape[0] - 1), axis=0)  # (B, NW)
+    wds = gather_word_runs(words, word0, n_words_needed)   # (B, NW)
     wds = wds.astype(jnp.uint32)
 
     # funnel shift: align so that symbol `start` sits at bit 0 of word 0
@@ -188,9 +252,9 @@ def extract_window_blocked(words, start_blocked, win_rows: int, bits: int):
     word0 = (start // spw).astype(jnp.int32)
     off = (start % spw).astype(jnp.int32)
 
-    widx = word0[:, None] + jnp.arange(n_words, dtype=jnp.int32)[None, :, None, None]
-    wds = jnp.take(words, jnp.clip(widx, 0, words.shape[0] - 1),
-                   axis=0).astype(jnp.uint32)          # (G, NW, 8, 128)
+    # one row-gather per window + in-register align (see gather_word_runs)
+    wds = gather_word_runs(words, word0, n_words)       # (G, 8, 128, NW)
+    wds = wds.transpose(0, 3, 1, 2).astype(jnp.uint32)  # (G, NW, 8, 128)
 
     sh = (off * bits).astype(jnp.uint32)[:, None]
     lo = wds[:, :-1] >> sh

@@ -441,6 +441,53 @@ def stratified_offsets(range_size, H: int, NS: int):
     )
 
 
+def stratified_locate_rows(index: QGramIndex, lo, rsz, H: int, NS: int):
+    """Stratified H-slot locate via 2 tile-row gathers per seed.
+
+    Flat per-slot gathers cost ~15 ns per INDEX on TPU and a (1, 128)
+    tile-aligned row costs the same as one scalar (GATHER_MICRO.json), so
+    instead of H position gathers per seed this fetches the two covering
+    128-entry position rows (2 indexes) and picks the H slots with a dense
+    in-register one-hot reduction. Slot choice is bit-identical to
+    ``stratified_offsets`` for bucket ranges <= 128 (the overwhelming
+    case); wider buckets sample a 128-slot window placed at a per-seed
+    depth ``(excess // NS) * seed_index``, so mega-repeat buckets are
+    still covered across a read's seeds. The row table is an exact
+    reshape of ``positions`` — no extra index memory.
+
+    lo/rsz: (B, NS) bucket starts and sizes; returns (B, NS, H) positions.
+    """
+    import jax.numpy as jnp
+
+    pos_t = index.positions
+    Np = pos_t.shape[0]
+    R = (Np + 127) // 128
+    rows = jnp.pad(pos_t, (0, R * 128 - Np)).reshape(R, 128)
+    rdt = lo.dtype
+
+    rsz_c = jnp.minimum(rsz, jnp.asarray(128, rsz.dtype))
+    off = stratified_offsets(rsz_c, H, NS)                 # (B, NS, H) < 128
+    excess = rsz - rsz_c
+    s_idx = jnp.arange(NS, dtype=rdt)
+    shift = (excess // jnp.asarray(NS, rdt)) * s_idx[None, :]
+    base = lo + shift                                      # (B, NS)
+
+    r0 = jnp.minimum((base // 128).astype(jnp.int32), R - 1)
+    col = (base - base // 128 * 128).astype(jnp.int32)     # base % 128
+    r1 = jnp.minimum(r0 + 1, R - 1)
+    Q = base.size
+    g0 = jnp.take(rows, r0.reshape(Q), axis=0)             # (Q, 128)
+    g1 = jnp.take(rows, r1.reshape(Q), axis=0)
+    got = jnp.concatenate([g0, g1], axis=1)                # (Q, 256)
+
+    cols = col.reshape(Q, 1) + off.reshape(Q, H).astype(jnp.int32)
+    lane = jnp.arange(256, dtype=jnp.int32)
+    sel = cols[:, :, None] == lane[None, None, :]
+    pos = jnp.sum(jnp.where(sel, got[:, None, :], jnp.zeros((), rdt)),
+                  axis=-1, dtype=rdt)
+    return pos.reshape(*lo.shape, H)
+
+
 def index_range(index, keys):
     """Range lookup dispatching on index flavor (direct-address or qgroup)."""
     if isinstance(index, QGroupIndex):
