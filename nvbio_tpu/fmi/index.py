@@ -45,10 +45,21 @@ class FMIndex:
     ftab_k: int = 0
     ftab_lo: Any = None   # int32[4^k]
     ftab_hi: Any = None   # int32[4^k]
+    # fused interleaved rank rows (rank.build_rank_table): the hot-path
+    # layout — one (1, 128) uint32 tile-row gather per rank query. Built
+    # lazily by device(); None falls back to the split occ/words path.
+    ranktab: Any = None   # uint32[n//RT_K + 1, 128]
 
     def device(self) -> "FMIndex":
         import jax.numpy as jnp
 
+        if self.ranktab is not None:
+            ranktab = jnp.asarray(self.ranktab)
+        elif rank_mod.want_fused_ranktab():
+            ranktab = rank_mod.build_rank_table_device(
+                jnp.asarray(self.bwt_words), int(self.n))
+        else:
+            ranktab = None
         return FMIndex(
             jnp.asarray(self.bwt_words),
             jnp.asarray(self.occ),
@@ -62,6 +73,7 @@ class FMIndex:
             int(self.ftab_k),
             None if self.ftab_lo is None else jnp.asarray(self.ftab_lo),
             None if self.ftab_hi is None else jnp.asarray(self.ftab_hi),
+            ranktab,
         )
 
     def save(self, path: str) -> None:
@@ -94,13 +106,13 @@ jax.tree_util.register_pytree_node(
     FMIndex,
     lambda f: (
         (f.bwt_words, f.occ, f.count, f.primary, f.ssa_marks, f.ssa_cum,
-         f.ssa_vals, f.ftab_lo, f.ftab_hi),
+         f.ssa_vals, f.ftab_lo, f.ftab_hi, f.ranktab),
         (f.n, f.sa_interval, f.ftab_k),
     ),
     lambda aux, ch: FMIndex(
         bwt_words=ch[0], occ=ch[1], count=ch[2], primary=ch[3], n=aux[0],
         sa_interval=aux[1], ssa_marks=ch[4], ssa_cum=ch[5], ssa_vals=ch[6],
-        ftab_k=aux[2], ftab_lo=ch[7], ftab_hi=ch[8],
+        ftab_k=aux[2], ftab_lo=ch[7], ftab_hi=ch[8], ranktab=ch[9],
     ),
 )
 

@@ -22,12 +22,23 @@ import jax
 import jax.numpy as jnp
 
 from nvbio_tpu import packed
-from nvbio_tpu.fmi.rank import rank, rank_all
+from nvbio_tpu.fmi.rank import (
+    rank,
+    rank_all,
+    rank_all_fused,
+    rank_fused,
+    symbol_and_rank_fused,
+)
 
 
 def _occ(fmi, c, i):
-    """Occ(c, i) over the virtual full BWT (sentinel skipped)."""
+    """Occ(c, i) over the virtual full BWT (sentinel skipped).
+
+    Uses the fused interleaved rank rows when the index carries them
+    (one tile-row gather per query); falls back to the split layout."""
     adj = i - (i > fmi.primary).astype(i.dtype)
+    if fmi.ranktab is not None:
+        return rank_fused(fmi.ranktab, c, adj)
     return rank(fmi.bwt_words, fmi.occ, c, adj)
 
 
@@ -116,8 +127,14 @@ def locate_core(fmi, rows):
         pos = jnp.where(hit, val + t, pos)
         done = done | hit
         adj = i - (i > primary).astype(jnp.int32)
-        c = packed.gather_symbols(fmi.bwt_words, jnp.clip(adj, 0, n_syms - 1), 2)
-        nxt = jnp.take(fmi.count, c) + rank(fmi.bwt_words, fmi.occ, c, adj)
+        if fmi.ranktab is not None:
+            # LF step from ONE fused-row gather (symbol + rank together)
+            c, rk = symbol_and_rank_fused(fmi.ranktab, adj)
+        else:
+            c = packed.gather_symbols(
+                fmi.bwt_words, jnp.clip(adj, 0, n_syms - 1), 2)
+            rk = rank(fmi.bwt_words, fmi.occ, c, adj)
+        nxt = jnp.take(fmi.count, c) + rk
         i = jnp.where(done, i, nxt)
         return i, pos, done
 
@@ -248,8 +265,12 @@ def extend_backward_all(fmi, lo, hi):
     """
     adj_lo = lo - (lo > fmi.primary).astype(lo.dtype)
     adj_hi = hi - (hi > fmi.primary).astype(hi.dtype)
-    occ_lo = rank_all(fmi.bwt_words, fmi.occ, adj_lo)
-    occ_hi = rank_all(fmi.bwt_words, fmi.occ, adj_hi)
+    if fmi.ranktab is not None:
+        occ_lo = rank_all_fused(fmi.ranktab, adj_lo)
+        occ_hi = rank_all_fused(fmi.ranktab, adj_hi)
+    else:
+        occ_lo = rank_all(fmi.bwt_words, fmi.occ, adj_lo)
+        occ_hi = rank_all(fmi.bwt_words, fmi.occ, adj_hi)
     cnt = fmi.count[:4][None, :] if lo.ndim == 1 else fmi.count[:4]
     return cnt + occ_lo, cnt + occ_hi
 

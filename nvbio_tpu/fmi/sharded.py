@@ -48,17 +48,19 @@ class ShardedFMIndex:
     ssa_marks: Any
     ssa_cum: Any
     ssa_vals: Any
+    ranktab: Any = None    # (D, nb, 128) fused rank rows (rank.py)
 
 
 jax.tree_util.register_pytree_node(
     ShardedFMIndex,
     lambda s: ((s.bwt_words, s.occ, s.count, s.primary, s.ssa_marks,
-                s.ssa_cum, s.ssa_vals),
+                s.ssa_cum, s.ssa_vals, s.ranktab),
                (s.n_shards, s.slice_len, s.overlap, s.n, s.sa_interval)),
     lambda aux, ch: ShardedFMIndex(
         n_shards=aux[0], slice_len=aux[1], overlap=aux[2], n=aux[3],
         sa_interval=aux[4], bwt_words=ch[0], occ=ch[1], count=ch[2],
-        primary=ch[3], ssa_marks=ch[4], ssa_cum=ch[5], ssa_vals=ch[6]),
+        primary=ch[3], ssa_marks=ch[4], ssa_cum=ch[5], ssa_vals=ch[6],
+        ranktab=ch[7]),
 )
 
 
@@ -133,6 +135,9 @@ def shard_fmindex(codes: np.ndarray, n_shards: int,
 
         from nvbio_tpu.index.device_sa import build_fmindex_device
 
+        from nvbio_tpu.fmi.rank import build_rank_table_device
+        from nvbio_tpu.fmi.rank import want_fused_ranktab as _want_rt
+
         subs = [build_fmindex_device(sl, to_host=False) for sl in slices]
         stack = lambda f: jnp.stack([getattr(x, f) for x in subs])
         return ShardedFMIndex(
@@ -143,9 +148,15 @@ def shard_fmindex(codes: np.ndarray, n_shards: int,
             primary=jnp.asarray([x.primary for x in subs], jnp.int32),
             ssa_marks=stack("ssa_marks"), ssa_cum=stack("ssa_cum"),
             ssa_vals=stack("ssa_vals"),
+            ranktab=(jnp.stack([
+                build_rank_table_device(x.bwt_words, x.n)
+                for x in subs]) if _want_rt() else None),
         )
     else:
         subs = [build_fmindex(sl, method=method) for sl in slices]
+    from nvbio_tpu.fmi.rank import build_rank_table
+    from nvbio_tpu.fmi.rank import want_fused_ranktab as _want_rt
+
     stack = lambda f: np.stack([np.asarray(getattr(x, f)) for x in subs])
     return ShardedFMIndex(
         n_shards=n_shards, slice_len=slice_len, overlap=overlap, n=n,
@@ -154,6 +165,10 @@ def shard_fmindex(codes: np.ndarray, n_shards: int,
         primary=np.asarray([x.primary for x in subs], np.int32),
         ssa_marks=stack("ssa_marks"), ssa_cum=stack("ssa_cum"),
         ssa_vals=stack("ssa_vals"),
+        ranktab=(np.stack([
+            build_rank_table(
+                np.asarray(x.bwt_words), x.n, np.asarray(x.occ))
+            for x in subs]) if _want_rt() else None),
     )
 
 
@@ -166,7 +181,8 @@ def place_sharded_fmindex(mesh, sidx: ShardedFMIndex) -> ShardedFMIndex:
         sidx, bwt_words=put(sidx.bwt_words), occ=put(sidx.occ),
         count=put(sidx.count), primary=put(sidx.primary),
         ssa_marks=put(sidx.ssa_marks), ssa_cum=put(sidx.ssa_cum),
-        ssa_vals=put(sidx.ssa_vals))
+        ssa_vals=put(sidx.ssa_vals),
+        ranktab=None if sidx.ranktab is None else put(sidx.ranktab))
 
 
 def _local_fmi(sidx: ShardedFMIndex):
@@ -178,7 +194,8 @@ def _local_fmi(sidx: ShardedFMIndex):
         bwt_words=sidx.bwt_words[0], occ=sidx.occ[0], count=sidx.count[0],
         primary=sidx.primary[0], n=full, sa_interval=sidx.sa_interval,
         ssa_marks=sidx.ssa_marks[0], ssa_cum=sidx.ssa_cum[0],
-        ssa_vals=sidx.ssa_vals[0])
+        ssa_vals=sidx.ssa_vals[0],
+        ranktab=None if sidx.ranktab is None else sidx.ranktab[0])
 
 
 def sharded_fmi_seed_hits(sidx: ShardedFMIndex, seeds, seed_len: int,

@@ -35,6 +35,15 @@ import numpy as np
 OCC_K = 64          # occurrence checkpoint interval (symbols)
 SYM_PER_WORD = 16   # 2-bit packing
 
+# fused interleaved rank rows for the merged plane (the BWTE variant of
+# fmi/rank.py's RT layout, with the dollar-validity bitplane folded in):
+# row b (128 x uint32) = [4 occ counts before b*RT_K] ++ [62 packed words]
+# ++ [62 validity words]. One (1, 128) tile-row gather serves a whole
+# rank-walk query — vs 9 scalar gathers on the split layout (GATHER_MICRO:
+# tile-row gathers cost the same as one element).
+RT_WORDS = 62
+RT_K = RT_WORDS * SYM_PER_WORD  # 992 symbols per fused row
+
 
 def _pack2(vals, nw):
     """(nw*16,) int32 values in 0..3 -> (nw,) uint32, LSB-first."""
@@ -43,49 +52,69 @@ def _pack2(vals, nw):
             << shifts[None, :]).sum(axis=1, dtype=jnp.uint32)
 
 
+_B13 = 13  # symbols per base-5 bootstrap key (5^13 < 2^31)
+
+
+def _unpack_reads(rwords, m: int, L: int):
+    shifts = jnp.arange(SYM_PER_WORD, dtype=jnp.uint32) * 2
+    return ((rwords[:, :, None] >> shifts[None, None, :])
+            & jnp.uint32(3)).reshape(m, -1)[:, :L].astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("m", "L"))
-def _block_planes_device(rwords, s, m: int, L: int):
-    """Block planes derived ON DEVICE from 2-bit packed reads (the only
-    upload): BCR tagged-text suffix array via generic integer-alphabet
-    prefix doubling (rank0 = symbol value — no bootstrap sort needed),
-    then the block BWT/tags/reversed-symbol planes from arithmetic on SA
-    positions (uniform stride P = L+1 makes owner/offset pure div/mod).
+def _block_bootstrap(rwords, m: int, L: int):
+    """Round 0 of the multi-string suffix sort: ONE 3-key sort of all
+    m*(L+1) suffixes by (first 13 symbols, next 13 symbols, owner-if-$-
+    in-window), base-5 digits with $ := 0 and 0-padding past the sentinel.
 
-    Returns (B_bwt uint8 (bn,), B_tags int32, sa int32, revT int32 (L, m)).
+    Correctness of the key scheme (matches the BCR tagged-text order the
+    full-doubling version sorted): comparison between two suffixes stops
+    at the first sentinel, so order = (padded symbol string, owner index
+    at the $-depth). Two suffixes tie on the padded string iff they hit
+    their sentinels at the same depth — and then the owner key decides;
+    suffixes whose $ lies beyond the 26-symbol window can only tie on
+    pure symbols, which the compacted doubling resolves (their
+    continuations eventually reach owner-resolved ranks, so every tied
+    group splits). Same group-start-rank convention as
+    ``device_sa._sa_bootstrap``.
     """
-    spw = 16
-    shifts = jnp.arange(spw, dtype=jnp.uint32) * 2
-    reads = ((rwords[:, :, None] >> shifts[None, None, :])
-             & jnp.uint32(3)).reshape(m, -1)[:, :L].astype(jnp.int32)
-
+    reads = _unpack_reads(rwords, m, L)
     P = L + 1
     bn = m * P
-    # tagged text: symbols as r+m, sentinel of string i as i (BCR order)
-    text = jnp.concatenate(
-        [reads + m, jnp.arange(m, dtype=jnp.int32)[:, None]],
-        axis=1).reshape(bn)
+    plane = jnp.concatenate(
+        [reads + 1, jnp.zeros((m, 1 + 2 * _B13), jnp.int32)], axis=1)
 
-    def body(carry):
-        sa, rank, k, _ = carry
-        rank_pad = jnp.concatenate([rank, jnp.zeros(bn, jnp.int32)])
-        second = jax.lax.dynamic_slice(rank_pad, (k,), (bn,))
-        idx32 = jnp.arange(bn, dtype=jnp.int32)
-        s1, s2, sa = jax.lax.sort((rank, second, idx32), num_keys=2)
-        new_grp = jnp.concatenate([
-            jnp.ones(1, jnp.int32),
-            ((s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])).astype(jnp.int32)])
-        rank_sorted = jnp.cumsum(new_grp).astype(jnp.int32)
-        rank = jnp.zeros(bn, jnp.int32).at[sa].set(rank_sorted)
-        return sa, rank, k * 2, rank_sorted[-1] == bn
+    def b5(start):
+        key = jnp.zeros((m, P), jnp.int32)
+        for j in range(_B13):
+            key = key * 5 + jax.lax.dynamic_slice_in_dim(
+                plane, start + j, P, axis=1)
+        return key.reshape(bn)
 
-    sa, _, _, _ = jax.lax.while_loop(
-        lambda c: ~c[3], body,
-        (jnp.arange(bn, dtype=jnp.int32), text + 1, jnp.int32(1),
-         jnp.bool_(False)))
+    k1 = b5(0)
+    k2 = b5(_B13)
+    o = jnp.arange(P, dtype=jnp.int32)[None, :]
+    owner = jnp.arange(m, dtype=jnp.int32)[:, None]
+    k3 = jnp.where(o > L - 2 * _B13, owner, -1).reshape(bn)
+    idx = jnp.arange(bn, dtype=jnp.int32)
+    s1, s2, s3, sa = jax.lax.sort((k1, k2, k3, idx), num_keys=3)
+    new_grp = jnp.concatenate([
+        jnp.ones(1, bool),
+        (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1]) | (s3[1:] != s3[:-1])])
+    rank_sorted = jax.lax.cummax(jnp.where(new_grp, idx, 0))
+    run_end = jnp.concatenate([new_grp[1:], jnp.ones(1, bool)])
+    tied = ~(new_grp & run_end)
+    n_tied = jnp.sum(tied.astype(jnp.int32))
+    return sa, rank_sorted, tied, n_tied == 0, n_tied
 
-    owner = sa // P
-    off = sa % P
-    at_start = off == 0
+
+@functools.partial(jax.jit, static_argnames=("m", "L"))
+def _block_finish(rwords, sa, s, m: int, L: int):
+    """Block BWT/tags/reversed-symbol planes from SA positions (uniform
+    stride P = L+1 makes owner/offset pure div/mod)."""
+    reads = _unpack_reads(rwords, m, L)
+    P = L + 1
+    at_start = (sa % P) == 0
     pm1 = jnp.maximum(sa - 1, 0)
     prev_is_sent = (pm1 % P) == L
     prev_owner = pm1 // P
@@ -94,10 +123,40 @@ def _block_planes_device(rwords, s, m: int, L: int):
         prev_owner * L + jnp.minimum(pm1 % P, L - 1))
     is_dollar = at_start | prev_is_sent
     B_bwt = jnp.where(is_dollar, 0, prev_sym + 1).astype(jnp.uint8)
-    B_tags = jnp.where(at_start, owner,
+    B_tags = jnp.where(at_start, sa // P,
                        jnp.where(prev_is_sent, prev_owner, -1))
     B_tags = jnp.where(B_tags >= 0, B_tags + s, -1).astype(jnp.int32)
     revT = (reads[:, ::-1] + 1).T
+    return B_bwt, B_tags, revT
+
+
+def _block_planes_device(rwords, s, m: int, L: int):
+    """Block planes derived ON DEVICE from 2-bit packed reads (the only
+    upload): multi-string BCR suffix order via a 26-symbol 3-key
+    bootstrap sort + tie-COMPACTED prefix doubling (the scheme that took
+    the single-string device sort to 67 Msuffixes/s — the generic
+    integer-alphabet doubling this replaces paid ~7 full-plane sort
+    rounds per block), then the BWT/tags planes from div/mod arithmetic.
+
+    Returns (B_bwt uint8 (bn,), B_tags int32, sa int32, revT int32 (L, m)).
+    """
+    from nvbio_tpu.index.device_sa import (
+        _TIE_CAP,
+        _inv_rank,
+        _sa_doubling,
+        _sa_tie_doubling,
+    )
+
+    bn = m * (L + 1)
+    sa, rank_sorted, tied, done, n_tied = _block_bootstrap(rwords, m, L)
+    if not bool(done):  # host branch on two scalar fetches (device_sa.py)
+        rank = _inv_rank(sa, rank_sorted)
+        C = min(_TIE_CAP, bn)
+        if int(n_tied) <= C:
+            sa = _sa_tie_doubling(sa, rank, tied, bn, C)
+        else:
+            sa = _sa_doubling(sa, rank, bn)
+    B_bwt, B_tags, revT = _block_finish(rwords, sa, s, m, L)
     return B_bwt, B_tags, sa, revT
 
 
@@ -119,42 +178,56 @@ def _bwte_device_step(M, dpos, dtags, n, s, B_bwt, B_tags, sa, revT, L: int):
     words = _pack2(jnp.where(valid, sym, 0), nw)
     vbits = _pack2(valid.astype(jnp.int32), nw)   # 01 per valid lane
 
-    # occ checkpoints every OCC_K symbols (masked counts, int32)
-    nb = CAP // OCC_K
-    symb = jnp.where(valid, sym, -1).reshape(nb, OCC_K)
-    per_block = jnp.stack(
-        [(symb == c).sum(axis=1, dtype=jnp.int32) for c in range(4)],
-        axis=-1)
-    OCC = jnp.concatenate(
-        [jnp.zeros((1, 4), jnp.int32), jnp.cumsum(per_block, axis=0)])
-    counts = OCC[nb]                                   # totals over M
+    # fused interleaved rank rows over the merged plane: per-word masked
+    # symbol counts -> per-row sums -> exclusive cumsum, then
+    # [occ4 | words | vbits] rows. Rebuilt once per block (dense, cheap);
+    # each rank-walk query then costs ONE tile-row gather.
+    nbf = CAP // RT_K + 1
+    nwp = nbf * RT_WORDS
+    wpad = jnp.zeros((nwp,), jnp.uint32).at[:nw].set(words).reshape(
+        nbf, RT_WORDS)
+    vpad = jnp.zeros((nwp,), jnp.uint32).at[:nw].set(vbits).reshape(
+        nbf, RT_WORDS)
+    csr = jnp.arange(4, dtype=jnp.uint32)
+    xall = wpad[:, None, :] ^ (csr[None, :, None] * jnp.uint32(0x55555555))
+    nzall = (xall | (xall >> 1)) & jnp.uint32(0x55555555)
+    per_row = jax.lax.population_count(
+        (~nzall & jnp.uint32(0x55555555)) & vpad[:, None, :]
+    ).astype(jnp.int32).sum(axis=-1)                   # (nbf, 4)
+    OCCF = jnp.concatenate(
+        [jnp.zeros((1, 4), jnp.int32),
+         jnp.cumsum(per_row[:-1], axis=0, dtype=jnp.int32)], axis=0)
+    ranktab = jnp.concatenate(
+        [OCCF.astype(jnp.uint32), wpad, vpad], axis=1)  # (nbf, 128)
+    counts = OCCF[-1] + per_row[-1]                    # totals over M
     C = jnp.concatenate([jnp.zeros(1, jnp.int32),
                          s + jnp.concatenate(
                              [jnp.zeros(1, jnp.int32),
                               jnp.cumsum(counts[:-1])])])
     # C[c] for c in 1..4 = s + counts of smaller symbols; C[0] unused
 
-    karange = jnp.arange(SYM_PER_WORD, dtype=jnp.uint32)
-
     def occ_m(cs, rs):
-        """# of occurrences of symbol cs (1..4) in M[0:rs), batched (m,)."""
-        blk = rs // OCC_K
-        base = jnp.take(OCC.reshape(-1), blk * 4 + (cs - 1))
-        rem = rs - blk * OCC_K
-        w = jnp.arange(4, dtype=jnp.int32)
-        widx = blk[:, None] * 4 + w[None, :]
-        ws = jnp.take(words, jnp.clip(widx, 0, nw - 1))
-        vs = jnp.take(vbits, jnp.clip(widx, 0, nw - 1))
+        """# of occurrences of symbol cs (1..4) in M[0:rs), batched (m,):
+        one fused-row gather + dense masked popcount over 62 words."""
+        blk = rs // RT_K
+        row = jnp.take(ranktab, blk, axis=0)           # (m, 128)
+        base = jnp.sum(jnp.where(
+            jnp.arange(4, dtype=jnp.int32)[None, :] == (cs - 1)[:, None],
+            row[:, :4].astype(jnp.int32), 0), axis=1)
+        ws = row[:, 4:4 + RT_WORDS]
+        vs = row[:, 4 + RT_WORDS:]
         pattern = ((cs - 1).astype(jnp.uint32)[:, None]
                    * jnp.uint32(0x55555555))
         x = ws ^ pattern
         nz = (x | (x >> 1)) & jnp.uint32(0x55555555)
         match = (~nz & jnp.uint32(0x55555555)) & vs
-        mseg = jnp.clip(rem[:, None] - w[None, :] * SYM_PER_WORD,
-                        0, SYM_PER_WORD)
+        rem = rs - blk * RT_K
+        w = jnp.arange(RT_WORDS, dtype=jnp.int32)
+        mseg = rem[:, None] - w[None, :] * SYM_PER_WORD
         pmask = jnp.where(
             mseg >= SYM_PER_WORD, jnp.uint32(0xFFFFFFFF),
-            (jnp.uint32(1) << (2 * mseg).astype(jnp.uint32)) - 1)
+            (jnp.uint32(1) << (2 * jnp.clip(mseg, 0, SYM_PER_WORD)
+                               ).astype(jnp.uint32)) - 1)
         return base + jax.lax.population_count(match & pmask).astype(
             jnp.int32).sum(axis=1)
 

@@ -369,8 +369,15 @@ def build_fmindex_device(codes, sa_interval: int = 8, to_host: bool = True):
     bwt_words, occ, count = _pack_occ_planes(bwt_u8, n)
     del bwt_u8  # donated
     fetch = np.asarray if to_host else (lambda x: x)
+    from nvbio_tpu.fmi.rank import build_rank_table_device, want_fused_ranktab
+
+    if to_host or not want_fused_ranktab():
+        ranktab = None  # derived again on upload (device()); don't fetch
+    else:
+        ranktab = build_rank_table_device(bwt_words, n)
     return FMIndex(
         bwt_words=fetch(bwt_words), occ=fetch(occ), count=fetch(count),
         primary=int(primary), n=n, sa_interval=sa_interval,
         ssa_marks=fetch(marks), ssa_cum=fetch(cum), ssa_vals=fetch(vals),
+        ranktab=ranktab,
     )

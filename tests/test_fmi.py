@@ -47,6 +47,99 @@ def test_rank_vs_numpy(rng):
     np.testing.assert_array_equal(got4, want4)
 
 
+def test_fused_rank_table(rng):
+    """The fused interleaved rank rows (one 128-lane tile-row gather per
+    query, rank.py RT_*) must match the split occ/words layout and the
+    scalar numpy golden model at every boundary (block edges, i=0, i=n),
+    and host/device builders must be bit-identical."""
+    from nvbio_tpu.fmi.rank import (
+        RT_K,
+        build_rank_table,
+        build_rank_table_device,
+        rank_all_fused,
+        rank_fused,
+        symbol_and_rank_fused,
+    )
+
+    for n in [5, RT_K - 1, RT_K, RT_K + 1, 3 * RT_K + 77]:
+        codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+        w = packed.pack(codes, 2)
+        occ = build_occ_table(w, n)
+        tab = build_rank_table(w, n, occ)
+        np.testing.assert_array_equal(
+            tab, np.asarray(build_rank_table_device(w, n)))
+        edges = np.array([0, 1, n // 2, n - 1, n, RT_K - 1, RT_K,
+                          RT_K + 1], dtype=np.int64)
+        idx = np.clip(np.concatenate(
+            [edges, rng.integers(0, n + 1, size=64)]), 0, n).astype(np.int32)
+        cs = rng.integers(0, 4, size=len(idx)).astype(np.int32)
+        got = np.asarray(rank_fused(jnp.asarray(tab), jnp.asarray(cs),
+                                    jnp.asarray(idx)))
+        want = np.array([(codes[:i] == c).sum() for c, i in zip(cs, idx)])
+        np.testing.assert_array_equal(got, want)
+        got4 = np.asarray(rank_all_fused(jnp.asarray(tab), jnp.asarray(idx)))
+        want4 = np.stack(
+            [[(codes[:i] == c).sum() for c in range(4)] for i in idx])
+        np.testing.assert_array_equal(got4, want4)
+        i2 = np.clip(idx, 0, n - 1)
+        sym, rk = symbol_and_rank_fused(jnp.asarray(tab), jnp.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(sym), codes[i2])
+        want_rk = np.array(
+            [(codes[:i] == codes[i]).sum() for i in i2])
+        np.testing.assert_array_equal(np.asarray(rk), want_rk)
+
+
+def test_fused_ranktab_search_parity(rng, monkeypatch):
+    """End-to-end FM search with the fused rank rows attached (forced on;
+    the auto gate only enables them on accelerators) must be bit-identical
+    to the split occ/words layout."""
+    import dataclasses
+
+    from nvbio_tpu.fmi.index import attach_ftab, build_fmindex
+    from nvbio_tpu.fmi.search import (
+        backward_search_core,
+        locate_core,
+        search_1mm_hybrid,
+        search_kmm_core,
+    )
+
+    monkeypatch.setenv("NVBIO_TPU_RANKTAB", "1")
+    n = 30_000
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    fmi = attach_ftab(build_fmindex(codes).device(), k=5)
+    assert fmi.ranktab is not None
+    split = dataclasses.replace(fmi, ranktab=None)
+
+    B, S = 64, 22
+    starts = rng.integers(0, n - S, size=B)
+    q = np.stack([codes[s:s + S] for s in starts]).astype(np.int32)
+    q[: B // 4, 3] = (q[: B // 4, 3] + 1) % 4  # some mismatching queries
+    lens = jnp.asarray(
+        rng.integers(S - 6, S + 1, size=B).astype(np.int32))
+    qj = jnp.asarray(q)
+
+    lo_f, hi_f = backward_search_core(fmi, qj, lens)
+    lo_s, hi_s = backward_search_core(split, qj, lens)
+    np.testing.assert_array_equal(np.asarray(lo_f), np.asarray(lo_s))
+    np.testing.assert_array_equal(np.asarray(hi_f), np.asarray(hi_s))
+
+    rows = jnp.asarray(rng.integers(0, n + 1, size=512).astype(np.int32))
+    pf, df = locate_core(fmi, rows)
+    ps, ds = locate_core(split, rows)
+    np.testing.assert_array_equal(np.asarray(pf), np.asarray(ps))
+    np.testing.assert_array_equal(np.asarray(df), np.asarray(ds))
+
+    outs_f = search_1mm_hybrid(fmi, qj, lens, 8)
+    outs_s = search_1mm_hybrid(split, qj, lens, 8)
+    for a, b in zip(outs_f, outs_s):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    kf = search_kmm_core(fmi, qj, lens, k=2, max_states=8)
+    ks = search_kmm_core(split, qj, lens, k=2, max_states=8)
+    for a, b in zip(kf, ks):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def _naive_occurrences(text, q):
     q = "".join(map(str, q))
     t = "".join(map(str, text))

@@ -229,6 +229,46 @@ def test_bwte_device_block_sa_paths_agree(rng):
     np.testing.assert_array_equal(td, np.asarray(wtags))
 
 
+def test_bwte_device_tie_paths(rng):
+    """Adversarial inputs for the multi-string bootstrap sort: identical
+    reads (pure sentinel-depth ties, resolved by the owner key), duplicated
+    reads mixed with random ones (26-symbol symbol ties -> compacted
+    doubling), and homopolymer reads (tie overflow -> full-plane fallback)
+    must all match the whole-set BCR oracle bitwise."""
+    from nvbio_tpu.index.bwte_device import BwteDevice
+    from nvbio_tpu.index.setbwt import mse_bwt
+
+    L = 40
+    one = rng.integers(0, 4, size=L, dtype=np.uint8)
+    cases = {
+        "identical": np.tile(one, (24, 1)),
+        "duplicated": np.concatenate([
+            np.tile(one, (8, 1)),
+            rng.integers(0, 4, size=(16, L), dtype=np.uint8)]),
+        "homopolymer": np.zeros((24, L), np.uint8),
+    }
+    # force the full-plane fallback for the homopolymer case by shrinking
+    # the tie cap (24*41 suffixes of all-A reads leave > 2 ties)
+    import nvbio_tpu.index.device_sa as dsa
+
+    for name, reads in cases.items():
+        m = len(reads)
+        eng = BwteDevice(capacity=m * (L + 1), n_strings=m)
+        if name == "homopolymer":
+            old_cap = dsa._TIE_CAP
+            dsa._TIE_CAP = 2
+            try:
+                eng.add_block(reads)
+            finally:
+                dsa._TIE_CAP = old_cap
+        else:
+            eng.add_block(reads)
+        bwt, tags = eng.finalize()
+        want, wtags = mse_bwt(list(reads))
+        np.testing.assert_array_equal(bwt, np.asarray(want), err_msg=name)
+        np.testing.assert_array_equal(tags, np.asarray(wtags), err_msg=name)
+
+
 def test_bwte_native_engine_matches_oracle(rng):
     """C++ BWTE engine (native/bwte.cpp: BCR column blocks + dual LF
     rank-walk merges over fused rank lines) reproduces the whole-set BCR
