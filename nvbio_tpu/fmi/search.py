@@ -42,9 +42,17 @@ def _occ(fmi, c, i):
     return rank(fmi.bwt_words, fmi.occ, c, adj)
 
 
+def _count_of(fmi, c):
+    """C[c] via a dense one-hot select — a traced gather from the 5-entry
+    count table lowers to a scalar load per lane on TPU."""
+    cs = jnp.arange(4, dtype=jnp.int32)
+    return jnp.sum(
+        jnp.where(cs == c[..., None], fmi.count[:4], 0), axis=-1)
+
+
 def step_backward(fmi, c, lo, hi):
     """One backward-search step: prepend symbol c to the matched suffix."""
-    cnt = jnp.take(fmi.count, c)
+    cnt = _count_of(fmi, c)
     return cnt + _occ(fmi, c, lo), cnt + _occ(fmi, c, hi)
 
 
@@ -87,8 +95,11 @@ def backward_search_core(fmi, queries, qlens):
         lo, hi = carry
         j = jnp.clip(qeff - 1 - s, 0, L - 1)
         c = jnp.take_along_axis(queries, j[:, None], axis=1)[:, 0]
-        nlo, nhi = step_backward(fmi, c, lo, hi)
         active = (s < qeff) & (hi > lo)
+        # dead lanes gather at interval (0, 0): every finished query hits
+        # the same (cached) rank row instead of a scattered HBM line
+        nlo, nhi = step_backward(fmi, c, jnp.where(active, lo, 0),
+                                 jnp.where(active, hi, 0))
         lo = jnp.where(active, nlo, lo)
         hi = jnp.where(active, nhi, hi)
         return (lo, hi), None
@@ -103,30 +114,53 @@ def backward_search(fmi, queries, qlens):
 
 
 def locate_core(fmi, rows):
-    """SA values for SA rows via bounded LF-walk; (positions, resolved)."""
+    """SA values for SA rows via bounded LF-walk; (positions, resolved).
+
+    With the fused rank rows attached, each walk step costs TWO tile-row
+    gathers (one SSA marks+cum row, one rank row — symbol and rank come
+    from the same line) and the sampled value is fetched ONCE per lane
+    after the walk, not per step."""
     rows = jnp.asarray(rows, jnp.int32)
     marks, cum, vals = fmi.ssa_marks, fmi.ssa_cum, fmi.ssa_vals
     primary = jnp.asarray(fmi.primary, jnp.int32)
     n_syms = fmi.bwt_words.shape[0] * 16
 
-    def is_marked(i):
-        w = jnp.take(marks, i // 32)
-        return ((w >> (i % 32).astype(jnp.uint32)) & 1).astype(bool)
+    if fmi.ranktab is not None:
+        # SSA fused rows: [64 marks words | 64 cum words] per 128-lane
+        # row (2048 SA rows each). Loop-invariant, O(n/32) to build —
+        # XLA hoists it out of the walk.
+        nw_s = marks.shape[0]
+        R = (nw_s + 63) // 64
+        mpad = jnp.zeros((R * 64,), jnp.uint32).at[:nw_s].set(marks)
+        cpad = jnp.zeros((R * 64,), jnp.uint32).at[:nw_s].set(
+            cum.astype(jnp.uint32))
+        ssarows = jnp.concatenate(
+            [mpad.reshape(R, 64), cpad.reshape(R, 64)], axis=1)
 
-    def mark_rank(i):
-        w = jnp.take(marks, i // 32)
-        prefix = w & ((jnp.uint32(1) << (i % 32).astype(jnp.uint32)) - 1)
-        return jnp.take(cum, i // 32) + jax.lax.population_count(prefix).astype(
-            jnp.int32
-        )
+        def marks_cum(i):
+            wi = i // 32
+            row = jnp.take(ssarows, wi // 64, axis=0)
+            sel = jnp.arange(64, dtype=jnp.int32) == (wi % 64)[..., None]
+            w = jnp.sum(jnp.where(sel, row[..., :64], 0), axis=-1)
+            cu = jnp.sum(jnp.where(sel, row[..., 64:], 0),
+                         axis=-1).astype(jnp.int32)
+            return w, cu
+    else:
+        def marks_cum(i):
+            return jnp.take(marks, i // 32), jnp.take(cum, i // 32)
 
     def body(t, state):
-        i, pos, done = state
-        hit = is_marked(i) & ~done
-        val = jnp.take(vals, mark_rank(i))
-        pos = jnp.where(hit, val + t, pos)
+        i, tpos, mrank, done = state
+        iq = jnp.where(done, 0, i)   # finished walks gather at row 0
+        w, cu = marks_cum(iq)
+        bit = (iq % 32).astype(jnp.uint32)
+        hit = (((w >> bit) & 1) != 0) & ~done
+        rk_mark = cu + jax.lax.population_count(
+            w & ((jnp.uint32(1) << bit) - 1)).astype(jnp.int32)
+        tpos = jnp.where(hit, t, tpos)
+        mrank = jnp.where(hit, rk_mark, mrank)
         done = done | hit
-        adj = i - (i > primary).astype(jnp.int32)
+        adj = iq - (iq > primary).astype(jnp.int32)
         if fmi.ranktab is not None:
             # LF step from ONE fused-row gather (symbol + rank together)
             c, rk = symbol_and_rank_fused(fmi.ranktab, adj)
@@ -134,14 +168,17 @@ def locate_core(fmi, rows):
             c = packed.gather_symbols(
                 fmi.bwt_words, jnp.clip(adj, 0, n_syms - 1), 2)
             rk = rank(fmi.bwt_words, fmi.occ, c, adj)
-        nxt = jnp.take(fmi.count, c) + rk
+        nxt = _count_of(fmi, c) + rk
         i = jnp.where(done, i, nxt)
-        return i, pos, done
+        return i, tpos, mrank, done
 
     B = rows.shape[0]
-    pos0 = jnp.zeros((B,), jnp.int32)
+    t0 = jnp.zeros((B,), jnp.int32)
+    mr0 = jnp.zeros((B,), jnp.int32)
     done0 = jnp.zeros((B,), bool)
-    _, pos, done = jax.lax.fori_loop(0, fmi.sa_interval, body, (rows, pos0, done0))
+    _, tpos, mrank, done = jax.lax.fori_loop(
+        0, fmi.sa_interval, body, (rows, t0, mr0, done0))
+    pos = jnp.where(done, jnp.take(vals, mrank) + tpos, 0)
     return pos, done
 
 
@@ -205,10 +242,12 @@ def search_1mm_hybrid(fmi, queries, qlens, n_approx: int):
         lo, hi = carry
         j = jnp.clip(qlens - 1 - s, 0, L - 1)
         c = jnp.take_along_axis(queries, j[:, None], axis=1)[:, 0]
-        nlo, nhi = step_backward(fmi, c, lo, hi)
         # freeze on empty (value-level parity with backward_search_core;
-        # a branch from a frozen empty state stays empty either way)
+        # a branch from a frozen empty state stays empty either way);
+        # dead lanes gather at the shared row-0 rank line
         active = (s < qlens) & (hi > lo)
+        nlo, nhi = step_backward(fmi, c, jnp.where(active, lo, 0),
+                                 jnp.where(active, hi, 0))
         nlo = jnp.where(active, nlo, lo)
         nhi = jnp.where(active, nhi, hi)
         return (nlo, nhi), (lo, hi)
@@ -240,9 +279,12 @@ def search_1mm_hybrid(fmi, queries, qlens, n_approx: int):
         j_idx = jnp.clip(jpos[None, :] - 1 - u, 0, L - 1)    # (1, A)
         c = jnp.take_along_axis(queries, jnp.broadcast_to(j_idx, (B, A)),
                                 axis=1)                      # (B, A)
-        nlo, nhi = step_backward(
-            fmi, jnp.broadcast_to(c[:, :, None], (B, A, 3)), lo, hi)
         active = (u < jpos[None, :, None]) & (hi > lo)
+        # mutated branches mostly die within a few steps — route dead
+        # lanes' gathers to the shared row-0 rank line
+        nlo, nhi = step_backward(
+            fmi, jnp.broadcast_to(c[:, :, None], (B, A, 3)),
+            jnp.where(active, lo, 0), jnp.where(active, hi, 0))
         lo = jnp.where(active, nlo, lo)
         hi = jnp.where(active, nhi, hi)
         return (lo, hi), None

@@ -89,16 +89,19 @@ def main():
         with open(OUT, "w") as fh:
             json.dump(out, fh, indent=1)
 
+    do_split = os.environ.get("SPLIT", "1") not in ("0", "false")
+
     timed("bs_fused", backward_search_core, fmi, seeds_flat, slens)
-    timed("bs_split", backward_search_core, fmi_split, seeds_flat, slens)
     timed("locate_fused", locate_core, fmi, rows)
-    timed("locate_split", locate_core, fmi_split, rows)
 
     import functools
 
     hyb = functools.partial(search_1mm_hybrid, n_approx=11)
     timed("hyb1mm_fused", hyb, fmi, seeds_flat, slens)
-    timed("hyb1mm_split", hyb, fmi_split, seeds_flat, slens)
+    if do_split:
+        timed("bs_split", backward_search_core, fmi_split, seeds_flat, slens)
+        timed("locate_split", locate_core, fmi_split, rows)
+        timed("hyb1mm_split", hyb, fmi_split, seeds_flat, slens)
 
     # end-to-end FM-seeded align step (the reference nvBowtie architecture)
     params = MapParams(max_read_len=L, seed_len=S, seed_stride=15,
@@ -136,7 +139,8 @@ def main():
             json.dump(out, fh, indent=1)
 
     timed_e2e("fm_e2e_fused", fmi)
-    timed_e2e("fm_e2e_split", fmi_split)
+    if do_split:
+        timed_e2e("fm_e2e_split", fmi_split)
     print(json.dumps(out))
 
 
