@@ -210,20 +210,105 @@ def _c1p_of(codes) -> jnp.ndarray:
     return _c1p_from_words(words, len(codes_np), pad)
 
 
-def _sa_of(c1p: jnp.ndarray, m: int) -> jnp.ndarray:
+# tiny-tie fast path: when the bootstrap leaves only a handful of tied
+# suffixes (random/low-repeat DNA: a few 26-symbol collisions in 100 Mbp),
+# fetching their positions and comparing the suffixes DIRECTLY on the host
+# skips the full-plane rank-inversion sort (0.50 s at 100 Mbp,
+# SA_BREAKDOWN.json) that the compacted doubling needs — the device never
+# builds a rank plane at all
+_HOST_TIE_CAP = 4096
+
+
+@functools.partial(jax.jit, static_argnames=("C",))
+def _tied_slots(sa, rank_sorted, tied, C: int):
+    """(rows, pos, grank) of the <= C tied sorted slots, ascending.
+
+    top_k instead of a full-plane sort — the whole point of the host tie
+    path is to avoid another m-element sort; top_k(-idx) returns the tied
+    rows in ascending row order with untied padding last."""
+    m = sa.shape[0]
+    idx = jnp.arange(m, dtype=jnp.int32)
+    neg = jnp.where(tied, -idx, jnp.int32(-(1 << 30)))
+    _, rows = jax.lax.top_k(neg, C)
+    return rows, jnp.take(sa, rows), jnp.take(rank_sorted, rows)
+
+
+def _host_tie_order(text1p: np.ndarray, pos: np.ndarray,
+                    grank: np.ndarray, start: int = 2 * _B5,
+                    chunk: int = 4096) -> np.ndarray:
+    """Order tied suffix positions by direct comparison on the host.
+
+    ``text1p``: int32/uint8 text with symbols 1..4, 0-padded past the end
+    (the host mirror of the device c1p plane). ``pos``/``grank``: the tied
+    rows' suffix positions and group ids (equal grank = one tied group,
+    first ``start`` symbols known equal). Returns ``pos`` reordered so
+    each group is in true suffix order (groups stay in place)."""
+    n = len(text1p)
+    text_u8 = np.asarray(text1p, dtype=np.uint8)  # symbols 1..4 + 0 pad:
+    out = pos.copy()                              # bytewise lex == numeric
+    for g in np.unique(grank):
+        sel = np.nonzero(grank == g)[0]
+        p = pos[sel]
+        key_list = [[] for _ in range(len(p))]
+        off = start
+        # chunked comparison: append one window of symbols per round until
+        # all suffixes in the group are distinct (sentinel 0-padding makes
+        # shorter suffixes sort first, matching the bootstrap keys)
+        while True:
+            for t in range(len(p)):
+                s = min(p[t] + off, n)
+                key_list[t].append(text_u8[s:s + chunk].tobytes())
+            joined = [b"".join(k).ljust(off - start + chunk, b"\0")
+                      for k in key_list]
+            if len(set(joined)) == len(p) or off > n:
+                # -p tie-break: if two windows exhaust equal, the shorter
+                # suffix (larger start) is the smaller one (unreachable for
+                # distinct suffixes of one text; kept as a safety net)
+                srt = sorted(range(len(p)),
+                             key=lambda t: (joined[t], -int(p[t])))
+                out[sel] = p[srt]
+                break
+            off += chunk
+    return out
+
+
+@jax.jit
+def _apply_tie_order(sa, rows, new_pos):
+    return sa.at[rows].set(new_pos)
+
+
+def _sa_of(c1p: jnp.ndarray, m: int,
+           host_text1p: np.ndarray | None = None) -> jnp.ndarray:
     sa, rank_sorted, tied, done, n_tied = _sa_bootstrap(c1p, m)
     # host-side branch on two scalar fetches: a lax.cond OUTSIDE jit
     # re-traces (and recompiles) both branches on every call
     if bool(done):
         return sa
+    nt = int(n_tied)
+    if host_text1p is not None and nt <= _HOST_TIE_CAP:
+        rows, pos, grank = _tied_slots(
+            sa, rank_sorted, tied, min(_HOST_TIE_CAP, m))
+        rows_h = np.asarray(rows[:nt])
+        new_pos = _host_tie_order(
+            host_text1p, np.asarray(pos[:nt]), np.asarray(grank[:nt]))
+        return _apply_tie_order(sa, jnp.asarray(rows_h),
+                                jnp.asarray(new_pos.astype(np.int32)))
     rank = _inv_rank(sa, rank_sorted)
     C = min(_TIE_CAP, m)
-    if int(n_tied) <= C:
-        # the common case: random/real DNA leaves a sliver of 26-symbol
-        # ties — resolve them on the compacted subset (us, not seconds)
+    if nt <= C:
+        # mid-size tie sets: resolve on the compacted subset (us-scale
+        # sorts; needs the rank plane, hence the inversion sort)
         return _sa_tie_doubling(sa, rank, tied, m, C)
     return _sa_doubling(sa, rank, m)
 
+
+
+def _host_mirror(codes):
+    """Host 1-based text mirror for the tiny-tie host resolution (None when
+    the text lives only on device)."""
+    if isinstance(codes, np.ndarray):
+        return (codes.astype(np.uint8) + 1)
+    return None
 
 def suffix_array_device(codes, return_device: bool = False):
     """SA of text + sentinel (n+1 entries, sa[0] == n), computed on the
@@ -235,7 +320,7 @@ def suffix_array_device(codes, return_device: bool = False):
     """
     n = int(np.asarray(codes).shape[0] if isinstance(codes, np.ndarray)
             else codes.shape[0])
-    sa = _sa_of(_c1p_of(codes), n + 1)
+    sa = _sa_of(_c1p_of(codes), n + 1, _host_mirror(codes))
     return sa if return_device else np.asarray(sa).astype(np.int64)
 
 
@@ -256,7 +341,7 @@ def bwt_device(codes):
     bigger — never crosses the host link)."""
     n = int(np.asarray(codes).shape[0])
     c1p = _c1p_of(codes)
-    sa = _sa_of(c1p, n + 1)
+    sa = _sa_of(c1p, n + 1, _host_mirror(np.asarray(codes, np.uint8)))
     bwt_full, primary = _bwt_full_of(c1p, sa)
     primary = int(primary)
     return np.delete(np.asarray(bwt_full), primary), primary
@@ -360,7 +445,7 @@ def build_fmindex_device(codes, sa_interval: int = 8, to_host: bool = True):
     if n >= 2**31:
         raise ValueError("text too long for int32 FM-index")
     c1p = _c1p_of(codes)
-    sa = _sa_of(c1p, n + 1)
+    sa = _sa_of(c1p, n + 1, _host_mirror(codes))
     n_samples = n // sa_interval + 1
     bwt_u8, primary = _bwt_plane(c1p, sa, n)
     del c1p  # donated

@@ -44,7 +44,7 @@ def main():
 
     def sync(x):
         jax.tree_util.tree_map(
-            lambda a: np.asarray(np.ravel(np.asarray(a[:1]))), x)
+            lambda a: np.asarray(jnp.ravel(a)[:1]), x)
 
     def timed(name, fn, reps=4):
         r = fn()

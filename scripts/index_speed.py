@@ -64,13 +64,14 @@ def main():
     int(np.asarray(c1p[:1])[0])  # sync upload
     out["upload_s"] = round(time.time() - t0, 1)
 
+    mirror = (genome + 1).astype(np.uint8)  # host tie-resolution text
     t0 = time.time()
-    sa = _sa_of(c1p, GENOME + 1)
+    sa = _sa_of(c1p, GENOME + 1, mirror)
     int(np.asarray(sa[:1])[0])
     out["device_sa_first_s"] = round(time.time() - t0, 1)
 
     t0 = time.time()
-    sa = _sa_of(c1p, GENOME + 1)
+    sa = _sa_of(c1p, GENOME + 1, mirror)
     int(np.asarray(sa[:1])[0])
     dt = time.time() - t0
     out["device_sa_s"] = round(dt, 1)

@@ -517,7 +517,12 @@ def test_device_sa_tie_paths(rng):
     from nvbio_tpu.index.sa import suffix_array
 
     unit = rng.integers(0, 4, size=37).astype(np.uint8)
+    dup = rng.integers(0, 4, size=100).astype(np.uint8)
     cases = {
+        # one duplicated 100-mer in random context: a handful of long
+        # ties -> the HOST direct-comparison path (_host_tie_order)
+        "host_ties": np.concatenate([
+            dup, rng.integers(0, 4, 30_000).astype(np.uint8), dup]),
         # tandem + dispersed copies: thousands of long ties (compact path)
         "repeats": np.concatenate([
             np.tile(unit, 200), rng.integers(0, 4, 20_000).astype(np.uint8),
