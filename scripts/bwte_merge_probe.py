@@ -53,13 +53,23 @@ def main():
         with open(OUT, "w") as fh:
             json.dump(out, fh, indent=1)
 
+    # inputs are synthesized ON DEVICE — uploading CAP-sized planes through
+    # the relay (~10-30 MB/s) would cost 25+ minutes
     nw = CAP // SYM_PER_WORD
-    words = jnp.asarray(
-        rng.integers(0, 1 << 31, size=nw, dtype=np.int64).astype(np.uint32))
-    Mplane = jnp.asarray(rng.integers(0, 5, size=CAP, dtype=np.uint8))
-    r_of_row = jnp.asarray(
-        np.sort(rng.integers(0, CAP, size=BN)).astype(np.int32))
-    B_bwt = jnp.asarray(rng.integers(0, 5, size=BN, dtype=np.uint8))
+    key = jax.random.PRNGKey(3)
+
+    @jax.jit
+    def gen():
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        words = jax.random.bits(k1, (nw,), jnp.uint32)
+        Mplane = jax.random.randint(k2, (CAP,), 0, 5, jnp.int32).astype(
+            jnp.uint8)
+        ror = jnp.sort(jax.random.randint(k3, (BN,), 0, CAP, jnp.int32))
+        bb = jax.random.randint(k4, (BN,), 0, 5, jnp.int32).astype(jnp.uint8)
+        return words, Mplane, ror, bb
+
+    words, Mplane, r_of_row, B_bwt = gen()
+    np.asarray(words[:1])
 
     # 1. CAP-wide cumsum
     timed("cumsum_cap", lambda h: jnp.cumsum(h),
