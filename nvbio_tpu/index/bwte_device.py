@@ -250,27 +250,39 @@ def _bwte_device_step(M, dpos, dtags, n, s, B_bwt, B_tags, sa, revT, L: int):
     # ---- interleave merge --------------------------------------------------
     # r_of_row is ALREADY non-decreasing: rank_M is monotone in suffix
     # order and the block rows come in SA (suffix) order — so no sort is
-    # needed; equal-rank rows keep their (correct) suffix order
+    # needed for the NEW rows; equal-rank rows keep their suffix order
     r_of_row = jnp.take(ranks_pos, sa)
     newpos = r_of_row + jnp.arange(bn, dtype=jnp.int32)
     merged_pos_row = newpos                          # merged position per row
 
-    hist = jnp.zeros(CAP + 1, jnp.int32).at[r_of_row].add(1, mode="drop")
-    cnt_le = jnp.cumsum(hist)[:CAP]                 # # new items <= index i
-    dest_old = idx + cnt_le
+    # ONE stable 2-key sort-merge instead of hist + cumsum + two plane
+    # scatters (BWTE_MERGE_PROBE.json: the scatters price at ~10 ns/elem
+    # = 4 s/block at BLOCK=1M; the sort is ~2 s): old element i carries
+    # key (i, 1); new row j carries (r_of_row[j], 0) — a new row with
+    # insertion rank r precedes old[r]; stability keeps equal-rank new
+    # rows in suffix order and old keys are unique. Invalid old tail
+    # (i >= n) sorts after all content, so the CAP-prefix of the merged
+    # stream IS the new plane.
+    key1 = jnp.concatenate([idx, r_of_row])
+    key2 = jnp.concatenate([jnp.ones(CAP, jnp.int32),
+                            jnp.zeros(bn, jnp.int32)])
+    vals = jnp.concatenate([M, B_bwt])
+    _, _, merged = jax.lax.sort((key1, key2, vals), num_keys=2,
+                                is_stable=True)
+    M_new = merged[:CAP]
     drop = jnp.int32(CAP)
-    M_new = (jnp.zeros(CAP, M.dtype)
-             .at[jnp.where(in_range, dest_old, drop)].set(M, mode="drop")
-             .at[newpos].set(B_bwt, mode="drop"))
 
     # ---- dollar side-list maintenance --------------------------------------
+    # old dollar at plane index p moves to p + (# new rows inserted at
+    # rank <= p) — a binary search over the sorted insertion ranks (the
+    # dollar list is ~bn/L entries, far cheaper than a CAP-wide cnt_le)
     S_cap = dpos.shape[0]
     srange = jnp.arange(S_cap, dtype=jnp.int32)
     old_d_valid = srange < s
-    dpos_shift = jnp.where(
-        old_d_valid,
-        dpos + jnp.take(cnt_le, jnp.clip(dpos, 0, CAP - 1)),
-        drop + 1)
+    cnt_at = jnp.searchsorted(
+        r_of_row, jnp.clip(dpos, 0, CAP - 1), side="right"
+    ).astype(jnp.int32)
+    dpos_shift = jnp.where(old_d_valid, dpos + cnt_at, drop + 1)
     # new dollars: block rows with tag >= 0, at their merged positions
     new_d = B_tags >= 0
     new_d_pos = jnp.where(new_d, merged_pos_row, drop + 1)
