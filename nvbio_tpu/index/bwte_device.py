@@ -296,6 +296,27 @@ def _bwte_device_step(M, dpos, dtags, n, s, B_bwt, B_tags, sa, revT, L: int):
     return (M_new, dpos_new, dtags_new, n + bn, s + m)
 
 
+@functools.partial(jax.jit, static_argnames=("CAP", "S_cap"))
+def _bwte_first_block(B_bwt, B_tags, CAP: int, S_cap: int):
+    """Block 0 into an EMPTY merged plane: the block's own BWT *is* the
+    merged BWT, so the rank walk (L+1 sequential LF steps) and the
+    CAP-wide merge sort are both skipped. This is also the whole engine
+    when the set fits device memory in one block — the set-BWT then
+    costs exactly one multi-string suffix sort (~the single-string
+    device sort rate), the TPU answer to the reference's 80 Msym/s GPU
+    BWTE (``sufsort.h:47-49``)."""
+    bn = B_bwt.shape[0]
+    M = jnp.zeros(CAP, jnp.uint8).at[:bn].set(B_bwt)
+    rows = jnp.arange(bn, dtype=jnp.int32)
+    key = jnp.where(B_tags >= 0, rows, jnp.int32(CAP + 1))
+    ks, ts = jax.lax.sort((key, B_tags), num_keys=1, is_stable=True)
+    pad_pos = jnp.full(S_cap, CAP + 1, jnp.int32)
+    pad_tag = jnp.full(S_cap, -1, jnp.int32)
+    dpos = jnp.concatenate([ks, pad_pos])[:S_cap]
+    dtags = jnp.concatenate([ts, pad_tag])[:S_cap]
+    return M, dpos, dtags
+
+
 class BwteDevice:
     """Accumulates uniform-length read blocks into a device-resident
     multi-string BWT. ``capacity`` symbols (rounded up to 64),
@@ -313,6 +334,18 @@ class BwteDevice:
         self._host_n = 0
         self._host_s = 0
         self.capacity = CAP
+
+    def add_block_packed(self, rwords, m: int, L: int):
+        """Device fast path for pre-staged blocks: ``rwords`` is the
+        2-bit packed reads plane ALREADY on device (``packed.pack``
+        layout). Skips the host pack + relay upload — the production
+        shape when reads are staged ahead (double-buffered input) or
+        arrive via fast local DMA."""
+        bn = m * (L + 1)
+        if self._host_n + bn > self.capacity:
+            raise ValueError("block exceeds capacity")
+        B_bwt, B_tags, sa, revT = _block_planes_device(rwords, self.s, m, L)
+        self._apply_block(B_bwt, B_tags, sa, revT, m, L)
 
     def add_block(self, reads: np.ndarray, block_sa: str = "device"):
         """reads: (m, L) uint8 codes 0..3, uniform length.
@@ -348,9 +381,20 @@ class BwteDevice:
                 np.where(t >= 0, t + self._host_s, -1).astype(np.int32))
             sa = jnp.asarray(sa64.astype(np.int32))
             revT = jnp.asarray((reads[:, ::-1].astype(np.int32) + 1).T)
-        (self.M, self.dpos, self.dtags, self.n, self.s) = _bwte_device_step(
-            self.M, self.dpos, self.dtags, self.n, self.s,
-            B_bwt, B_tags, sa, revT, L)
+        self._apply_block(B_bwt, B_tags, sa, revT, m, L)
+
+    def _apply_block(self, B_bwt, B_tags, sa, revT, m: int, L: int):
+        bn = m * (L + 1)
+        if self._host_n == 0:
+            self.M, self.dpos, self.dtags = _bwte_first_block(
+                B_bwt, B_tags, self.capacity, self.dpos.shape[0])
+            self.n = jnp.int32(bn)
+            self.s = jnp.int32(m)
+        else:
+            (self.M, self.dpos, self.dtags, self.n, self.s) = \
+                _bwte_device_step(
+                    self.M, self.dpos, self.dtags, self.n, self.s,
+                    B_bwt, B_tags, sa, revT, L)
         self._host_n += bn
         self._host_s += m
 
