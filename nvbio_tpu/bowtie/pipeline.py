@@ -428,16 +428,20 @@ def read_candidates(index, genome_words, n_genome, reads, lens, quals,
             # right subseed, <=1 mismatch in the left half), state-shared
             # so the mutated searches cost ~5% of independent re-searches;
             # one located slot per nonempty range
-            from nvbio_tpu.fmi.search import search_1mm_hybrid
+            from nvbio_tpu.fmi.search import search_1mm_hybrid_topk
 
             NSdim = seeds.shape[1]
             slen = P.seed_len
             n_approx = (slen + 1) // 2
             seeds_f = seeds.reshape(B * NSdim, slen)
             slens_f = jnp.full((B * NSdim,), slen, jnp.int32)
-            _elo, _ehi, mm_lo, mm_hi, _sym = search_1mm_hybrid(
-                index, seeds_f, slens_f, n_approx)
-            NM3 = n_approx * 3
+            # top-K survivor compaction: the continuation walk and the
+            # locate below run over K slots/seed instead of 3*n_approx
+            # (expected nonempty branches/seed ~6-7 at 100 Mbp — K=8
+            # keeps them all; FM_SPEED r5)
+            _elo, _ehi, mm_lo, mm_hi = search_1mm_hybrid_topk(
+                index, seeds_f, slens_f, n_approx, K=8)
+            NM3 = mm_lo.shape[1]
             mm_lo = mm_lo.reshape(B * NSdim * NM3)
             mm_hi = mm_hi.reshape(B * NSdim * NM3)
             rows1 = jnp.clip(mm_lo + (mm_hi - mm_lo) // 2, 0, index.n)

@@ -299,6 +299,106 @@ def search_1mm_hybrid(fmi, queries, qlens, n_approx: int):
     return exact_lo, exact_hi, mm_lo, mm_hi, mm_sym
 
 
+def search_1mm_hybrid_topk(fmi, queries, qlens, n_approx: int, K: int = 8):
+    """``search_1mm_hybrid`` with survivor COMPACTION: the continuation
+    walk (the measured wall of the FM-seeded pipeline — 1651 ms of the
+    fused step at B*NS=229k seeds, FM_SPEED.json) runs over K compacted
+    branch slots per seed instead of all 3*n_approx lanes.
+
+    Why this is cheap in sensitivity: a branch at position j has already
+    matched a length-(qlen-j) mutated suffix when it leaves the branch
+    step; on a 100 Mbp genome random suffixes above ~14 symbols barely
+    ever match, so the expected number of NONEMPTY branches per seed is
+    ~6-7 — K=8 keeps essentially all of them (smaller-j branches, the
+    more specific ones, win ties). Gather count drops 3*n_approx/K x on
+    every continuation step, and callers locate K rows instead of 3A.
+
+    Returns (exact_lo, exact_hi, mm_lo, mm_hi), mm_* of shape (B, K)
+    (empty slots carry lo == hi == 0).
+    """
+    queries = jnp.asarray(queries, jnp.int32)
+    qlens = jnp.asarray(qlens, jnp.int32)
+    B, L = queries.shape
+    A = min(n_approx, L)
+
+    lo0 = jnp.zeros((B,), jnp.int32)
+    hi0 = jnp.full((B,), fmi.n + 1, jnp.int32)
+
+    def step(carry, s):
+        lo, hi = carry
+        j = jnp.clip(qlens - 1 - s, 0, L - 1)
+        c = jnp.take_along_axis(queries, j[:, None], axis=1)[:, 0]
+        active = (s < qlens) & (hi > lo)
+        nlo, nhi = step_backward(fmi, c, jnp.where(active, lo, 0),
+                                 jnp.where(active, hi, 0))
+        nlo = jnp.where(active, nlo, lo)
+        nhi = jnp.where(active, nhi, hi)
+        return (nlo, nhi), (lo, hi)
+
+    (exact_lo, exact_hi), (st_lo, st_hi) = jax.lax.scan(
+        step, (lo0, hi0), jnp.arange(L, dtype=jnp.int32))
+
+    jpos = jnp.arange(A, dtype=jnp.int32)
+    t = jnp.clip(qlens[:, None] - 1 - jpos[None, :], 0, L - 1)   # (B, A)
+    blo = jnp.take_along_axis(jnp.transpose(st_lo, (1, 0)), t, axis=1)
+    bhi = jnp.take_along_axis(jnp.transpose(st_hi, (1, 0)), t, axis=1)
+    # branch through ALL 4 symbols from ONE rank-row pair per (B, A) lane
+    # (extend_backward_all), then drop the original-symbol column — 3x
+    # fewer rank gathers than per-delta step_backward
+    lo4, hi4 = extend_backward_all(fmi, blo, bhi)                # (B, A, 4)
+    base_sym = jnp.take_along_axis(
+        queries, jnp.minimum(jpos[None, :], L - 1), axis=1)      # (B, A)
+    deltas = jnp.arange(1, 4, dtype=jnp.int32)
+    mm_sym = (base_sym[:, :, None] + deltas[None, None, :]) % 4  # (B, A, 3)
+    sym_sel = (mm_sym[..., None]
+               == jnp.arange(4, dtype=jnp.int32)[None, None, None, :])
+    mlo = jnp.sum(jnp.where(sym_sel, lo4[:, :, None, :], 0), axis=-1)
+    mhi = jnp.sum(jnp.where(sym_sel, hi4[:, :, None, :], 0), axis=-1)
+    branch_ok = (bhi > blo)[:, :, None]
+    pvalid = (jpos[None, :, None] < qlens[:, None, None]) & branch_ok
+    mlo = jnp.where(pvalid, mlo, 0)
+    mhi = jnp.where(pvalid, mhi, 0)
+
+    # ---- top-K survivor compaction (per seed) ------------------------------
+    ne = (mhi > mlo).reshape(B, A * 3)
+    jf = jnp.broadcast_to(jpos[None, :, None], (B, A, 3)).reshape(B, A * 3)
+    score = jnp.where(ne, A - jf, -1)            # smaller j = more specific
+    _, sel = jax.lax.top_k(score, min(K, A * 3))
+    Keff = sel.shape[1]
+
+    def pick(x):
+        return jnp.take_along_axis(x.reshape(B, A * 3), sel, axis=1)
+
+    clo, chi, cj = pick(mlo), pick(mhi), pick(jf)
+    cok = pick(ne.astype(jnp.int32)) > 0
+    clo = jnp.where(cok, clo, 0)
+    chi = jnp.where(cok, chi, 0)
+
+    # continuation: walk the j remaining ORIGINAL symbols, one-hot symbol
+    # select over the small L axis (a take_along_axis here would lower to
+    # per-lane scalar loads)
+    def cstep(carry, u):
+        lo, hi = carry
+        j_idx = jnp.clip(cj - 1 - u, 0, L - 1)                   # (B, K)
+        onehot = (j_idx[..., None]
+                  == jnp.arange(L, dtype=jnp.int32)[None, None, :])
+        c = jnp.sum(jnp.where(onehot, queries[:, None, :], 0), axis=-1)
+        active = (u < cj) & (hi > lo)
+        nlo, nhi = step_backward(fmi, c, jnp.where(active, lo, 0),
+                                 jnp.where(active, hi, 0))
+        lo = jnp.where(active, nlo, lo)
+        hi = jnp.where(active, nhi, hi)
+        return (lo, hi), None
+
+    if A > 1:
+        (clo, chi), _ = jax.lax.scan(
+            cstep, (clo, chi), jnp.arange(A - 1, dtype=jnp.int32))
+    empty = ~cok | (chi <= clo)
+    clo = jnp.where(empty, 0, clo)
+    chi = jnp.where(empty, 0, chi)
+    return exact_lo, exact_hi, clo, chi
+
+
 def extend_backward_all(fmi, lo, hi):
     """rank_all-based interval split: intervals for all 4 prepended symbols.
 

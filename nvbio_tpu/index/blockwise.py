@@ -111,10 +111,11 @@ def _gather_b5_keys(words_pad, pos_u32, d, n: int, nkeys: int):
                    donate_argnums=())
 def _chunk_k1_hist(words_pad, s, C: int, n: int, stride: int):
     """Sampled histogram of k1 >> _HIST_SHIFT over chunk positions
-    [s, s+C). Dense: one windowed unpack + 13 static slices."""
+    [s, s+C), s a uint32 scalar (3.1 Gbp starts exceed int31). Dense: one
+    windowed unpack + 13 static slices."""
     c1p = _chunk_c1p(words_pad, s, C, n, _B5)
     k1 = _b5_from_plane(c1p, 0, C)
-    pos = jnp.uint32(s) + jnp.arange(C, dtype=jnp.uint32)
+    pos = s + jnp.arange(C, dtype=jnp.uint32)
     valid = pos <= jnp.uint32(n)
     samp = (k1 >> _HIST_SHIFT)[::stride]
     vsamp = valid[::stride]
@@ -124,15 +125,15 @@ def _chunk_k1_hist(words_pad, s, C: int, n: int, stride: int):
 
 def _chunk_c1p(words_pad, s, C: int, n: int, extra: int):
     """1-based symbol plane for positions [s, s+C+extra) from the packed
-    words: s is a multiple of 16, so this is a static-size dynamic_slice
-    + dense unpack (no gathers)."""
+    words: s (uint32) is a multiple of 16, so this is a static-size
+    dynamic_slice + dense unpack (no gathers)."""
     nwc = (C + extra + 15) // 16 + 1
-    w0 = (s >> 4).astype(jnp.int32)
+    w0 = (s >> jnp.uint32(4)).astype(jnp.int32)
     ws = jax.lax.dynamic_slice(words_pad, (w0,), (nwc,))
     shifts = jnp.arange(16, dtype=jnp.uint32) * 2
     syms = ((ws[:, None] >> shifts[None, :]) & 3).astype(
         jnp.int32).reshape(-1)[:C + extra]
-    lin = jnp.uint32(s) + jnp.arange(C + extra, dtype=jnp.uint32)
+    lin = s + jnp.arange(C + extra, dtype=jnp.uint32)
     return jnp.where(lin < jnp.uint32(n), syms + 1, 0)
 
 
@@ -151,10 +152,10 @@ def _b5_from_plane(c1p, start: int, m: int):
 @functools.partial(jax.jit, static_argnames=("C", "n"))
 def _chunk_sorted_k1pos(words_pad, s, C: int, n: int):
     """Chunk positions sorted by k1 (invalid slots -> sentinel, last).
-    Returns (k1_sorted, pos_sorted)."""
+    s: uint32 scalar. Returns (k1_sorted, pos_sorted)."""
     c1p = _chunk_c1p(words_pad, s, C, n, _B5)
     k1 = _b5_from_plane(c1p, 0, C)
-    pos = jnp.uint32(s) + jnp.arange(C, dtype=jnp.uint32)
+    pos = s + jnp.arange(C, dtype=jnp.uint32)
     valid = pos <= jnp.uint32(n)
     k1 = jnp.where(valid, k1, _KMAX)
     pos = jnp.where(valid, pos, _PSENT)
@@ -162,13 +163,17 @@ def _chunk_sorted_k1pos(words_pad, s, C: int, n: int):
 
 
 @functools.partial(jax.jit, static_argnames=("C",), donate_argnums=(0, 1))
-def _sb_append(sb_k1, sb_pos, k1s, poss, lo, hi, off, klo, khi, C: int):
+def _sb_append(sb_k1, sb_pos, k1s, poss, lo, hi, off, C: int):
     """Append the [klo, khi) key-range segment of a sorted chunk into the
     superblock buffers at ``off`` (all traced scalars). The copy window is
     the full static C; slots outside [lo, hi) are masked to sentinels and
     overwritten by later appends or pushed last by the superblock sort."""
-    seg_k = jax.lax.dynamic_slice(k1s, (lo,), (C,))
-    seg_p = jax.lax.dynamic_slice(poss, (lo,), (C,))
+    # dynamic_slice CLAMPS an out-of-range start (lo + C > C whenever
+    # lo > 0) — pad by C sentinels so the slice window always fits
+    k1p = jnp.concatenate([k1s, jnp.full(C, _KMAX, k1s.dtype)])
+    psp = jnp.concatenate([poss, jnp.full(C, _PSENT, poss.dtype)])
+    seg_k = jax.lax.dynamic_slice(k1p, (lo,), (C,))
+    seg_p = jax.lax.dynamic_slice(psp, (lo,), (C,))
     idx = jnp.arange(C, dtype=jnp.int32)
     keep = idx < (hi - lo)
     seg_k = jnp.where(keep, seg_k, _KMAX)
@@ -318,12 +323,12 @@ def _pick_thresholds(hist: np.ndarray, total: int, sb_cap: int):
     target = int(sb_cap * 0.86)
     bounds = [0]
     acc = 0
-    for b, cnt in enumerate(hist[:-1]):
+    for b, cnt in enumerate(hist):
         if acc + cnt > target and acc > 0:
             bounds.append(b << _HIST_SHIFT)
             acc = 0
         acc += int(cnt)
-    bounds.append(_KMAX + 1)
+    bounds.append(int(_KMAX))
     return bounds
 
 
@@ -363,14 +368,17 @@ def blockwise_bwt(codes, *, chunk: int = 1 << 27, sb_cap: int = 1 << 28,
     stats["host_pack_s"] = round(time.time() - t0, 2)
     t0 = time.time()
     nw = len(words_np)
-    words_pad = jnp.asarray(
-        np.concatenate([words_np,
-                        np.zeros(8, np.uint32)]))
-    words_pad.block_until_ready()
+    # device-side zero pad wide enough for the last chunk's window (+ the
+    # deepening gathers' clamp slack): pad bytes never cross the relay
+    padw = chunk // 16 + 16
+    wdev = jnp.asarray(words_np)
+    words_pad = jax.jit(
+        lambda w: jnp.zeros(nw + padw, jnp.uint32).at[:nw].set(w),
+        donate_argnums=0)(wdev)
     int(np.asarray(words_pad[:1])[0])
     stats["upload_s"] = round(time.time() - t0, 2)
     stats["upload_mb"] = round(words_np.nbytes / 2**20, 1)
-    del words_np
+    del words_np, wdev
 
     host_text1p = None                 # lazy host mirror for tie fallback
 
@@ -380,7 +388,7 @@ def blockwise_bwt(codes, *, chunk: int = 1 << 27, sb_cap: int = 1 << 28,
     hist = np.zeros(_HIST_BINS, np.int64)
     starts = list(range(0, total, chunk))
     for s in starts:
-        h = _chunk_k1_hist(words_pad, jnp.int32(s), chunk, n, stride)
+        h = _chunk_k1_hist(words_pad, jnp.uint32(s), chunk, n, stride)
         hist += np.asarray(h).astype(np.int64)
     hist = hist[:-1] * stride          # drop invalid bin, unscale sample
     bounds = _pick_thresholds(hist, total, sb_cap)
@@ -389,32 +397,36 @@ def blockwise_bwt(codes, *, chunk: int = 1 << 27, sb_cap: int = 1 << 28,
     _log(f"counting done: {len(bounds)-1} superblocks")
 
     # ---- per-superblock: extract -> sort -> blocks -> emit ------------------
-    SBP = sb_cap + chunk               # static superblock buffer size
-    BP = ((blk + (1 << 20)) + 15) // 16 * 16   # padded block size
+    slack = min(1 << 20, blk)          # block-cut pull-back allowance
+    BP = ((blk + slack) + 15) // 16 * 16       # padded block size
+    # static superblock buffer: block slices start anywhere in
+    # [0, sb_cap), so the buffer must extend BP past sb_cap or
+    # _block_sort26's dynamic_slice would clamp near the end
+    SBP = sb_cap + max(chunk, BP)
+    BP = min(SBP, BP)
     t_extract = t_sbsort = t_block = t_deepen = t_emit = 0.0
     deepen_rounds = 0
     out_chunks = []                    # host bwt pieces (or emit())
     rows_emitted = 0
+    n_blocks = 0
     primary_row = -1
     sb_sizes = []
-
-    sb_k1 = jnp.full(SBP, _KMAX, jnp.int32)
-    sb_pos = jnp.full(SBP, _PSENT, jnp.uint32)
 
     for si in range(len(bounds) - 1):
         klo, khi = bounds[si], bounds[si + 1]
         t0 = time.time()
+        # fresh sentinel-filled buffers: a reused buffer would leak the
+        # previous superblock's entries past the new fill frontier
+        sb_k1 = jnp.full(SBP, _KMAX, jnp.int32)
+        sb_pos = jnp.full(SBP, _PSENT, jnp.uint32)
         off = 0
         for s in starts:
-            k1s, poss = _chunk_sorted_k1pos(words_pad, jnp.int32(s),
+            k1s, poss = _chunk_sorted_k1pos(words_pad, jnp.uint32(s),
                                             chunk, n)
-            lo, hi = _search_bounds(k1s, jnp.int32(klo),
-                                    jnp.int32(min(khi, _KMAX)))
+            # valid suffixes never carry _KMAX (k1 < 5^13), so 'left' at
+            # _KMAX for the last superblock excludes only sentinels
+            lo, hi = _search_bounds(k1s, jnp.int32(klo), jnp.int32(khi))
             lo_h, hi_h = int(lo), int(hi)
-            if khi > _KMAX:            # last superblock: include k1==_KMAX?
-                hi_h = int(jnp.searchsorted(k1s, jnp.int32(_KMAX),
-                                            side="left"))
-                # valid suffixes never carry _KMAX (k1 < 5^13)
             if hi_h > lo_h:
                 if off + (hi_h - lo_h) > sb_cap:
                     raise ValueError(
@@ -422,8 +434,7 @@ def blockwise_bwt(codes, *, chunk: int = 1 << 27, sb_cap: int = 1 << 28,
                         "raise sb_cap or lower the histogram target")
                 sb_k1, sb_pos = _sb_append(
                     sb_k1, sb_pos, k1s, poss, jnp.int32(lo_h),
-                    jnp.int32(hi_h), jnp.int32(off), jnp.int32(klo),
-                    jnp.int32(khi), chunk)
+                    jnp.int32(hi_h), jnp.int32(off), chunk)
                 off += hi_h - lo_h
         sb_count = off
         sb_sizes.append(sb_count)
@@ -436,28 +447,31 @@ def blockwise_bwt(codes, *, chunk: int = 1 << 27, sb_cap: int = 1 << 28,
         sb_k1.block_until_ready()
         t_sbsort += time.time() - t0
 
-        # block cuts at k1-group boundaries
+        # block cuts at k1-group boundaries (progressively widened
+        # fetch windows; pull-back bounded by the BP pad slack)
         cuts = [0]
         while cuts[-1] + blk < sb_count:
-            cut = cuts[-1] + blk
-            win = 1 << 16
+            cut0 = cuts[-1] + blk
+            lo_lim = max(cuts[-1] + 1, cut0 - slack)
+            win = 1 << 12
             while True:
-                lo_w = max(cut - win, cuts[-1] + 1)
-                k1_win = np.asarray(sb_k1[lo_w - 1:cut + 1])
+                lo_w = max(cut0 - win, lo_lim)
+                k1_win = np.asarray(sb_k1[lo_w - 1:cut0 + 1])
                 bnd = np.nonzero(k1_win[1:] != k1_win[:-1])[0]
                 if len(bnd):
                     cuts.append(lo_w + int(bnd[-1]))
                     break
-                win *= 16
-                if win > blk:
+                if lo_w == lo_lim:
                     raise ValueError(
-                        "single k1 group exceeds block size (pathological "
-                        "repeat); raise blk")
+                        "single k1 group exceeds the block-cut slack "
+                        "(pathological repeat); raise blk")
+                win *= 16
         cuts.append(sb_count)
 
         for bi in range(len(cuts) - 1):
             start, end = cuts[bi], cuts[bi + 1]
             count = end - start
+            n_blocks += 1
             assert count <= BP, (count, BP)
             t0 = time.time()
             pos_plane, grank, tied, n_tied = _block_sort26(
@@ -477,6 +491,7 @@ def blockwise_bwt(codes, *, chunk: int = 1 << 27, sb_cap: int = 1 << 28,
                 nt = int(n_tied)
                 d += 2 * _B5
                 rounds += 1
+            rows = grp = None
             if 0 < nt <= tie_cap:
                 C = min(tie_cap, BP)
                 rows = _tied_rows(tied, C)
@@ -490,17 +505,29 @@ def blockwise_bwt(codes, *, chunk: int = 1 << 27, sb_cap: int = 1 << 28,
                     d += 2 * _B5
                     rounds += 1
             if nt > 0:
-                # pathological LCP: host direct-comparison fallback
-                if host_text1p is None:
-                    host_text1p = codes.astype(np.uint8) + 1
+                # pathological LCP (deepening round cap hit): order the
+                # remaining tied groups by direct host comparison — same
+                # comparator as the tiny-tie path of the one-shot device
+                # sort (device_sa._host_tie_order)
                 from nvbio_tpu.index.device_sa import _host_tie_order
 
-                C = min(tie_cap, BP)
-                rows = _tied_rows(tied if rounds == 0 else
-                                  (jnp.arange(BP) < 0), C)  # placeholder
-                raise NotImplementedError(
-                    f"block tie set unresolved after {rounds} deepening "
-                    f"rounds (nt={nt}); raise max_deepen")
+                if host_text1p is None:
+                    host_text1p = codes.astype(np.uint8) + 1
+                if rows is not None:
+                    rows_h = np.asarray(rows[:nt])
+                    grp_h = np.asarray(grp[:nt])
+                else:                      # full-plane path exceeded cap
+                    tied_h = np.asarray(tied)
+                    rows_h = np.nonzero(tied_h)[0].astype(np.int32)
+                    grp_h = np.asarray(grank)[rows_h]
+                pos_h = np.asarray(jnp.take(
+                    pos_plane, jnp.asarray(rows_h))).astype(np.int64)
+                new_pos = _host_tie_order(host_text1p, pos_h, grp_h,
+                                          start=d)
+                pos_plane = pos_plane.at[jnp.asarray(rows_h)].set(
+                    jnp.asarray(new_pos.astype(np.uint32)))
+                stats["host_tie_fallbacks"] = stats.get(
+                    "host_tie_fallbacks", 0) + int(nt)
             deepen_rounds += rounds
             t_deepen += time.time() - t0
 
@@ -528,7 +555,7 @@ def blockwise_bwt(codes, *, chunk: int = 1 << 27, sb_cap: int = 1 << 28,
         extract_s=round(t_extract, 2), sb_sort_s=round(t_sbsort, 2),
         block_sort_s=round(t_block, 2), deepen_s=round(t_deepen, 2),
         deepen_rounds=deepen_rounds, emit_fetch_s=round(t_emit, 2),
-        sb_sizes=sb_sizes, blocks=0, primary=primary_row,
+        sb_sizes=sb_sizes, blocks=n_blocks, primary=primary_row,
         total_s=round(time.time() - t_all, 2),
         msuffixes_per_s=round(total / (time.time() - t_all) / 1e6, 2))
     if emit is not None:

@@ -148,19 +148,26 @@ def save_bwt(bwt_codes: np.ndarray, primary: int, path: str) -> None:
     import struct
 
     bwt_codes = np.asarray(bwt_codes, np.uint8)
-    counts = np.bincount(bwt_codes, minlength=4)[:4]
-    cum = np.cumsum(counts).astype(np.uint32)
     n = len(bwt_codes)
-    n_words = (n + 15) // 16
-    padded = np.zeros(n_words * 16, np.uint32)
-    padded[:n] = bwt_codes
-    grouped = padded.reshape(n_words, 16)
+    # chunked pack/write: multi-GB BWTs (blockwise whole-genome builds)
+    # would otherwise materialize a 16x uint32 temp
+    CH = 1 << 26  # symbols per chunk, multiple of 16
+    counts = np.zeros(4, np.int64)
+    for s in range(0, n, CH):
+        counts += np.bincount(bwt_codes[s:s + CH], minlength=4)[:4]
+    cum = np.cumsum(counts).astype(np.uint32)
     shifts = (30 - 2 * np.arange(16, dtype=np.uint32)).astype(np.uint32)
-    words = np.bitwise_or.reduce(grouped << shifts, axis=1).astype(np.uint32)
     with open(path, "wb") as f:
         f.write(struct.pack("<I", primary))
         f.write(cum.astype("<u4").tobytes())
-        f.write(words.astype("<u4").tobytes())
+        for s in range(0, n, CH):
+            seg = bwt_codes[s:s + CH]
+            nw = (len(seg) + 15) // 16
+            padded = np.zeros(nw * 16, np.uint32)
+            padded[:len(seg)] = seg
+            words = np.bitwise_or.reduce(
+                padded.reshape(nw, 16) << shifts, axis=1).astype(np.uint32)
+            f.write(words.astype("<u4").tobytes())
 
 
 def load_bwt(path: str):

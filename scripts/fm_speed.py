@@ -98,6 +98,10 @@ def main():
 
     hyb = functools.partial(search_1mm_hybrid, n_approx=11)
     timed("hyb1mm_fused", hyb, fmi, seeds_flat, slens)
+    from nvbio_tpu.fmi.search import search_1mm_hybrid_topk
+
+    hybk = functools.partial(search_1mm_hybrid_topk, n_approx=11, K=8)
+    timed("hyb1mm_topk", hybk, fmi, seeds_flat, slens)
     if do_split:
         timed("bs_split", backward_search_core, fmi_split, seeds_flat, slens)
         timed("locate_split", locate_core, fmi_split, rows)

@@ -1,0 +1,102 @@
+"""Blockwise monolithic BWT (index/blockwise.py) vs the SA-IS oracle.
+
+Reference parity target: the blockwise suffix sorter of
+``/root/reference/nvbio/sufsort/blockwise_sufsort.h`` — the whole-text
+single-string BWT built block by block must equal the one-shot BWT
+bit for bit, across chunk/superblock/block decompositions, repeat-rich
+texts, and pathological tie structures."""
+
+import numpy as np
+import pytest
+
+from nvbio_tpu.fmi.index import bwt_from_sa
+from nvbio_tpu.index.blockwise import blockwise_bwt
+from nvbio_tpu.index.sa import suffix_array
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(99)
+
+
+def _oracle(codes):
+    return bwt_from_sa(codes, suffix_array(codes))
+
+
+def _check(codes, **kw):
+    bwt, primary, stats = blockwise_bwt(codes, **kw)
+    want, wprim = _oracle(codes)
+    assert primary == wprim
+    np.testing.assert_array_equal(bwt, want)
+    return stats
+
+
+def test_blockwise_random_multi_everything(rng):
+    """Random text driven through multiple chunks, superblocks, and
+    blocks (the full decomposition)."""
+    codes = rng.integers(0, 4, size=100_000, dtype=np.uint8)
+    stats = _check(codes, chunk=1 << 14, sb_cap=1 << 15, blk=1 << 13)
+    assert stats["superblocks"] >= 3
+    assert stats["blocks"] >= 8
+
+
+def test_blockwise_single_block(rng):
+    """Whole text fits one chunk / one superblock / one block."""
+    codes = rng.integers(0, 4, size=5_000, dtype=np.uint8)
+    _check(codes)
+
+
+def test_blockwise_odd_length(rng):
+    """Lengths not multiples of 16 (packing tail) and tiny texts."""
+    for ln in (1, 15, 16, 17, 255, 4097):
+        codes = rng.integers(0, 4, size=ln, dtype=np.uint8)
+        _check(codes, chunk=1 << 10, sb_cap=1 << 11, blk=1 << 9)
+
+
+def test_blockwise_repeat_rich(rng):
+    """40%-repeat text (tandem copies of a unit with ~1% divergence):
+    deepening rounds must engage and still match the oracle."""
+    unit = rng.integers(0, 4, size=700, dtype=np.uint8)
+    copies = []
+    for _ in range(40):
+        c = unit.copy()
+        mut = rng.random(700) < 0.01
+        c[mut] = rng.integers(0, 4, size=int(mut.sum()), dtype=np.uint8)
+        copies.append(c)
+    codes = np.concatenate(
+        [rng.integers(0, 4, size=30_000, dtype=np.uint8)] + copies)
+    stats = _check(codes, chunk=1 << 14, sb_cap=1 << 15, blk=1 << 13)
+    assert stats["deepen_rounds"] > 0
+
+
+def test_blockwise_homopolymer_runs(rng):
+    """Long homopolymer runs: massive tie groups exercising the
+    full-plane deepening path and (with a small cap) the host
+    comparison fallback."""
+    codes = np.concatenate([
+        rng.integers(0, 4, size=2_000, dtype=np.uint8),
+        np.zeros(3_000, np.uint8),           # A^3000
+        rng.integers(0, 4, size=2_000, dtype=np.uint8),
+        np.full(1_000, 3, np.uint8),         # T^1000
+    ])
+    _check(codes, chunk=1 << 12, sb_cap=1 << 13, blk=1 << 13,
+           tie_cap=64)
+    # force the host fallback with a tiny deepening budget
+    stats = _check(codes, chunk=1 << 12, sb_cap=1 << 13, blk=1 << 13,
+                   tie_cap=64, max_deepen=3)
+    assert stats.get("host_tie_fallbacks", 0) > 0
+
+
+def test_blockwise_emit_streaming(rng):
+    """emit() streaming path: concatenated emitted blocks (primary row
+    included) equal the full n+1-row BWT plane."""
+    codes = rng.integers(0, 4, size=20_000, dtype=np.uint8)
+    pieces = []
+    _, primary, _ = blockwise_bwt(
+        codes, chunk=1 << 13, sb_cap=1 << 14, blk=1 << 12,
+        emit=pieces.append)
+    full = np.concatenate(pieces)
+    assert len(full) == len(codes) + 1
+    want, wprim = _oracle(codes)
+    assert primary == wprim
+    np.testing.assert_array_equal(np.delete(full, primary), want)

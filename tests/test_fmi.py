@@ -537,3 +537,50 @@ def test_device_sa_tie_paths(rng):
         got = suffix_array_device(t)
         want = suffix_array(t)
         assert np.array_equal(got, want), name
+
+
+def test_search_1mm_hybrid_topk(rng):
+    """The top-K compacted hybrid keeps exactly the nonempty branch
+    ranges of the full hybrid (as (lo, hi) multisets) whenever the
+    per-seed survivor count fits K, and never invents ranges."""
+    import jax
+
+    from nvbio_tpu.fmi.search import search_1mm_hybrid, search_1mm_hybrid_topk
+
+    text = rng.integers(0, 4, size=4000).astype(np.uint8)
+    fmi = build_fmindex(text).device()
+    B, L, A, K = 48, 16, 8, 8
+    qs = []
+    for b in range(B):
+        p = int(rng.integers(0, len(text) - L))
+        q = text[p:p + L].astype(np.int32).copy()
+        if b % 2 == 0:
+            q[int(rng.integers(0, A))] = (q[int(rng.integers(0, A))] + 1) % 4
+        qs.append(q)
+    queries = jnp.asarray(np.stack(qs))
+    qlens = jnp.full((B,), L, jnp.int32)
+
+    he_lo, he_hi, h_lo, h_hi, _ = jax.jit(
+        search_1mm_hybrid, static_argnames=("n_approx",))(
+        fmi, queries, qlens, n_approx=A)
+    te_lo, te_hi, t_lo, t_hi = jax.jit(
+        search_1mm_hybrid_topk, static_argnames=("n_approx", "K"))(
+        fmi, queries, qlens, n_approx=A, K=K)
+    np.testing.assert_array_equal(np.asarray(he_lo), np.asarray(te_lo))
+    np.testing.assert_array_equal(np.asarray(he_hi), np.asarray(te_hi))
+    h_lo, h_hi = np.asarray(h_lo).reshape(B, -1), np.asarray(h_hi).reshape(B, -1)
+    t_lo, t_hi = np.asarray(t_lo), np.asarray(t_hi)
+    found_any = 0
+    for b in range(B):
+        want = sorted((int(l), int(h)) for l, h in zip(h_lo[b], h_hi[b])
+                      if h > l)
+        got = sorted((int(l), int(h)) for l, h in zip(t_lo[b], t_hi[b])
+                     if h > l)
+        if len(want) <= K:
+            assert got == want, b
+        else:
+            assert len(got) == K
+            for r in got:
+                assert r in want, b
+        found_any += len(got)
+    assert found_any > 0
