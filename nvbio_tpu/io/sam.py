@@ -87,7 +87,9 @@ class SamRecord:
                 elif isinstance(v, (int, np.integer)):
                     cols.append(f"{k}:i:{v}")
                 elif isinstance(v, (float, np.floating)):
-                    cols.append(f"{k}:f:{v:g}")
+                    # .9g round-trips float32 exactly (htslib's %g loses
+                    # the low digits); still valid SAM
+                    cols.append(f"{k}:f:{v:.9g}")
                 else:
                     cols.append(f"{k}:Z:{v}")
         return "\t".join(cols)
