@@ -102,6 +102,13 @@ def _gather_b5_keys(words_pad, pos_u32, d, n: int, nkeys: int):
     return keys
 
 
+@functools.partial(jax.jit, static_argnames=("total",), donate_argnums=(0,))
+def _pad_words_dev(w, total: int):
+    """Zero-extend the uploaded words to the padded plane on device (the
+    pad bytes never cross the relay)."""
+    return jnp.zeros(total, jnp.uint32).at[:w.shape[0]].set(w)
+
+
 # ---------------------------------------------------------------------------
 # counting pass
 # ---------------------------------------------------------------------------
@@ -372,9 +379,7 @@ def blockwise_bwt(codes, *, chunk: int = 1 << 27, sb_cap: int = 1 << 28,
     # deepening gathers' clamp slack): pad bytes never cross the relay
     padw = chunk // 16 + 16
     wdev = jnp.asarray(words_np)
-    words_pad = jax.jit(
-        lambda w: jnp.zeros(nw + padw, jnp.uint32).at[:nw].set(w),
-        donate_argnums=0)(wdev)
+    words_pad = _pad_words_dev(wdev, nw + padw)
     int(np.asarray(words_pad[:1])[0])
     stats["upload_s"] = round(time.time() - t0, 2)
     stats["upload_mb"] = round(words_np.nbytes / 2**20, 1)
