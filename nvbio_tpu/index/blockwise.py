@@ -102,11 +102,11 @@ def _gather_b5_keys(words_pad, pos_u32, d, n: int, nkeys: int):
     return keys
 
 
-@functools.partial(jax.jit, static_argnames=("total",), donate_argnums=(0,))
-def _pad_words_dev(w, total: int):
-    """Zero-extend the uploaded words to the padded plane on device (the
-    pad bytes never cross the relay)."""
-    return jnp.zeros(total, jnp.uint32).at[:w.shape[0]].set(w)
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _upload_chunk(buf, wc, w0):
+    """Write one uploaded word chunk into the (donated) device text plane;
+    the zero pad past the text never crosses the relay."""
+    return jax.lax.dynamic_update_slice(buf, wc, (w0,))
 
 
 # ---------------------------------------------------------------------------
@@ -369,37 +369,34 @@ def blockwise_bwt(codes, *, chunk: int = 1 << 27, sb_cap: int = 1 << 28,
     if chunk % 16:
         chunk += 16 - chunk % 16
 
-    # ---- upload (2-bit packed; the only text transfer) ---------------------
+    # ---- host-side sampled counting (superblock thresholds) ----------------
     t0 = time.time()
-    words_np = packed.pack(codes, 2)
-    stats["host_pack_s"] = round(time.time() - t0, 2)
-    t0 = time.time()
-    nw = len(words_np)
-    # device-side zero pad wide enough for the last chunk's window (+ the
-    # deepening gathers' clamp slack): pad bytes never cross the relay
-    padw = chunk // 16 + 16
-    wdev = jnp.asarray(words_np)
-    words_pad = _pad_words_dev(wdev, nw + padw)
-    int(np.asarray(words_pad[:1])[0])
-    stats["upload_s"] = round(time.time() - t0, 2)
-    stats["upload_mb"] = round(words_np.nbytes / 2**20, 1)
-    del words_np, wdev
-
-    host_text1p = None                 # lazy host mirror for tie fallback
-
-    # ---- counting pass ------------------------------------------------------
-    t0 = time.time()
-    stride = max(1, min(64, total // (1 << 16) or 1))
-    hist = np.zeros(_HIST_BINS, np.int64)
-    starts = list(range(0, total, chunk))
-    for s in starts:
-        h = _chunk_k1_hist(words_pad, jnp.uint32(s), chunk, n, stride)
-        hist += np.asarray(h).astype(np.int64)
-    hist = hist[:-1] * stride          # drop invalid bin, unscale sample
+    stride = max(1, total >> 24) or 1
+    sample = np.arange(0, total, stride, dtype=np.int64)
+    key = np.zeros(len(sample), np.int64)
+    for j in range(_B5):
+        idx = sample + j
+        sym = np.where(idx < n, codes[np.minimum(idx, n - 1)].astype(
+            np.int64) + 1, 0)
+        key = key * 5 + sym
+    hist = np.bincount((key >> _HIST_SHIFT), minlength=_HIST_BINS) * stride
+    sb_cap = min(sb_cap, total + 16)   # right-size buffers for small texts
     bounds = _pick_thresholds(hist, total, sb_cap)
     stats["counting_s"] = round(time.time() - t0, 2)
     stats["superblocks"] = len(bounds) - 1
-    _log(f"counting done: {len(bounds)-1} superblocks")
+    _log(f"counting done (host sample): {len(bounds)-1} superblocks")
+
+    # ---- pack; upload happens chunk-interleaved inside pass 0 --------------
+    t0 = time.time()
+    words_np = packed.pack(codes, 2)
+    stats["host_pack_s"] = round(time.time() - t0, 2)
+    nw = len(words_np)
+    padw = chunk // 16 + 16
+    words_pad = jnp.zeros(nw + padw, jnp.uint32)
+    stats["upload_mb"] = round(words_np.nbytes / 2**20, 1)
+
+    host_text1p = None                 # lazy host mirror for tie fallback
+    starts = list(range(0, total, chunk))
 
     # ---- per-superblock: extract -> sort -> blocks -> emit ------------------
     slack = min(1 << 20, blk)          # block-cut pull-back allowance
@@ -409,13 +406,50 @@ def blockwise_bwt(codes, *, chunk: int = 1 << 27, sb_cap: int = 1 << 28,
     # _block_sort26's dynamic_slice would clamp near the end
     SBP = sb_cap + max(chunk, BP)
     BP = min(SBP, BP)
-    t_extract = t_sbsort = t_block = t_deepen = t_emit = 0.0
+    t_extract = t_sbsort = t_block = t_deepen = 0.0
+    t_upload = 0.0
     deepen_rounds = 0
-    out_chunks = []                    # host bwt pieces (or emit())
-    rows_emitted = 0
     n_blocks = 0
-    primary_row = -1
     sb_sizes = []
+
+    # ---- emission consumer: overlaps the bn/4-byte relay fetch of block
+    # b with the device sorting block b+1 (the fetch is the measured wall
+    # of the 400 Mbp shakeout: ~1.7 MB/s through the tunnel)
+    import queue as _queue
+    import threading
+
+    emitq: "_queue.Queue" = _queue.Queue(maxsize=2)
+    estate = {"rows": 0, "primary": -1, "err": None, "t_emit": 0.0,
+              "out": []}
+
+    def _consume():
+        shifts = (2 * np.arange(16, dtype=np.uint32)).astype(np.uint32)
+        while True:
+            item = emitq.get()
+            if item is None:
+                return
+            if estate["err"] is not None:
+                continue
+            try:
+                bwords, prim, count = item
+                t0 = time.time()
+                bw_h = np.asarray(bwords)
+                prim_h = int(prim)
+                syms = ((bw_h[:, None] >> shifts) & 3).astype(
+                    np.uint8).reshape(-1)[:count]
+                if prim_h >= 0:
+                    estate["primary"] = estate["rows"] + prim_h
+                estate["rows"] += count
+                if emit is not None:
+                    emit(syms)
+                else:
+                    estate["out"].append(syms)
+                estate["t_emit"] += time.time() - t0
+            except Exception as e:  # noqa: BLE001 — re-raised on join
+                estate["err"] = e
+
+    consumer = threading.Thread(target=_consume, daemon=True)
+    consumer.start()
 
     for si in range(len(bounds) - 1):
         klo, khi = bounds[si], bounds[si + 1]
@@ -425,9 +459,31 @@ def blockwise_bwt(codes, *, chunk: int = 1 << 27, sb_cap: int = 1 << 28,
         sb_k1 = jnp.full(SBP, _KMAX, jnp.int32)
         sb_pos = jnp.full(SBP, _PSENT, jnp.uint32)
         off = 0
-        for s in starts:
+        uploaded = 0
+        cw = chunk // 16
+
+        def _upload_next():
+            nonlocal uploaded, words_pad, t_upload
+            tu = time.time()
+            w0, w1 = uploaded * cw, min((uploaded + 1) * cw, nw)
+            if w1 > w0:
+                wc = jnp.asarray(words_np[w0:w1])
+                words_pad = _upload_chunk(words_pad, wc, jnp.int32(w0))
+            uploaded += 1
+            t_upload += time.time() - tu
+
+        for ci, s in enumerate(starts):
+            if si == 0:
+                # keep a 2-chunk upload lookahead: chunk ci's keys read
+                # ~2 words into chunk ci+1, and enqueueing extraction
+                # BEFORE the ci+2 transfer lets that transfer ride the
+                # relay while the device sorts
+                while uploaded <= min(ci + 1, len(starts) - 1):
+                    _upload_next()
             k1s, poss = _chunk_sorted_k1pos(words_pad, jnp.uint32(s),
                                             chunk, n)
+            if si == 0 and uploaded <= min(ci + 2, len(starts) - 1):
+                _upload_next()
             # valid suffixes never carry _KMAX (k1 < 5^13), so 'left' at
             # _KMAX for the last superblock excludes only sentinels
             lo, hi = _search_bounds(k1s, jnp.int32(klo), jnp.int32(khi))
@@ -444,6 +500,8 @@ def blockwise_bwt(codes, *, chunk: int = 1 << 27, sb_cap: int = 1 << 28,
         sb_count = off
         sb_sizes.append(sb_count)
         t_extract += time.time() - t0
+        if si == 0:
+            del words_np
         if sb_count == 0:
             continue
 
@@ -536,37 +594,37 @@ def blockwise_bwt(codes, *, chunk: int = 1 << 27, sb_cap: int = 1 << 28,
             deepen_rounds += rounds
             t_deepen += time.time() - t0
 
-            # ---- emit -----------------------------------------------------
-            t0 = time.time()
+            # ---- emit (async: the consumer thread fetches) ----------------
             bwords, prim = _block_bwt(words_pad, pos_plane,
                                       jnp.int32(count), n)
-            bw_h = np.asarray(bwords)
-            prim_h = int(prim)
-            shifts = (2 * np.arange(16, dtype=np.uint32)).astype(np.uint32)
-            syms = ((bw_h[:, None] >> shifts) & 3).astype(
-                np.uint8).reshape(-1)[:count]
-            if prim_h >= 0:
-                primary_row = rows_emitted + prim_h
-            rows_emitted += count
-            if emit is not None:
-                emit(syms)
-            else:
-                out_chunks.append(syms)
-            t_emit += time.time() - t0
+            emitq.put((bwords, prim, count))
+            if estate["err"] is not None:
+                break
+        if estate["err"] is not None:
+            break
 
+    emitq.put(None)
+    consumer.join()
+    if estate["err"] is not None:
+        raise estate["err"]
+    rows_emitted = estate["rows"]
+    primary_row = estate["primary"]
     assert rows_emitted == total, (rows_emitted, total)
     assert primary_row >= 0
     stats.update(
-        extract_s=round(t_extract, 2), sb_sort_s=round(t_sbsort, 2),
+        upload_s=round(t_upload, 2),
+        extract_s=round(t_extract - t_upload, 2),
+        sb_sort_s=round(t_sbsort, 2),
         block_sort_s=round(t_block, 2), deepen_s=round(t_deepen, 2),
-        deepen_rounds=deepen_rounds, emit_fetch_s=round(t_emit, 2),
+        deepen_rounds=deepen_rounds,
+        emit_fetch_s=round(estate["t_emit"], 2),
         sb_sizes=sb_sizes, blocks=n_blocks, primary=primary_row,
         total_s=round(time.time() - t_all, 2),
         msuffixes_per_s=round(total / (time.time() - t_all) / 1e6, 2))
     if emit is not None:
         return None, primary_row, stats
     t0 = time.time()
-    full = np.concatenate(out_chunks)
+    full = np.concatenate(estate["out"])
     bwt = np.delete(full, primary_row)
     stats["host_assemble_s"] = round(time.time() - t0, 2)
     return bwt, primary_row, stats
