@@ -202,6 +202,15 @@ def _search_bounds(k1s, klo, khi):
     return lo.astype(jnp.int32), hi.astype(jnp.int32)
 
 
+@jax.jit
+def _search_all_bounds(k1s, thresholds):
+    """Segment boundaries for ALL superblock thresholds in one call —
+    one small fetch instead of two scalar round trips per (chunk,
+    superblock): each scalar fetch costs ~0.6 s on the relay, which was
+    the measured extraction wall."""
+    return jnp.searchsorted(k1s, thresholds, side="left").astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # block sort
 # ---------------------------------------------------------------------------
@@ -451,6 +460,9 @@ def blockwise_bwt(codes, *, chunk: int = 1 << 27, sb_cap: int = 1 << 28,
     consumer = threading.Thread(target=_consume, daemon=True)
     consumer.start()
 
+    chunk_bounds = {}                  # (chunk idx) -> boundary row, pass 0
+    thresholds = jnp.asarray(np.asarray(bounds, np.int32))
+
     for si in range(len(bounds) - 1):
         klo, khi = bounds[si], bounds[si + 1]
         t0 = time.time()
@@ -485,9 +497,14 @@ def blockwise_bwt(codes, *, chunk: int = 1 << 27, sb_cap: int = 1 << 28,
             if si == 0 and uploaded <= min(ci + 2, len(starts) - 1):
                 _upload_next()
             # valid suffixes never carry _KMAX (k1 < 5^13), so 'left' at
-            # _KMAX for the last superblock excludes only sentinels
-            lo, hi = _search_bounds(k1s, jnp.int32(klo), jnp.int32(khi))
-            lo_h, hi_h = int(lo), int(hi)
+            # _KMAX for the last superblock excludes only sentinels.
+            # Boundaries are deterministic per chunk: computed for ALL
+            # thresholds in pass 0 (one small fetch) and cached.
+            if ci not in chunk_bounds:
+                chunk_bounds[ci] = np.asarray(
+                    _search_all_bounds(k1s, thresholds))
+            lo_h = int(chunk_bounds[ci][si])
+            hi_h = int(chunk_bounds[ci][si + 1])
             if hi_h > lo_h:
                 if off + (hi_h - lo_h) > sb_cap:
                     raise ValueError(

@@ -119,6 +119,51 @@ def main():
     out["qgram_build_host_s"] = round(time.time() - t0, 1)
     flush()
 
+    # --- device SA on ADVERSARIAL texts (VERDICT r4 item 5) ------------------
+    # The 95.4 Msuf/s headline rode the easy path (random text resolves in
+    # one bootstrap round). Measure the tie machinery the hard way:
+    # 40%-repeat genome (compacted/full-plane doubling) and a homopolymer-
+    # run genome (massive tie groups).
+    from nvbio_tpu.utils.simgenome import repeat_rich_genome
+
+    def sa_leg(name, text):
+        c1 = _c1p_of(text)
+        mir = (text + 1).astype(np.uint8)
+        sa1 = _sa_of(c1, len(text) + 1, mir)
+        int(np.asarray(sa1[:1])[0])            # compile + first run
+        t1 = time.time()
+        sa1 = _sa_of(c1, len(text) + 1, mir)
+        int(np.asarray(sa1[:1])[0])
+        dt1 = time.time() - t1
+        out[f"{name}_device_sa_s"] = round(dt1, 1)
+        out[f"{name}_device_sa_msuffixes_per_s"] = round(
+            len(text) / dt1 / 1e6, 1)
+        # parity on a 2 Mbp prefix against host SA-IS
+        from nvbio_tpu.index.device_sa import suffix_array_device
+        from nvbio_tpu.index.sa import suffix_array
+
+        pro = text[: 1 << 21]
+        assert np.array_equal(suffix_array_device(pro),
+                              suffix_array(pro))
+        del sa1, c1
+        flush()
+
+    rg = repeat_rich_genome(GENOME, seed=0xD1CE, repeat_frac=0.40)
+    sa_leg("repeat", rg)
+    del rg
+    # homopolymer-run text: 1% of the genome as embedded poly-A runs of
+    # 2-20 kbp (the full-plane doubling path)
+    hp = rng.integers(0, 4, size=GENOME, dtype=np.uint8)
+    hrng = np.random.default_rng(7)
+    budget = GENOME // 100
+    while budget > 0:
+        ln = int(hrng.integers(2_000, 20_000))
+        p = int(hrng.integers(0, GENOME - ln))
+        hp[p:p + ln] = 0
+        budget -= ln
+    sa_leg("homopolymer", hp)
+    del hp
+
     # --- sharded device build (multi-Gbp form) ------------------------------
     del genome
     _run_sharded(out, flush)

@@ -11,6 +11,8 @@ validation, ``nvBowtie/nvBowtie.dox:40-50``).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pytest
 
@@ -32,15 +34,48 @@ def _check_se_record(rec, codes, genome_str, genome_codes, *, mode="end-to-end",
         min_s = oracle.score_min(len(codes))
     if quals is None:
         quals = np.full(len(codes), 30)
+    codes = np.asarray(codes)
+    rl = len(codes)
+
+    # ---- structural completeness of EVERY SAM column --------------------
+    # FLAG bit-exactness: a primary SE record may carry only 0x4/0x10
+    assert rec.flag & ~0x14 == 0, (rec.qname, rec.flag)
+    assert 0 <= rec.mapq <= 254, rec.qname
+    # SEQ is the read verbatim (0x10: its reverse complement), QUAL the
+    # qualities in the same orientation
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+    fwd = "".join("ACGTN"[min(int(c), 4)] for c in codes)
+    want_seq = ("".join(comp[c] for c in reversed(fwd))
+                if rec.flag & 0x10 else fwd)
+    assert rec.seq == want_seq, (rec.qname, rec.seq, want_seq)
+    q_fwd = "".join(chr(int(q) + 33) for q in np.asarray(quals)[:rl])
+    want_q = q_fwd[::-1] if rec.flag & 0x10 else q_fwd
+    assert rec.qual == want_q, rec.qname
+    # SE: no mate columns
+    assert (rec.rnext, rec.pnext, rec.tlen) == ("*", 0, 0), rec.qname
+
     # --n-ceil: over-N reads are filtered regardless of score
     filtered = int(np.sum(np.asarray(codes) > 3)) > oracle.n_ceil(len(codes))
     opt = oracle.best_alignments(genome_codes, codes, quals,
                                  mode=mode, match_bonus=match_bonus)
     if rec.flag & 0x4:
+        # unmapped placement conventions
+        assert (rec.rname, rec.pos, rec.mapq, rec.cigar) == \
+            ("*", 0, 0, "*"), (rec.qname, "unmapped column conventions")
+        assert rec.flag & ~0x14 == 0, rec.qname
         assert filtered or opt["best"] < min_s, (
             f"{rec.qname}: reported unmapped but an alignment scoring "
             f"{opt['best']} >= {min_s} exists")
         return
+    # mapped placement: POS within the contig, CIGAR consumes the read
+    assert rec.rname != "*" and rec.pos >= 1, rec.qname
+    qspan = sum(int(m.group(1))
+                for m in re.finditer(r"(\d+)([MIS=X])", rec.cigar))
+    assert qspan == rl == len(rec.seq), (rec.qname, rec.cigar)
+    rspan = sum(int(m.group(1))
+                for m in re.finditer(r"(\d+)([MDN=X])", rec.cigar))
+    assert rec.pos - 1 + rspan <= len(genome_codes), (
+        rec.qname, "alignment extends past the contig end")
     assert not filtered, (
         f"{rec.qname}: mapped but exceeds the --n-ceil N filter")
     assert opt["best"] >= min_s, (
@@ -77,6 +112,11 @@ def _check_se_record(rec, codes, genome_str, genome_codes, *, mode="end-to-end",
         assert rec.mapq == want_q, (
             f"{rec.qname}: MAPQ={rec.mapq}, independent model says {want_q} "
             f"(best={opt['best']} second={opt['second']} has2={has2})")
+    # XS PRESENCE rule (bowtie2: emitted iff a valid secondary alignment
+    # exists), not just value-when-present
+    if mode == "end-to-end":
+        assert ("XS" in (rec.tags or {})) == has2, (
+            rec.qname, "XS presence", has2, rec.tags)
     if has2 and "XS" in (rec.tags or {}):
         assert rec.tags["XS"] == opt["second"], (
             rec.qname, rec.tags["XS"], opt["second"])
@@ -173,6 +213,17 @@ def test_pe_against_oracle(mapped_se):
             assert r.flag & 0x1, name
         both_mapped = not ((r1.flag | r2.flag) & 0x4)
         if not both_mapped:
+            # UP class: mates aligned separately (or not at all) — check
+            # mate-unmapped bits, unmapped placement, and the YT tag
+            for a, b in ((r1, r2), (r2, r1)):
+                assert bool(a.flag & 0x8) == bool(b.flag & 0x4), name
+                if a.flag & 0x4:
+                    assert (a.rname, a.pos, a.mapq, a.cigar) == \
+                        ("*", 0, 0, "*"), (name, "unmapped placement")
+                    assert not (a.flag & 0x2), name
+                else:
+                    assert a.tags["YT"] == "UP", (name, a.tags)
+                    assert not (a.flag & 0x2), name
             continue
         # mate cross-fields
         for a, b in ((r1, r2), (r2, r1)):
