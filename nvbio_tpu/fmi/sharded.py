@@ -87,7 +87,8 @@ def _build_slice_worker(arg):
 
 def shard_fmindex(codes: np.ndarray, n_shards: int,
                   overlap: int = 256, method: str = "auto",
-                  jobs: int = 1, resident: bool = False) -> ShardedFMIndex:
+                  jobs: int = 1, resident: bool = False,
+                  on_slice=None) -> ShardedFMIndex:
     """Build D equal-shape per-slice FM-indexes.
 
     Every slice covers [d * slice_len, d * slice_len + slice_len + overlap)
@@ -138,7 +139,16 @@ def shard_fmindex(codes: np.ndarray, n_shards: int,
         from nvbio_tpu.fmi.rank import build_rank_table_device
         from nvbio_tpu.fmi.rank import want_fused_ranktab as _want_rt
 
-        subs = [build_fmindex_device(sl, to_host=False) for sl in slices]
+        import time as _t
+
+        subs = []
+        for _d, sl in enumerate(slices):
+            _t0 = _t.time()
+            fx = build_fmindex_device(sl, to_host=False)
+            int(np.asarray(fx.bwt_words[:1])[0])
+            subs.append(fx)
+            if on_slice:
+                on_slice(_d, _t.time() - _t0)
         stack = lambda f: jnp.stack([getattr(x, f) for x in subs])
         return ShardedFMIndex(
             n_shards=n_shards, slice_len=slice_len, overlap=overlap, n=n,

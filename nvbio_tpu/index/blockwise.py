@@ -242,6 +242,20 @@ def _block_sort26(words_pad, sb_k1, sb_pos, start, count, BP: int, n: int):
 
 
 @functools.partial(jax.jit, static_argnames=("C",))
+def _tied_slots_blk(pos_plane, grank, tied, C: int):
+    """(rows, pos, grp) of the <= C tied block slots, ascending — top_k
+    instead of a BP-wide sort (the device_sa tiny-tie trick): when a
+    block leaves only a handful of 26-symbol collisions (random text:
+    ~3 per 170M-suffix block), the host orders them directly and the
+    full deepening machinery never runs."""
+    BP = tied.shape[0]
+    idx = jnp.arange(BP, dtype=jnp.int32)
+    neg = jnp.where(tied, -idx, jnp.int32(-(1 << 30)))
+    _, rows = jax.lax.top_k(neg, C)
+    return rows, jnp.take(pos_plane, rows), jnp.take(grank, rows)
+
+
+@functools.partial(jax.jit, static_argnames=("C",))
 def _tied_rows(tied, C: int):
     """Ascending tied slot indices (padded with BP) via a stable 1-key
     sort (same trick as device_sa._sa_tie_doubling)."""
@@ -350,8 +364,8 @@ def _pick_thresholds(hist: np.ndarray, total: int, sb_cap: int):
 
 def blockwise_bwt(codes, *, chunk: int = 1 << 27, sb_cap: int = 1 << 28,
                   blk: int = 160 << 20, tie_cap: int = 1 << 22,
-                  max_deepen: int = 200, log=None,
-                  emit=None):
+                  max_deepen: int = 200, host_tie_cap: int = 4096,
+                  log=None, emit=None):
     """Single-string BWT of ``codes`` (uint8 0..3, any length < 2**32-16)
     built blockwise on the default JAX device.
 
@@ -395,14 +409,20 @@ def blockwise_bwt(codes, *, chunk: int = 1 << 27, sb_cap: int = 1 << 28,
     stats["superblocks"] = len(bounds) - 1
     _log(f"counting done (host sample): {len(bounds)-1} superblocks")
 
-    # ---- pack; upload happens chunk-interleaved inside pass 0 --------------
-    t0 = time.time()
-    words_np = packed.pack(codes, 2)
-    stats["host_pack_s"] = round(time.time() - t0, 2)
-    nw = len(words_np)
+    # ---- pack + upload happen chunk-interleaved inside pass 0 --------------
+    # (a monolithic host pack of a 3.1 Gbp genome costs ~3.5 min on this
+    # one-core container; per-chunk packing hides it behind device sorts)
+    nw = (n + 15) // 16
     padw = chunk // 16 + 16
     words_pad = jnp.zeros(nw + padw, jnp.uint32)
-    stats["upload_mb"] = round(words_np.nbytes / 2**20, 1)
+    stats["upload_mb"] = round(nw * 4 / 2**20, 1)
+    t_pack_box = [0.0]
+
+    def _pack_chunk(k):
+        t0 = time.time()
+        w = packed.pack(codes[k * chunk: (k + 1) * chunk], 2)
+        t_pack_box[0] += time.time() - t0
+        return w
 
     host_text1p = None                 # lazy host mirror for tie fallback
     starts = list(range(0, total, chunk))
@@ -479,7 +499,7 @@ def blockwise_bwt(codes, *, chunk: int = 1 << 27, sb_cap: int = 1 << 28,
             tu = time.time()
             w0, w1 = uploaded * cw, min((uploaded + 1) * cw, nw)
             if w1 > w0:
-                wc = jnp.asarray(words_np[w0:w1])
+                wc = jnp.asarray(_pack_chunk(uploaded)[: w1 - w0])
                 words_pad = _upload_chunk(words_pad, wc, jnp.int32(w0))
             uploaded += 1
             t_upload += time.time() - tu
@@ -517,8 +537,6 @@ def blockwise_bwt(codes, *, chunk: int = 1 << 27, sb_cap: int = 1 << 28,
         sb_count = off
         sb_sizes.append(sb_count)
         t_extract += time.time() - t0
-        if si == 0:
-            del words_np
         if sb_count == 0:
             continue
 
@@ -564,6 +582,25 @@ def blockwise_bwt(codes, *, chunk: int = 1 << 27, sb_cap: int = 1 << 28,
             t0 = time.time()
             d = 2 * _B5
             rounds = 0
+            if 0 < nt <= host_tie_cap:
+                # host tiny-tie fast path: order the few collisions by
+                # direct text comparison, skip deepening entirely
+                from nvbio_tpu.index.device_sa import _host_tie_order
+
+                if host_text1p is None:
+                    host_text1p = codes.astype(np.uint8) + 1
+                rows_d, pos_d, grp_d = _tied_slots_blk(
+                    pos_plane, grank, tied, min(host_tie_cap, BP))
+                rows_h = np.asarray(rows_d[:nt])
+                pos_h = np.asarray(pos_d[:nt]).astype(np.int64)
+                grp_h = np.asarray(grp_d[:nt])
+                new_pos = _host_tie_order(host_text1p, pos_h, grp_h,
+                                          start=d)
+                pos_plane = pos_plane.at[jnp.asarray(rows_h)].set(
+                    jnp.asarray(new_pos.astype(np.uint32)))
+                stats["host_tie_small"] = stats.get(
+                    "host_tie_small", 0) + int(nt)
+                nt = 0
             while nt > tie_cap and rounds < max_deepen:
                 pos_plane, grank, tied, n_tied = _deepen_full(
                     words_pad, pos_plane, grank, jnp.int32(count),
@@ -629,7 +666,8 @@ def blockwise_bwt(codes, *, chunk: int = 1 << 27, sb_cap: int = 1 << 28,
     assert rows_emitted == total, (rows_emitted, total)
     assert primary_row >= 0
     stats.update(
-        upload_s=round(t_upload, 2),
+        host_pack_s=round(t_pack_box[0], 2),
+        upload_s=round(t_upload - t_pack_box[0], 2),
         extract_s=round(t_extract - t_upload, 2),
         sb_sort_s=round(t_sbsort, 2),
         block_sort_s=round(t_block, 2), deepen_s=round(t_deepen, 2),

@@ -65,8 +65,12 @@ def test_blockwise_repeat_rich(rng):
         copies.append(c)
     codes = np.concatenate(
         [rng.integers(0, 4, size=30_000, dtype=np.uint8)] + copies)
-    stats = _check(codes, chunk=1 << 14, sb_cap=1 << 15, blk=1 << 13)
+    stats = _check(codes, chunk=1 << 14, sb_cap=1 << 15, blk=1 << 13,
+                   host_tie_cap=0)          # force the deepening path
     assert stats["deepen_rounds"] > 0
+    # default config: small tie sets take the host tiny-tie fast path
+    stats2 = _check(codes, chunk=1 << 14, sb_cap=1 << 15, blk=1 << 13)
+    assert stats2.get("host_tie_small", 0) > 0 or stats2["deepen_rounds"] > 0
 
 
 def test_blockwise_homopolymer_runs(rng):
@@ -81,9 +85,10 @@ def test_blockwise_homopolymer_runs(rng):
     ])
     _check(codes, chunk=1 << 12, sb_cap=1 << 13, blk=1 << 13,
            tie_cap=64)
-    # force the host fallback with a tiny deepening budget
+    # force the host fallback with a tiny deepening budget (tiny-tie
+    # path disabled so the round-capped deepening machinery engages)
     stats = _check(codes, chunk=1 << 12, sb_cap=1 << 13, blk=1 << 13,
-                   tie_cap=64, max_deepen=3)
+                   tie_cap=64, max_deepen=3, host_tie_cap=0)
     assert stats.get("host_tie_fallbacks", 0) > 0
 
 
