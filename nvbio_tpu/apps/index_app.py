@@ -14,6 +14,8 @@ from __future__ import annotations
 import argparse
 import time
 
+import numpy as np
+
 
 def add_parser(sub):
     p = sub.add_parser("index", help="build reference index artifacts")
@@ -36,6 +38,11 @@ def add_parser(sub):
                    help="also write BWA-compatible .pac/.ann/.amb")
     p.add_argument("--bwt", action="store_true",
                    help="with --fmi: also write the nvBWT-format .bwt file")
+    p.add_argument("--bwt-blockwise", action="store_true",
+                   help="write the nvBWT .bwt via the blockwise device "
+                        "suffix sorter (multi-GB texts beyond the int32 "
+                        "FM-index cap; nvBWT tool parity, "
+                        "sufsort/blockwise_sufsort.h)")
     p.set_defaults(func=run)
     return p
 
@@ -74,6 +81,19 @@ def run(args):
 
         save_reference_pac(ref, args.prefix)
         log_info(f"wrote {args.prefix}.pac/.ann/.amb (BWA-compatible)")
+
+    if args.bwt_blockwise:
+        from nvbio_tpu.index.blockwise import blockwise_bwt
+        from nvbio_tpu.io.pac import save_bwt
+
+        t0 = time.time()
+        bwt, primary, bstats = blockwise_bwt(np.asarray(ref.codes))
+        save_bwt(bwt, primary, args.prefix + ".bwt")
+        log_stats(
+            f"blockwise device BWT built in {time.time()-t0:.1f}s "
+            f"({bstats['blocks']} blocks / {bstats['superblocks']} "
+            f"superblocks, primary={primary})")
+        log_info(f"wrote {args.prefix}.bwt (nvBWT format)")
 
     if args.fmi:
         from nvbio_tpu.fmi.index import build_fmindex
