@@ -523,6 +523,7 @@ def main():
     extras["index_speed"] = _aux_json("INDEX_SPEED.json")
     extras["bwte_speed"] = _aux_json("BWTE_SPEED.json")
     extras["bwte_speed_device"] = _aux_json("BWTE_SPEED_DEVICE.json")
+    extras["blockwise_bwt_3g"] = _aux_json("BLOCKWISE_BWT_3G.json")
     if errors:
         extras["errors"] = errors
 

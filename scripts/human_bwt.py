@@ -1,10 +1,12 @@
 """Whole-genome single-string BWT: 3.1 Gbp through the 64-bit SA-IS engine.
 
 The reference's headline sufsort capability is the whole-human-genome BWT
-(Tesla K20, < 2 min; ``nvbio/sufsort/sufsort.h:45-47``). This drives the
-equivalent here: native O(n) SA-IS with 64-bit indices -> BWT -> the
+(Tesla K20, < 2 min; ``nvbio/sufsort/sufsort.h:45-47``). This is the HOST
+fallback path: native O(n) SA-IS with 64-bit indices -> BWT -> the
 nvBWT-format .bwt artifact (``io/pac.py:save_bwt``), at NCBI36 scale.
-Single host core; working set ~35-45 GB.
+Single host core; working set ~35-45 GB; ~75 min. The DEVICE answer is
+``scripts/blockwise_bwt_3g.py`` (index --bwt-blockwise): 17.9 min on one
+v5e through a ~2 MB/s relay (BLOCKWISE_BWT_3G.json).
 
 Run:  python scripts/human_bwt.py
 """
