@@ -87,6 +87,10 @@ def _inv_rank(sa, rank_sorted):
 # loop needs to touch ~0.001% of the rows — sorting all m of them again
 # (the classic prefix-doubling round) wastes 1.4 s per round at 100 Mbp
 _TIE_CAP = 1 << 20
+# compacted-capacity ladder (monkeypatch to () in tests to force the
+# full-plane fallback): each rung is one extra compile, used only when a
+# text's tie count reaches it
+_TIE_CAPS = (_TIE_CAP, 16 << 20, 64 << 20)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "C"))
@@ -294,11 +298,14 @@ def _sa_of(c1p: jnp.ndarray, m: int,
         return _apply_tie_order(sa, jnp.asarray(rows_h),
                                 jnp.asarray(new_pos.astype(np.int32)))
     rank = _inv_rank(sa, rank_sorted)
-    C = min(_TIE_CAP, m)
-    if nt <= C:
-        # mid-size tie sets: resolve on the compacted subset (us-scale
-        # sorts; needs the rank plane, hence the inversion sort)
-        return _sa_tie_doubling(sa, rank, tied, m, C)
+    # capacity LADDER: the compacted round costs O(C) regardless of nt,
+    # so pick the smallest rung that fits. The 64M rung is what keeps a
+    # 40%-repeat 100 Mbp genome (~40M tied suffixes, r5 measured) on the
+    # compacted path — full-plane rounds cost 1.4 s each there.
+    for cap in _TIE_CAPS:
+        C = min(cap, m)
+        if nt <= C:
+            return _sa_tie_doubling(sa, rank, tied, m, C)
     return _sa_doubling(sa, rank, m)
 
 

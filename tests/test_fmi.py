@@ -537,6 +537,17 @@ def test_device_sa_tie_paths(rng):
         got = suffix_array_device(t)
         want = suffix_array(t)
         assert np.array_equal(got, want), name
+    # force the FULL-PLANE doubling fallback explicitly (the capacity
+    # ladder would otherwise absorb these tie counts on a compacted rung)
+    import nvbio_tpu.index.device_sa as dsa
+
+    old_caps, old_host = dsa._TIE_CAPS, dsa._HOST_TIE_CAP
+    dsa._TIE_CAPS, dsa._HOST_TIE_CAP = (), 0
+    try:
+        t = cases["runs"]
+        assert np.array_equal(suffix_array_device(t), suffix_array(t))
+    finally:
+        dsa._TIE_CAPS, dsa._HOST_TIE_CAP = old_caps, old_host
 
 
 def test_search_1mm_hybrid_topk(rng):

@@ -256,11 +256,14 @@ def test_bwte_device_tie_paths(rng):
         eng = BwteDevice(capacity=m * (L + 1), n_strings=m)
         if name == "homopolymer":
             old_cap = dsa._TIE_CAP
+            old_caps = dsa._TIE_CAPS
             dsa._TIE_CAP = 2
+            dsa._TIE_CAPS = ()
             try:
                 eng.add_block(reads)
             finally:
                 dsa._TIE_CAP = old_cap
+                dsa._TIE_CAPS = old_caps
         else:
             eng.add_block(reads)
         bwt, tags = eng.finalize()
