@@ -38,6 +38,9 @@ def add_parser(sub):
                    help="also write BWA-compatible .pac/.ann/.amb")
     p.add_argument("--bwt", action="store_true",
                    help="with --fmi: also write the nvBWT-format .bwt file")
+    p.add_argument("--bwt-lz4", action="store_true",
+                   help="compress .bwt outputs with the native LZ4 codec "
+                        "(file_bwt_lz4.cu parity)")
     p.add_argument("--bwt-blockwise", action="store_true",
                    help="write the nvBWT .bwt via the blockwise device "
                         "suffix sorter (multi-GB texts beyond the int32 "
@@ -88,7 +91,8 @@ def run(args):
 
         t0 = time.time()
         bwt, primary, bstats = blockwise_bwt(np.asarray(ref.codes))
-        save_bwt(bwt, primary, args.prefix + ".bwt")
+        save_bwt(bwt, primary, args.prefix + ".bwt",
+                 compress="lz4" if args.bwt_lz4 else None)
         log_stats(
             f"blockwise device BWT built in {time.time()-t0:.1f}s "
             f"({bstats['blocks']} blocks / {bstats['superblocks']} "
@@ -119,6 +123,7 @@ def run(args):
             from nvbio_tpu.io.pac import save_bwt
 
             codes = _packed.unpack(fmi.bwt_words, fmi.n, 2)
-            save_bwt(codes, fmi.primary, args.prefix + ".bwt")
+            save_bwt(codes, fmi.primary, args.prefix + ".bwt",
+                     compress="lz4" if args.bwt_lz4 else None)
             log_info(f"wrote {args.prefix}.bwt (nvBWT format)")
     return 0

@@ -12,6 +12,10 @@ def add_parser(sub):
     p.add_argument("--txt", action="store_true", help="also write ASCII BWT")
     p.add_argument("--bgz", action="store_true",
                    help="also write BGZF-compressed ASCII BWT (.txt.bgz)")
+    p.add_argument("--lz4", action="store_true",
+                   help="also write the LZ4-framed packed BWT "
+                        "(.setbwt.lz4; native codec, file_bwt_lz4.cu "
+                        "parity)")
     p.add_argument("--incremental", type=int, metavar="BLOCK", default=0,
                    help="build block-incrementally with this block size "
                         "(C++ BCR + rank-line interleave merges, the "
@@ -59,6 +63,24 @@ def run(args):
 
         with BgzfWriter(args.output + ".setbwt.txt.bgz") as f:
             f.write(bwt_to_text(bwt).encode())
+    if args.lz4:
+        import struct
+
+        import numpy as np
+
+        from nvbio_tpu import native
+
+        # frame the symbol plane (0..4 incl. '$'=0 marker byte stream)
+        data = np.asarray(bwt, np.uint8).tobytes()
+        with open(args.output + ".setbwt.lz4", "wb") as f:
+            f.write(b"NB4s")
+            f.write(struct.pack("<Q", len(data)))
+            CH = 1 << 24
+            for s in range(0, max(len(data), 1), CH):
+                seg = data[s:s + CH]
+                comp = native.lz4_compress(seg)
+                f.write(struct.pack("<II", len(seg), len(comp)))
+                f.write(comp.tobytes())
     log_stats(
         f"set-BWT of {len(reads):,} reads ({len(bwt):,} symbols) "
         f"in {time.time()-t0:.1f}s"

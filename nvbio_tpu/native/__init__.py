@@ -301,3 +301,54 @@ def bgzf_available() -> bool:
         return True
     except Exception:
         return False
+
+
+def _lz4_lib():
+    lib = load("nvbio_lz4", ["lz4.cpp"])
+    import numpy as _np  # noqa: F401
+
+    for name, res in (("nvb_lz4_bound", ctypes.c_int64),
+                      ("nvb_lz4_compress", ctypes.c_int64),
+                      ("nvb_lz4_decompress", ctypes.c_int64)):
+        fn = getattr(lib, name)
+        fn.restype = res
+    lib.nvb_lz4_bound.argtypes = [ctypes.c_int64]
+    for name in ("nvb_lz4_compress", "nvb_lz4_decompress"):
+        getattr(lib, name).argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ]
+    return lib
+
+
+def lz4_compress(data) -> "np.ndarray":
+    """LZ4 block-format compression (native; ``native/lz4.cpp``, the
+    in-repo replacement for the liblz4 the reference links in
+    ``sufsort/file_bwt_lz4.cu``). Returns a uint8 array."""
+    import numpy as np
+
+    src = np.ascontiguousarray(np.frombuffer(bytes(data), np.uint8)
+                               if isinstance(data, (bytes, bytearray))
+                               else np.asarray(data, np.uint8))
+    lib = _lz4_lib()
+    cap = int(lib.nvb_lz4_bound(len(src)))
+    dst = np.empty(cap, np.uint8)
+    m = lib.nvb_lz4_compress(src.ctypes.data, len(src), dst.ctypes.data, cap)
+    if m < 0:
+        raise ValueError("lz4 compression overflow")
+    return dst[:m].copy()
+
+
+def lz4_decompress(comp, raw_len: int) -> "np.ndarray":
+    """Inverse of ``lz4_compress`` (raw_len must be the original size)."""
+    import numpy as np
+
+    src = np.ascontiguousarray(np.frombuffer(bytes(comp), np.uint8)
+                               if isinstance(comp, (bytes, bytearray))
+                               else np.asarray(comp, np.uint8))
+    lib = _lz4_lib()
+    dst = np.empty(max(raw_len, 1), np.uint8)
+    m = lib.nvb_lz4_decompress(src.ctypes.data, len(src),
+                               dst.ctypes.data, raw_len)
+    if m != raw_len:
+        raise ValueError(f"lz4 decompression failed ({m} != {raw_len})")
+    return dst[:raw_len]
