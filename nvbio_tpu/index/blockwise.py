@@ -114,22 +114,6 @@ def _upload_chunk(buf, wc, w0):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("C", "n", "stride"),
-                   donate_argnums=())
-def _chunk_k1_hist(words_pad, s, C: int, n: int, stride: int):
-    """Sampled histogram of k1 >> _HIST_SHIFT over chunk positions
-    [s, s+C), s a uint32 scalar (3.1 Gbp starts exceed int31). Dense: one
-    windowed unpack + 13 static slices."""
-    c1p = _chunk_c1p(words_pad, s, C, n, _B5)
-    k1 = _b5_from_plane(c1p, 0, C)
-    pos = s + jnp.arange(C, dtype=jnp.uint32)
-    valid = pos <= jnp.uint32(n)
-    samp = (k1 >> _HIST_SHIFT)[::stride]
-    vsamp = valid[::stride]
-    bins = jnp.where(vsamp, samp, _HIST_BINS - 1)
-    return jnp.zeros(_HIST_BINS, jnp.int32).at[bins].add(1)
-
-
 def _chunk_c1p(words_pad, s, C: int, n: int, extra: int):
     """1-based symbol plane for positions [s, s+C+extra) from the packed
     words: s (uint32) is a multiple of 16, so this is a static-size
@@ -193,13 +177,6 @@ def _sb_append(sb_k1, sb_pos, k1s, poss, lo, hi, off, C: int):
 @jax.jit
 def _sb_sort(sb_k1, sb_pos):
     return jax.lax.sort((sb_k1, sb_pos), num_keys=1)
-
-
-@functools.partial(jax.jit, static_argnames=())
-def _search_bounds(k1s, klo, khi):
-    lo = jnp.searchsorted(k1s, klo, side="left")
-    hi = jnp.searchsorted(k1s, khi, side="left")
-    return lo.astype(jnp.int32), hi.astype(jnp.int32)
 
 
 @jax.jit
