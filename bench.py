@@ -240,8 +240,17 @@ def main():
             raise RuntimeError("fm index build failed")
         params_fm = _dc.replace(params, seeding="fmi")
 
+        # index CLOSED OVER: XLA embeds the rank/ftab/SSA planes as
+        # constants and pre-lays them out for the hot gathers — measured
+        # 2.0x vs passing the index as arguments (1560 -> 780 ms at
+        # B=32768, r5 bisect). Matches ReadMapper.dispatch's fmi path.
+        @jax.jit
+        def _fm_step(r, ln, q):
+            return align_batch_core(fmi_fm, gwords, n_genome, r, ln, q,
+                                    params_fm)
+
         def dispatch_fm(b):
-            return align_batch_core(fmi_fm, gwords, n_genome, *b, params_fm)
+            return _fm_step(*b)
 
         out_fm = dispatch_fm(batch0)
         sync_scalar(out_fm)
